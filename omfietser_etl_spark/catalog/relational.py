@@ -1,0 +1,629 @@
+"""Relational operator queries (SURVEY §2.1, §2.3, §2.4, §2.8–§2.12).
+
+Each query re-expresses one reference operator shape on the driver's
+TPC-H-ish tables. Reference citations live in each spec's doc string
+(file:line relative to /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load
+from . import QuerySpec
+
+
+# --------------------------------------------------------------------------
+# Scans / filters / projections
+# --------------------------------------------------------------------------
+
+def s1_scan_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered+projected scan; predicate and column pruning must reach
+    the parquet reader (ref: postgres-adapter.ts:47-97 filter pushdown)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-06-01"))
+            & (F.col("l_discount") > F.lit(0.05))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+S1_ORACLE = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+"""
+
+
+def s5_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookup by key (ref: postgres-adapter.ts:99-108)."""
+    o = load(spark, sf, "orders")
+    return o.filter(F.col("o_orderkey") == 777).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+
+
+S5_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM orders WHERE o_orderkey = 777
+"""
+
+
+def f6_validity_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Business-rule row classification: valid rows vs dead-letter
+    channel (ref: processors/base.ts:478-503 price validity rules)."""
+    li = load(spark, sf, "lineitem")
+    flag = (
+        F.when((F.col("l_discount") > 0) & (F.col("l_extendedprice") <= 0), "invalid_promo")
+        .when(F.col("l_extendedprice") <= 0, "invalid_price")
+        .when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08), "suspect_discount")
+        .otherwise("valid")
+    )
+    return (
+        li.select(flag.alias("validity"))
+        .groupBy("validity")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+F6_ORACLE = """
+SELECT CASE
+         WHEN l_discount > 0 AND l_extendedprice <= 0 THEN 'invalid_promo'
+         WHEN l_extendedprice <= 0 THEN 'invalid_price'
+         WHEN l_discount < 0 OR l_discount > 0.08 THEN 'suspect_discount'
+         ELSE 'valid' END AS validity,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1
+"""
+
+
+def p5_coalesce_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide projection with fallback semantics: brand defaults to first
+    name token when empty — JS `||` semantics, not COALESCE (ref:
+    processors/jumbo.ts:169; adapters/database-processor-adapter.ts:485-537);
+    cents→euros division (ref: processors/jumbo.ts:145)."""
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.when(
+            F.col("p_brand").isNull() | (F.col("p_brand") == ""),
+            F.split(F.col("p_name"), " ").getItem(0),
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("brand_resolved"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.round(F.round(F.col("p_retailprice") * 100, 0) / 100.0, 2).alias("price_eur"),
+    )
+
+
+P5_ORACLE = """
+SELECT p_partkey,
+       CASE WHEN p_brand IS NULL OR p_brand = ''
+            THEN string_split(p_name, ' ')[1] ELSE p_brand END AS brand_resolved,
+       string_split(p_type, ' ')[1] AS type_head,
+       round(round(p_retailprice * 100, 0) / 100.0, 2) AS price_eur
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedupe / latest-state (SURVEY §2.8, ST3)
+# --------------------------------------------------------------------------
+
+def dd1_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-one-per-key dedupe with explicit deterministic tiebreak
+    (ref: src/utils/dedupe.ts:23-52; upsert latest-wins
+    postgres-adapter.ts:685-720)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 2).alias("val"))
+    )
+
+
+DD1_ORACLE = """
+SELECT user_id, event_type, event_id, round(value, 2) AS val
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+def j1_broadcast_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact⋈small-dim lookup joins, explicitly broadcast (ref:
+    category/prediction.ts:74-87 hash-map lookup → broadcast hash join)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    supp = load(spark, sf, "supplier")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+J1_ORACLE = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS cnt,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+"""
+
+
+def j5_multiway_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiway equi-join star query (ref: FK joins J5/J6,
+    init-processor-schema.sql:71): revenue per region/nation."""
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+J5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# Mangled canon for the fuzzy theta-join — forces non-exact matches.
+_FUZZY_CANON = [
+    "UNTED STATS",
+    "GERMANI",
+    "FRANC",
+    "CHNIA",
+    "BRAZL",
+    "JAPN",
+    "INDNESIA",
+    "ROMANIJA",
+]
+
+
+def j3_fuzzy_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy best-match theta join: levenshtein argmax of each nation
+    name against a small canon (ref: normalizer.ts:530-546 fuzzy
+    category matching; utils/categorization.ts:16-40). Runs the cross
+    join on DISTINCT keys — the scale posture for fuzzy matching."""
+    n = load(spark, sf, "nation").select("n_name").distinct()
+    canon = spark.createDataFrame([(c,) for c in _FUZZY_CANON], ["cand"])
+    scored = n.crossJoin(F.broadcast(canon)).withColumn(
+        "dist", F.levenshtein(F.col("n_name"), F.col("cand"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("dist"), F.col("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", F.col("cand").alias("best_match"), "dist")
+    )
+
+
+_CANON_SQL = ", ".join(f"('{c}')" for c in _FUZZY_CANON)
+J3_ORACLE = f"""
+SELECT n_name, cand AS best_match, dist FROM (
+  SELECT n_name, cand, levenshtein(n_name, cand) AS dist,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY levenshtein(n_name, cand), cand) AS rn
+  FROM (SELECT DISTINCT n_name FROM nation)
+  CROSS JOIN (SELECT * FROM (VALUES {_CANON_SQL}) t(cand))
+) WHERE rn = 1
+"""
+
+
+def u4_anti_join_missing(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: keys absent from the other side (ref: `is_new`
+    detection, init-processor-schema.sql:37-39 — new/disappeared
+    products between jobs)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+U4_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def semi_join_active(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join + rollup count per nation (ref: U4 intersect
+    semantics; validation split F6)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("active_customers"))
+    )
+
+
+SEMI_ORACLE = """
+SELECT n_name, count(*) AS active_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+def a1_status_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group processing counters with share-of-total (ref:
+    processors/base.ts:35-48 success/failed/skipped tallies;
+    job stats postgres-adapter.ts:936-972)."""
+    o = load(spark, sf, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return agg.withColumn(
+        "pct", F.round(100.0 * F.col("cnt") / F.sum("cnt").over(Window.partitionBy()), 2)
+    )
+
+
+A1_ORACLE = """
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+       round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def a4_price_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment price stats: avg, exact median, bucket counts (ref:
+    visualize-data.ts:123-161 price comparison incl. sort-based median
+    :213-224 and buckets). Median uses an explicit rank formula —
+    avg of the middle one/two values — because Spark `percentile` and
+    DuckDB `quantile_cont` interpolate differently in the last ulp."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    stats = j.groupBy("c_mktsegment").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.sum(F.when(F.col("o_totalprice") < 50000, 1).otherwise(0)).alias("bucket_low"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 150000), 1
+            ).otherwise(0)
+        ).alias("bucket_mid"),
+        F.sum(F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)).alias("bucket_high"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("c_mktsegment")
+    median = (
+        j.select("c_mktsegment", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+        .filter(
+            (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("c_mktsegment")
+        # median of two 2dp values lands exactly on a .xx5 boundary, where
+        # Spark and DuckDB round(scale=2) disagree — emit integer cents
+        # (scale-0 rounding is consistent across engines).
+        .agg(F.round(F.avg(F.col("o_totalprice") * 100), 0).cast("long").alias("median_cents"))
+    )
+    return stats.join(median, "c_mktsegment")
+
+
+A4_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT c_mktsegment, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+), med AS (
+  SELECT c_mktsegment, CAST(round(avg(o_totalprice * 100), 0) AS BIGINT) AS median_cents
+  FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY c_mktsegment
+)
+SELECT j.c_mktsegment,
+       round(avg(o_totalprice), 2) AS avg_price,
+       sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS bucket_low,
+       sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS bucket_mid,
+       sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS bucket_high,
+       any_value(med.median_cents) AS median_cents
+FROM j JOIN med ON j.c_mktsegment = med.c_mktsegment
+GROUP BY j.c_mktsegment
+"""
+
+
+def a3_type_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Category distribution with percentage (ref:
+    visualize-data.ts:100-118; categorization.ts:150-163)."""
+    p = load(spark, sf, "part")
+    agg = p.groupBy("p_type").agg(F.count("*").alias("cnt"))
+    return agg.withColumn(
+        "pct", F.round(100.0 * F.col("cnt") / F.sum("cnt").over(Window.partitionBy()), 2)
+    )
+
+
+A3_ORACLE = """
+SELECT p_type, count(*) AS cnt,
+       round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+FROM part GROUP BY p_type
+"""
+
+
+def a7_event_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-summary-style conditional aggregation (ref:
+    postgres-adapter.ts:974-1002: COUNT FILTER per severity,
+    COUNT(DISTINCT ...))."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(F.col("value") <= 100, 1).otherwise(0)).alias("n_low"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+A7_ORACLE = """
+SELECT event_type, count(*) AS total, count(DISTINCT user_id) AS n_users,
+       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
+       sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def a8_version_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-column groupBy with count + max (ref:
+    postgres-adapter.ts:1004-1023 schema-version stats)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+A8_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def rollup_region_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup report across shops→overall analog (ref:
+    src/index.ts:366-373 per-shop rollup to combined summary)."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    j = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_g"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_g"),
+            "total_bal",
+            "cnt",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(r_name, 'ALL') AS region_g, coalesce(n_name, 'ALL') AS nation_g,
+       round(sum(c_acctbal), 2) AS total_bal, count(*) AS cnt
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def a13_distinct_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct-count per group (ref: uniqueProducts,
+    types/product.ts:110-115). The approximate variant is
+    `a13_approx_distinct` (rows-only check)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+A13_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a13_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL approximate distinct (scale path for A13) — rows-only check
+    (approx values are engine-specific by design)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / pagination (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+def o1_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY ... LIMIT/OFFSET pagination with deterministic tiebreak
+    (ref: postgres-adapter.ts:72-81)."""
+    o = load(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 25))
+        .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+O1_ORACLE = """
+SELECT rn, o_orderkey, round(o_totalprice, 2) AS total FROM (
+  SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn > 10 AND rn <= 25
+"""
+
+
+def o7_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group (ref: processors/base.ts:642-646 first-5
+    examples per error type)."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag", "rn", "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+O7_ORACLE = """
+SELECT l_returnflag, rn, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+"""
+
+
+def o4_argmax_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Argmax within group — widest-image pick analog (ref:
+    processors/ah.ts:176-179 argmax over images by width)."""
+    c = load(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_name").alias("richest"),
+                F.round("c_acctbal", 2).alias("bal"))
+    )
+
+
+O4_ORACLE = """
+SELECT c_nationkey, c_name AS richest, round(c_acctbal, 2) AS bal FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.12)
+# --------------------------------------------------------------------------
+
+def u1_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Union of per-source outputs + distinct (ref:
+    visualize-data.ts:27-39 union of 4 shop files; prediction.ts:102-104
+    distinct keys)."""
+    c = load(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+U1_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+SPECS = [
+    QuerySpec("s1_scan_pushdown", s1_scan_pushdown, S1_ORACLE, "S1/S3 filtered scan"),
+    QuerySpec("s5_point_lookup", s5_point_lookup, S5_ORACLE, "S5 point lookup"),
+    QuerySpec("f6_validity_split", f6_validity_split, F6_ORACLE, "F6 validity rules"),
+    QuerySpec("p5_coalesce_projection", p5_coalesce_projection, P5_ORACLE, "P5 projection"),
+    QuerySpec("dd1_latest_per_key", dd1_latest_per_key, DD1_ORACLE, "DD1/ST3 dedupe"),
+    QuerySpec("j1_broadcast_enrich", j1_broadcast_enrich, J1_ORACLE, "J1/J2 broadcast join"),
+    QuerySpec("j5_multiway_revenue", j5_multiway_revenue, J5_ORACLE, "J5/J6 multiway join"),
+    QuerySpec("j3_fuzzy_theta", j3_fuzzy_theta, J3_ORACLE, "J3/DD3 fuzzy theta join"),
+    QuerySpec("u4_anti_join_missing", u4_anti_join_missing, U4_ORACLE, "U4 anti join"),
+    QuerySpec("semi_join_active", semi_join_active, SEMI_ORACLE, "semi join"),
+    QuerySpec("a1_status_counters", a1_status_counters, A1_ORACLE, "A1/A6 counters"),
+    QuerySpec("a4_price_stats", a4_price_stats, A4_ORACLE, "A4 price stats + median"),
+    QuerySpec("a3_type_distribution", a3_type_distribution, A3_ORACLE, "A3 distribution"),
+    QuerySpec("a7_event_summary", a7_event_summary, A7_ORACLE, "A7 conditional agg"),
+    QuerySpec("a8_version_stats", a8_version_stats, A8_ORACLE, "A8 groupBy2 stats"),
+    QuerySpec("rollup_region_nation", rollup_region_nation, ROLLUP_ORACLE, "rollup report"),
+    QuerySpec("a13_distinct_parts", a13_distinct_parts, A13_ORACLE, "A13 exact distinct"),
+    QuerySpec("a13_approx_distinct", a13_approx_distinct, None, "A13 approx distinct"),
+    QuerySpec("o1_pagination", o1_pagination, O1_ORACLE, "O1 pagination"),
+    QuerySpec("o7_topk_per_group", o7_topk_per_group, O7_ORACLE, "O7 top-k per group"),
+    QuerySpec("o4_argmax_per_group", o4_argmax_per_group, O4_ORACLE, "O4 argmax"),
+    QuerySpec("u1_union_distinct", u1_union_distinct, U1_ORACLE, "U1/U2 union distinct"),
+]

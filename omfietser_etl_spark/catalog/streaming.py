@@ -1,0 +1,181 @@
+"""Incremental / time-series operator queries (SURVEY §2.13, J7, U4).
+
+Batch-expressible views of the streaming semantics; the true
+Structured Streaming paths (watermark + window, foreachBatch merge)
+are exercised in tests/test_streaming.py — same transformations, so
+the oracle here covers their logic.
+
+The events.ts column is read as epoch-nanos LongType (see
+session.load); the DuckDB oracle uses epoch_ns(ts) for identical
+integer arithmetic — no float or timestamp-precision hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load
+from . import QuerySpec
+
+
+def j7_asof_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of / previous-observation join via lag() — price-history
+    delta semantics (ref: products.price_history + first_seen,
+    init-processor-schema.sql:36-38)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
+        )
+    )
+
+
+J7_ORACLE = """
+SELECT event_id, user_id, event_type, round(value - prev_value, 2) AS delta
+FROM (
+  SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_value
+  FROM events
+) WHERE prev_value IS NOT NULL
+"""
+
+
+def st4_changed_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Change detection: keep only rows whose value changed vs the
+    previous observation of the same key (ref: content_hash skip,
+    01-init.sql:17,26; transform-products-for-db.js:29-41)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_props", F.lag("props").over(w))
+        .filter(F.col("prev_props").isNotNull() & (F.col("props") != F.col("prev_props")))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+ST4_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM (
+  SELECT *, lag(props) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_props
+  FROM events
+) WHERE prev_props IS NOT NULL AND props <> prev_props
+"""
+
+
+def st6_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window rollup on event time (ref: ST6 — capability the
+    reference lacks; streaming variant in streaming/rollups.py uses
+    window()+watermark with identical bucketing)."""
+    ev = load(spark, sf, "events")
+    hour_bucket = F.expr("ts div 3600000000000").alias("hour_bucket")
+    return (
+        ev.groupBy(hour_bucket, "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ST6_ORACLE = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def u4_new_keys_between_halves(spark: SparkSession, sf: str) -> DataFrame:
+    """New vs disappeared keys between two consecutive scrape batches
+    (ref: is_new, init-processor-schema.sql:37-39). Batches modeled as
+    the two halves of the event time range."""
+    ev = load(spark, sf, "events")
+    mid = ev.agg(F.expr("(min(ts) div 2) + (max(ts) div 2)").alias("mid"))
+    with_half = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "half", F.when(F.col("ts") < F.col("mid"), 1).otherwise(2)
+    )
+    keys = with_half.select("half", "user_id", "event_type").distinct()
+    h1 = keys.filter(F.col("half") == 1).drop("half")
+    h2 = keys.filter(F.col("half") == 2).drop("half")
+    new_keys = h2.join(h1, ["user_id", "event_type"], "left_anti").withColumn(
+        "status", F.lit("new")
+    )
+    gone_keys = h1.join(h2, ["user_id", "event_type"], "left_anti").withColumn(
+        "status", F.lit("disappeared")
+    )
+    return new_keys.unionByName(gone_keys)
+
+
+U4H_ORACLE = """
+WITH bounds AS (
+  SELECT (min(epoch_ns(ts)) // 2) + (max(epoch_ns(ts)) // 2) AS mid FROM events
+),
+keys AS (
+  SELECT DISTINCT CASE WHEN epoch_ns(ts) < (SELECT mid FROM bounds) THEN 1 ELSE 2 END AS half,
+         user_id, event_type
+  FROM events
+),
+h1 AS (SELECT user_id, event_type FROM keys WHERE half = 1),
+h2 AS (SELECT user_id, event_type FROM keys WHERE half = 2)
+SELECT user_id, event_type, 'new' AS status FROM h2
+WHERE NOT EXISTS (SELECT 1 FROM h1
+                  WHERE h1.user_id = h2.user_id AND h1.event_type = h2.event_type)
+UNION ALL
+SELECT user_id, event_type, 'disappeared' AS status FROM h1
+WHERE NOT EXISTS (SELECT 1 FROM h2
+                  WHERE h2.user_id = h1.user_id AND h2.event_type = h1.event_type)
+"""
+
+
+def a10_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Structure-drift report: per-field presence counts across
+    semi-structured payloads (ref: structure-validator.ts:128-150).
+    Fields pulled from the JSON props column, then unpivoted."""
+    ev = load(spark, sf, "events")
+    parsed = ev.select(
+        F.get_json_object("props", "$.k").alias("k"),
+        F.get_json_object("props", "$.missing_field").alias("missing_field"),
+    )
+    return (
+        parsed.select(
+            F.expr(
+                "stack(2, 'k', k IS NOT NULL, 'missing_field', missing_field IS NOT NULL) "
+                "AS (field, present)"
+            )
+        )
+        .groupBy("field")
+        .agg(
+            F.sum(F.when(F.col("present"), 1).otherwise(0)).alias("present_cnt"),
+            F.sum(F.when(~F.col("present"), 1).otherwise(0)).alias("missing_cnt"),
+        )
+    )
+
+
+A10_ORACLE = """
+WITH parsed AS (
+  SELECT json_extract_string(props, '$.k') AS k,
+         json_extract_string(props, '$.missing_field') AS missing_field
+  FROM events
+), unpivoted AS (
+  SELECT 'k' AS field, k IS NOT NULL AS present FROM parsed
+  UNION ALL
+  SELECT 'missing_field' AS field, missing_field IS NOT NULL AS present FROM parsed
+)
+SELECT field,
+       sum(CASE WHEN present THEN 1 ELSE 0 END) AS present_cnt,
+       sum(CASE WHEN NOT present THEN 1 ELSE 0 END) AS missing_cnt
+FROM unpivoted GROUP BY field
+"""
+
+
+SPECS = [
+    QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
+    QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
+    QuerySpec("st6_window_counts", st6_window_counts, ST6_ORACLE, "ST6 tumbling window"),
+    QuerySpec("u4_new_disappeared", u4_new_keys_between_halves, U4H_ORACLE, "U4 new/gone keys"),
+    QuerySpec("a10_drift_report", a10_drift_report, A10_ORACLE, "A10 drift report"),
+]
