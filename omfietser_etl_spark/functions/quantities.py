@@ -1,0 +1,145 @@
+"""Unit normalization (D3) + quantity standardization (D2) as Column
+expressions.
+
+Re-expresses the reference's unit handling
+(ref: projects/processor/src/utils/calculate-fields.ts:232-332
+standardizeQuantity, :341-403 normalizeUnit; config tables
+src/config/units.ts:14-135) with literal maps / higher-order array
+functions — JVM-side, constant-folded, no UDFs, no joins.
+
+The ordered partial-containment pass uses a literal array of
+(key, value) structs + `filter(...)[0]` so first-match-wins survives
+(JS object iteration order is semantic in the reference).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config.units import (
+    BASE_TO_STANDARD_DIVISOR,
+    CONVERSION_FACTORS,
+    REFERENCE_UNITS,
+    STANDARD_UNITS,
+    UNIT_ALIASES,
+    UNIT_TO_CATEGORY,
+)
+
+# Literal maps/arrays must be built lazily — Column construction
+# needs an active SparkSession (import-time fails under pytest).
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _alias_map() -> Column:
+    """literal map unit-alias → code"""
+    return F.create_map(*[F.lit(x) for x in chain.from_iterable(UNIT_ALIASES)])
+
+
+@lru_cache(maxsize=None)
+def _alias_array() -> Column:
+    """ordered array of alias structs for the containment fallback"""
+    return F.array(
+        *[F.struct(F.lit(k).alias("k"), F.lit(v).alias("v")) for k, v in UNIT_ALIASES]
+    )
+
+
+@lru_cache(maxsize=None)
+def _category_map() -> Column:
+    """normalized unit code → measurement category"""
+    return F.create_map(*[F.lit(x) for kv in UNIT_TO_CATEGORY.items() for x in kv])
+
+
+_TO_BASE = {u: f for factors in CONVERSION_FACTORS.values() for u, f in factors.items()}
+
+
+@lru_cache(maxsize=None)
+def _to_base_map() -> Column:
+    """normalized unit code → factor to the category base (g/ml/mm/mm²)"""
+    return F.create_map(*[F.lit(x) for kv in _TO_BASE.items() for x in kv])
+
+
+@lru_cache(maxsize=None)
+def _divisor_map() -> Column:
+    return F.create_map(*[F.lit(x) for kv in BASE_TO_STANDARD_DIVISOR.items() for x in kv])
+
+
+@lru_cache(maxsize=None)
+def _ref_unit_map() -> Column:
+    return F.create_map(*[F.lit(x) for kv in REFERENCE_UNITS.items() for x in kv])
+
+_MULTIPACK_RX = r"(\d+)\s*x\s*(\d+(?:\.\d+)?)\s*([a-z]+)"
+_PACKSIZE_RX = r"(\d+)[\s-]*(pack|stuks|pieces|items)"
+
+
+def clean_unit(unit: Column) -> Column:
+    """lower/trim, strip 'per ' prefix, drop punctuation, collapse
+    whitespace (ref: calculate-fields.ts:349-353)."""
+    c = F.lower(F.trim(unit))
+    c = F.regexp_replace(c, r"^per\s+", "")
+    c = F.regexp_replace(c, r"[.,;:()]", "")
+    return F.regexp_replace(c, r"\s+", " ")
+
+
+def normalize_unit(unit: Column) -> Column:
+    """Normalize a raw unit string to a standard code, default 'stuk'
+    (ref: calculate-fields.ts:341-403). Precedence: multipack item
+    unit → exact alias → first containing alias → pack-size → already
+    standard → 'stuk'."""
+    c = clean_unit(unit)
+    mp_unit = F.regexp_extract(c, _MULTIPACK_RX, 3)
+    mp_hit = F.when(mp_unit != "", F.element_at(_alias_map(), mp_unit))
+    direct = F.element_at(_alias_map(), c)
+    contained = F.get(F.filter(_alias_array(), lambda s: c.contains(s["k"])), 0)["v"]
+    packsize = F.when(c.rlike(_PACKSIZE_RX), F.lit("stuk"))
+    already_std = F.when(c.isin(*STANDARD_UNITS), c)
+    resolved = F.coalesce(mp_hit, direct, contained, packsize, already_std, F.lit("stuk"))
+    return F.when(unit.isNull() | (unit == ""), F.lit("stuk")).otherwise(resolved)
+
+
+def standardize_quantity(amount: Column, unit: Column) -> Column:
+    """Returns struct(normalized_amount, normalized_unit,
+    conversion_factor) (ref: calculate-fields.ts:232-332).
+
+    weight→kg, volume→l, length→m, area→m², piece→stuk; conversion
+    factor floored at 0.001 (piece: max(amount, 1)); invalid input ⇒
+    (1, 'stuk', 1)."""
+    invalid = (
+        amount.isNull()
+        | F.isnan(amount)
+        | (amount <= 0)
+        | unit.isNull()
+        | (unit == "")
+    )
+    nu = normalize_unit(unit)
+    cat = F.coalesce(F.element_at(_category_map(), nu), F.lit("piece"))
+    to_base = F.coalesce(F.element_at(_to_base_map(), nu), F.lit(1.0))
+    divisor = F.element_at(_divisor_map(), cat)
+    measured = F.greatest(amount * to_base / divisor, F.lit(0.001))
+    piece = F.greatest(amount, F.lit(1.0))
+    conv = F.when(cat == "piece", piece).otherwise(measured)
+    std_unit = F.element_at(_ref_unit_map(), cat)
+    result = F.struct(
+        conv.cast("double").alias("normalized_amount"),
+        std_unit.alias("normalized_unit"),
+        conv.cast("double").alias("conversion_factor"),
+    )
+    default = F.struct(
+        F.lit(1.0).alias("normalized_amount"),
+        F.lit("stuk").alias("normalized_unit"),
+        F.lit(1.0).alias("conversion_factor"),
+    )
+    return F.when(invalid, default).otherwise(result)
+
+
+def parse_quantity(text: Column) -> Column:
+    """Generic quantity-from-text parse: first `<number> <unit>` hit,
+    comma decimals allowed (ref: src/utils/units.ts:18-45, D6).
+    Returns struct(amount double, unit string) — nulls when absent."""
+    rx = r"(\d+(?:[.,]\d+)?)\s*(\w+)"
+    amt = F.regexp_replace(F.regexp_extract(text, rx, 1), ",", ".").try_cast("double")
+    unit = F.nullif(F.regexp_extract(text, rx, 2), F.lit(""))
+    return F.struct(amt.alias("amount"), unit.alias("unit"))
