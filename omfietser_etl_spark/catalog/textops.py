@@ -1,5 +1,432 @@
-"""Text/dedup/similarity operator queries (SURVEY §7.6 ⊕) — filled in M3."""
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis — over the ``documents`` and ``embeddings`` tables.
+
+Every oracle below is *generated from the same constants module* as
+the Spark builder (`omfietser_etl_spark.textops.constants`), so both
+engines compute identical integers (polynomial char hash, affine
+MinHash maps, SimHash bits) and bit-identical doubles (left-fold dot
+products). The LSH oracle replicates the banding pipeline itself —
+not an all-pairs shortcut — so LSH false negatives match exactly.
+"""
 
 from __future__ import annotations
 
-SPECS: list = []
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.textops import dedup as dd
+from omfietser_etl_spark.textops import similarity as sim
+from omfietser_etl_spark.textops.analysis import (
+    bpe_ish_token_count,
+    lang_id,
+    norm_text,
+    poly_hash,
+    tokens,
+    ws_token_count,
+)
+from omfietser_etl_spark.textops.constants import (
+    BANDS,
+    CHAR_SEED,
+    JACCARD_THRESHOLD,
+    LANG_STOPWORDS,
+    MINHASH_A,
+    MINHASH_B,
+    MOD,
+    ROWS,
+    SHINGLE_N,
+    SIMHASH_A,
+    SIMHASH_B,
+    SIMHASH_BITS,
+    SIMHASH_SPACE,
+)
+
+from . import QuerySpec
+
+# ---------------------------------------------------------------- #
+# DuckDB SQL fragments mirroring textops.analysis (generated from
+# the same constants; list_reduce == Spark aggregate: left folds).
+# ---------------------------------------------------------------- #
+
+DK_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+DK_TOKENS = "list_filter(string_split(" + DK_NORM + ", ' '), x -> x <> '')"
+
+
+def dk_shingles(t: str, n: int = SHINGLE_N) -> str:
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_distinct([array_to_string({t}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({t}) - {n - 2})]) "
+        f"ELSE [] END"
+    )
+
+
+def dk_poly(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({CHAR_SEED} AS BIGINT), "
+        f"list_transform(string_split_regex({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {MOD})"
+    )
+
+
+def dk_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+_DOCS_CTE = (
+    "WITH d AS (SELECT doc_id AS doc, "
+    + DK_TOKENS.format(c="text")
+    + " AS t FROM documents), "
+    "sh AS (SELECT doc, unnest(" + dk_shingles("t") + ") AS s FROM d)"
+)
+
+_JACCARD_TAIL = f"""
+, sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)
+, inter AS (SELECT x.doc_lo, x.doc_hi, count(*) AS n_inter
+    FROM cand x
+    JOIN sh a ON a.doc = x.doc_lo
+    JOIN sh b ON b.doc = x.doc_hi AND b.s = a.s
+    GROUP BY 1, 2)
+SELECT i.doc_lo, i.doc_hi,
+       round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc = i.doc_lo
+JOIN sz zb ON zb.doc = i.doc_hi
+WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------- #
+# td1 — exact dedup stats (DD2 generalized)
+# ---------------------------------------------------------------- #
+
+def td1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dup profile per source: one hash-agg shuffle on the
+    normalized-text key (dedupe.ts:100-124 normalized-title key)."""
+    docs = load(spark, sf, "documents")
+    keyed = docs.select("source", norm_text("text").alias("k"))
+    return keyed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("k").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("k")).alias("n_dup"),
+    )
+
+
+TD1_ORACLE = (
+    "SELECT source, count(*) AS n_docs, count(DISTINCT k) AS n_distinct, "
+    "count(*) - count(DISTINCT k) AS n_dup FROM (SELECT source, "
+    + DK_NORM.format(c="text")
+    + " AS k FROM documents) GROUP BY source"
+)
+
+
+# ---------------------------------------------------------------- #
+# td2 — n-gram Jaccard near-dup pairs (blocking join on shingle)
+# ---------------------------------------------------------------- #
+
+def td2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.jaccard_pairs(load(spark, sf, "documents"), "doc_id", "text")
+
+
+TD2_ORACLE = (
+    _DOCS_CTE
+    + ", cand AS (SELECT a.doc AS doc_lo, b.doc AS doc_hi FROM sh a "
+    "JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)"
+    + _JACCARD_TAIL
+)
+
+
+# ---------------------------------------------------------------- #
+# td3 — MinHash + LSH banding, exact-Jaccard verified
+# ---------------------------------------------------------------- #
+
+def td3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text")
+
+
+def _td3_oracle() -> str:
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MOD}) AS mh{i}"
+        for i in range(len(MINHASH_A))
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc, {b} AS band_id, concat_ws('_', {cols}) AS key FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * ROWS + r}" for r in range(ROWS))
+        )
+        for b in range(BANDS)
+    )
+    return (
+        _DOCS_CTE
+        + f", hh AS (SELECT doc, {dk_poly('s')} AS h FROM sh)"
+        + f", sig AS (SELECT doc, {mins} FROM hh GROUP BY doc)"
+        + f", bands AS ({bands})"
+        + ", cand AS (SELECT DISTINCT a.doc AS doc_lo, b.doc AS doc_hi FROM bands a "
+        "JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc < b.doc)"
+        + _JACCARD_TAIL
+    )
+
+
+# ---------------------------------------------------------------- #
+# td4 — SimHash fingerprints
+# ---------------------------------------------------------------- #
+
+def td4_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.simhash(load(spark, sf, "documents"), "doc_id", "text")
+
+
+def _td4_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH d AS (SELECT doc_id AS doc, "
+        + DK_TOKENS.format(c="text")
+        + " AS t FROM documents)"
+        ", tk AS (SELECT doc, unnest(list_distinct(t)) AS tok FROM d)"
+        f", hh AS (SELECT doc, {dk_poly('tok')} AS h FROM tk)"
+        f", h3 AS (SELECT doc, ({SIMHASH_A} * h + {SIMHASH_B}) % {SIMHASH_SPACE} AS h32 FROM hh)"
+        f", v AS (SELECT doc, {votes} FROM h3 GROUP BY doc) "
+        f"SELECT doc, {recombine} AS simhash FROM v"
+    )
+
+
+# ---------------------------------------------------------------- #
+# td5/td6/td7 — embedding similarity
+# ---------------------------------------------------------------- #
+
+NEARDUP_TAU = 0.45
+ANN_K = 5
+ANN_QUERY_BOUND = 10  # vec_id < bound → query set
+IVF_CENTROID_MOD = 25  # vec_id % mod == 0 → codebook member
+IVF_PROBES = 2
+
+
+def td5_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return sim.cosine_neardup_pairs(
+        load(spark, sf, "embeddings"), "vec_id", "embedding", NEARDUP_TAU
+    )
+
+
+TD5_ORACLE = f"""
+SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+       round({dk_dot('a.embedding', 'b.embedding')}, 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({dk_dot('a.embedding', 'b.embedding')}, 4) >= {NEARDUP_TAU}
+"""
+
+
+def td6_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return sim.brute_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_BOUND), "vec_id", "embedding", ANN_K
+    )
+
+
+TD6_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {ANN_QUERY_BOUND}),
+s AS (SELECT qid, vec_id AS nid, {dk_dot('qv', 'embedding')} AS dot
+      FROM q JOIN embeddings ON qid <> vec_id),
+r AS (SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS rank FROM s)
+SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
+"""
+
+
+def td7_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_BOUND)
+    return sim.ivf_topk(
+        emb, centroids, queries, "vec_id", "embedding", ANN_K, IVF_PROBES
+    )
+
+
+TD7_ORACLE = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+asg AS (SELECT vid, cid FROM (
+    SELECT e.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dk_dot('e.embedding', 'c.cv')} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN c) WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {ANN_QUERY_BOUND}),
+probes AS (SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY {dk_dot('q.qv', 'c.cv')} DESC, c.cid ASC) AS pr
+    FROM q CROSS JOIN c) WHERE pr <= {IVF_PROBES}),
+s AS (SELECT p.qid, a.vid AS nid, {dk_dot('p.qv', 'e.embedding')} AS dot
+      FROM probes p JOIN asg a ON a.cid = p.cid AND a.vid <> p.qid
+      JOIN embeddings e ON e.vec_id = a.vid),
+r AS (SELECT qid, nid, dot,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS rank FROM s)
+SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------- #
+# ta1-ta4 — text analysis
+# ---------------------------------------------------------------- #
+
+def ta1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            ws_token_count("text").alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+TA1_ORACLE = r"""
+SELECT source, count(*) AS n_docs, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM (SELECT source, n_chars,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(text, '\w+|[^\w\s]'),
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+            (a, b) -> a + b) AS bpe
+      FROM documents)
+GROUP BY source
+"""
+
+
+def ta2_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive quality score (reference shape:
+    product-quality-service.ts:90-158 — base + threshold bonuses)."""
+    docs = load(spark, sf, "documents")
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    d = docs.select(
+        F.col("doc_id").alias("doc"),
+        tokens("text").alias("t"),
+    ).select(
+        "doc",
+        F.expr("size(t)").alias("n_tok"),
+        F.expr("size(array_distinct(t))").alias("n_uniq"),
+        F.expr(f"size(filter(t, x -> array_contains(array({en}), x)))").alias("n_stop"),
+    )
+    d = d.withColumn("uniq_ratio", F.round(F.col("n_uniq") / F.col("n_tok"), 4))
+    d = d.withColumn("stop_ratio", F.round(F.col("n_stop") / F.col("n_tok"), 4))
+    return d.select(
+        "doc",
+        "uniq_ratio",
+        "stop_ratio",
+        (
+            F.lit(50)
+            + F.when((F.col("n_tok") >= 10) & (F.col("n_tok") <= 1000), 20).otherwise(0)
+            + F.when(F.col("uniq_ratio") > 0.5, 15).otherwise(0)
+            + F.when((F.col("stop_ratio") >= 0.02) & (F.col("stop_ratio") <= 0.6), 15).otherwise(0)
+        ).alias("score"),
+    )
+
+
+def _ta2_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return (
+        "WITH d AS (SELECT doc_id AS doc, "
+        + DK_TOKENS.format(c="text")
+        + " AS t FROM documents), "
+        "m AS (SELECT doc, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq, "
+        f"len(list_filter(t, x -> list_contains([{en}], x))) AS n_stop FROM d), "
+        "r AS (SELECT doc, round(n_uniq / n_tok, 4) AS uniq_ratio, "
+        "round(n_stop / n_tok, 4) AS stop_ratio, n_tok FROM m) "
+        "SELECT doc, uniq_ratio, stop_ratio, "
+        "50 + (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 20 ELSE 0 END) "
+        "+ (CASE WHEN uniq_ratio > 0.5 THEN 15 ELSE 0 END) "
+        "+ (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6 THEN 15 ELSE 0 END) AS score "
+        "FROM r"
+    )
+
+
+def ta3_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    d = docs.withColumn("t", tokens("text")).select(
+        F.col("lang").alias("lang_true"), lang_id("text", "t").alias("lang_pred")
+    )
+    return d.groupBy("lang_true", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def _ta3_oracle() -> str:
+    scores = []
+    for lang in ("en", "de", "es", "fr"):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        scores.append(
+            f"len(list_filter(t, x -> list_contains([{words}], x))) AS s_{lang}"
+        )
+    langs = ("en", "de", "es", "fr")
+    cases = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        "WITH d AS (SELECT lang AS lang_true, text, "
+        + DK_TOKENS.format(c="text")
+        + " AS t FROM documents), "
+        "m AS (SELECT lang_true, text, " + ", ".join(scores) + " FROM d) "
+        "SELECT lang_true, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') "
+        "THEN 'zh' " + " ".join(cases) + " ELSE 'und' END AS lang_pred, "
+        "count(*) AS n FROM m GROUP BY 1, 2"
+    )
+
+
+def ta4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: exact polynomial rolling hash over the
+    normalized text (reference D7 content hash, generalized)."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        poly_hash_over_norm().alias("fp"),
+    )
+
+
+def poly_hash_over_norm():
+    nt = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    return F.expr(
+        f"aggregate(split({nt}, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD})"
+    )
+
+
+TA4_ORACLE = (
+    "SELECT doc_id AS doc, "
+    + dk_poly(DK_NORM.format(c="text"))
+    + " AS fp FROM documents"
+)
+
+
+SPECS = [
+    QuerySpec("td1_exact_dedup", td1_exact_dedup, TD1_ORACLE, "exact dedup stats"),
+    QuerySpec("td2_ngram_jaccard", td2_ngram_jaccard, TD2_ORACLE, "n-gram Jaccard near-dup"),
+    QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
+    QuerySpec("td4_simhash", td4_simhash, _td4_oracle(), "SimHash fingerprints"),
+    QuerySpec("td5_embed_neardup", td5_embed_neardup, TD5_ORACLE, "embedding cosine near-dup"),
+    QuerySpec("td6_ann_topk", td6_ann_topk, TD6_ORACLE, "brute-force cosine top-k"),
+    QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
+    QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),
+    QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
+    QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),
+    QuerySpec("ta4_fingerprint", ta4_fingerprint, TA4_ORACLE, "doc fingerprint hash"),
+]

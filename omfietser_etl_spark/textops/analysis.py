@@ -1,0 +1,104 @@
+"""Text-analysis expression builders (JVM-side, no Python UDFs).
+
+Everything here returns Spark ``Column``s built from SQL expressions
+so the hot path stays inside whole-stage codegen. The char-level
+polynomial hash is an exact-integer left fold, giving bit parity with
+the DuckDB oracle (which uses ``list_reduce`` — also a left fold).
+
+Generalizes the reference's scalar text utilities
+(`src/utils/string.ts:51-120`, `calculate-fields.ts:341-403`) to the
+LLM-pipeline operators mandated by the project brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .constants import CHAR_SEED, CJK_PATTERN, LANG_STOPWORDS, MOD, SHINGLE_N
+
+
+def norm_text(col: str = "text") -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace.
+
+    Mirrors ``normalizeString`` (`src/utils/string.ts:51-59`).
+    """
+    return F.expr(
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens of the normalized text (empty strings dropped)."""
+    nt = (
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+    return F.expr(f"filter(split({nt}, ' '), x -> x <> '')")
+
+
+def shingles(tokens_col: str, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles from a token-array column."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def poly_hash(col: str) -> Column:
+    """Exact-integer polynomial rolling hash of a string column.
+
+    ``h = fold(chars, seed, (a, c) -> (a*31 + ascii(c)) % MOD)`` —
+    deterministic and engine-portable (no murmur/xxhash dependency).
+    """
+    return F.expr(
+        f"aggregate(split({col}, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD})"
+    )
+
+
+def ws_token_count(col: str = "text") -> Column:
+    """Whitespace token count over the raw text."""
+    return F.expr(f"size(filter(split({col}, '\\\\s+'), x -> x <> ''))")
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish subword proxy: count of word-piece + punctuation matches.
+
+    A word of length L contributes ceil(L/4) pieces (≈ GPT-style 4
+    chars/token); punctuation marks count one each.
+    """
+    return F.expr(
+        f"aggregate(regexp_extract_all({col}, '\\\\w+|[^\\\\w\\\\s]', 0), "
+        f"CAST(0 AS BIGINT), (a, t) -> a + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+    )
+
+
+def stopword_hits(tokens_col: str, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in ``lang``'s stopword list."""
+    words = LANG_STOPWORDS[lang]
+    if not words:
+        return F.lit(0)
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter({tokens_col}, x -> array_contains(array({arr}), x)))"
+    )
+
+
+def lang_id(text_col: str, tokens_col: str) -> Column:
+    """n-gram-heuristic language ID: CJK codepoints → zh, else argmax
+    stopword hits with fixed precedence (en, de, es, fr) on ties,
+    else 'und'. A CASE chain in precedence order — ties resolve to the
+    first branch — so the DuckDB oracle is the literal same CASE.
+    """
+    langs = ("en", "de", "es", "fr")
+    scores = {lang: stopword_hits(tokens_col, lang) for lang in langs}
+    chain = F.when(F.expr(f"{text_col} RLIKE '{CJK_PATTERN}'"), F.lit("zh"))
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        chain = chain.when(cond, F.lit(lang))
+    return chain.otherwise(F.lit("und"))

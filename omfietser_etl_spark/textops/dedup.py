@@ -1,0 +1,197 @@
+"""Document deduplication operators: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (100 TB posture):
+- Exact dedup is one hash-aggregate on a normalized key — a single
+  shuffle with map-side partial aggregation.
+- Jaccard/MinHash never compare all pairs. Candidates come from a
+  *blocking* equi-join (shared shingle, or shared LSH band bucket),
+  so the shuffle key is the shingle/bucket, and only co-bucketed docs
+  ever meet. Verification joins run on the candidate set only.
+- All hashing is exact 64-bit integer arithmetic inside codegen; no
+  Python UDFs anywhere.
+
+Generalizes the reference's key dedupe (`src/utils/dedupe.ts:23-52`)
+and normalized-title near-dup grouping (`dedupe.ts:100-124`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import norm_text, poly_hash, shingles, tokens
+from .constants import (
+    BANDS,
+    JACCARD_THRESHOLD,
+    MINHASH_A,
+    MINHASH_B,
+    MOD,
+    ROWS,
+    SHINGLE_N,
+    SIMHASH_A,
+    SIMHASH_B,
+    SIMHASH_BITS,
+    SIMHASH_SPACE,
+)
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-key exact-duplicate stats on the normalized text.
+
+    One shuffle: groupBy(norm_key). Spark's hash aggregate does the
+    map-side combine; at 100 TB the key cardinality ≈ distinct docs,
+    so enable AQE to coalesce post-shuffle partitions.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc"), norm_text(text_col).alias("norm_key")
+    )
+    return keyed.groupBy("norm_key").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc").alias("keep_doc"),
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """(doc, shingle) pairs — distinct word n-grams per document."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    return toks.select("doc", F.explode(shingles("t", n)).alias("s"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    Blocking join on the shingle: a pair is only generated if it
+    shares ≥1 shingle, then |A∩B| comes from the join group count and
+    |A∪B| = |A|+|B|−|A∩B|. Sub-quadratic as long as shingles aren't
+    degenerate (stopword-only shingles should be filtered upstream at
+    real scale; here the vocab is synthetic).
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_lo"), F.col("b.doc").alias("doc_hi"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_lo", "n_sh": "n_lo"}), "doc_lo")
+        .join(sizes.withColumnsRenamed({"doc": "doc_hi", "n_sh": "n_hi"}), "doc_hi")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_lo") + F.col("n_hi") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_lo", "doc_hi", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc MinHash signature: N_HASHES min-of-affine-map columns.
+
+    One explode + one groupBy; the N min() aggregates all ride the
+    same shuffle. Hashes are (a_i*h + b_i) % MOD over the exact
+    polynomial shingle hash h — engine-portable, no xxhash64 needed
+    for the oracle (swap in ``F.xxhash64`` for production speed; the
+    semantics don't change).
+    """
+    sh = doc_shingles(df, id_col, text_col).withColumn("h", poly_hash("s"))
+    aggs = [
+        F.min(F.expr(f"({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MOD}")).alias(f"mh{i}")
+        for i in range(len(MINHASH_A))
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate pairs from LSH banding over MinHash signatures.
+
+    Bands become (doc, band_id, key) rows via ``stack``; the
+    candidate join shuffles on (band_id, key) — the bucket — never on
+    doc. Distinct de-dups pairs that collide in multiple bands.
+    """
+    band_exprs = []
+    for b in range(BANDS):
+        cols = ", ".join(f"mh{b * ROWS + r}" for r in range(ROWS))
+        band_exprs.append(f"{b}, concat_ws('_', {cols})")
+    stacked = sig.select(
+        "doc", F.expr(f"stack({BANDS}, {', '.join(band_exprs)}) AS (band_id, key)")
+    )
+    return (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_lo"), F.col("b.doc").alias("doc_hi"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard.
+
+    The scale path: signatures (1 shuffle) → band buckets (1 shuffle)
+    → candidate verification joins restricted to the candidate set.
+    """
+    sh = doc_shingles(df, id_col, text_col).cache()
+    sig = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sig)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("x"), cand.doc_lo == F.col("x.doc"))
+        .join(
+            sh.alias("y"),
+            (cand.doc_hi == F.col("y.doc")) & (F.col("x.s") == F.col("y.s")),
+        )
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_lo", "n_sh": "n_lo"}), "doc_lo")
+        .join(sizes.withColumnsRenamed({"doc": "doc_hi", "n_sh": "n_hi"}), "doc_hi")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_lo") + F.col("n_hi") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_lo", "doc_hi", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 32-bit SimHash over distinct-token hashes.
+
+    Explode tokens → one groupBy carrying SIMHASH_BITS majority-vote
+    sums → recombine bits. All exact integer arithmetic.
+    """
+    tok = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    tok = tok.select("doc", F.explode(F.array_distinct("t")).alias("tk"))
+    tok = tok.withColumn("h", poly_hash("tk")).withColumn(
+        "h32", F.expr(f"({SIMHASH_A}L * h + {SIMHASH_B}L) % {SIMHASH_SPACE}")
+    )
+    votes = [
+        F.sum(F.expr(f"CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    recombine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select("doc", F.expr(recombine).alias("simhash"))

@@ -1,0 +1,97 @@
+"""Semantics tests for the training-data text operators, on tiny
+inline frames (the sf* parity tests cover the full pipelines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.textops import dedup as dd
+from omfietser_etl_spark.textops import similarity as sim
+from omfietser_etl_spark.textops.analysis import lang_id, poly_hash, tokens
+from omfietser_etl_spark.textops.constants import CHAR_SEED, MOD
+
+
+def test_poly_hash_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("hello world",)], ["s"])
+    got = {r.s: r.h for r in df.select("s", poly_hash("s").alias("h")).collect()}
+
+    def ref(s: str) -> int:
+        a = CHAR_SEED
+        for c in s:
+            a = (a * 31 + ord(c)) % MOD
+        return a
+
+    assert got == {"abc": ref("abc"), "hello world": ref("hello world")}
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.norm_key: (r.n_docs, r.keep_doc)
+        for r in dd.exact_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert out == {"hello world": (2, 1), "other text": (1, 3)}
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words here entirely now")],
+        ["doc_id", "text"],
+    )
+    rows = dd.jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert [(r.doc_lo, r.doc_hi, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    rows = dd.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    assert [(r.doc_lo, r.doc_hi, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "spark scale shuffle"), (2, "spark scale shuffle"), (3, "zzz yyy xxx")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r.simhash for r in dd.simhash(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < (1 << 32)
+
+
+def test_brute_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.brute_topk(df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", 3).collect()
+    assert [r.nid for r in sorted(out, key=lambda r: r.rank)] == [1, 3, 2]
+
+
+def test_lang_id_stopword_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "qwerty zxcvb asdfgh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.pred
+        for r in df.withColumn("t", tokens("text"))
+        .select("doc_id", lang_id("text", "t").alias("pred"))
+        .collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "und"}
