@@ -159,7 +159,11 @@ def transform(raw: DataFrame) -> DataFrame:
 
     sus = F.coalesce(F.col("salesUnitSize"), F.lit(""))
     sus = F.when(sus == "", F.lit("per stuk")).otherwise(sus)
-    q = qty_struct(sus)
+
+    # Stage the multiply-referenced quantity struct / current price as
+    # real columns (keeps per-output-column codegen small).
+    df = df.withColumns({"_q": qty_struct(sus), "_cur": cur})
+    q, cur = F.col("_q"), F.col("_cur")
 
     widest = F.aggregate(
         F.coalesce(F.col("images"), F.array()),

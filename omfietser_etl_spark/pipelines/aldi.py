@@ -88,11 +88,6 @@ def transform(raw: DataFrame, run_date: str = DEFAULT_RUN_DATE) -> DataFrame:
         .otherwise(F.lit(""))
     )
 
-    parsed_eff = parse_promotion_mechanism(mech, orig, orig)["effective_unit_price"]
-    cur = F.when(
-        (mech != "") & parsed_eff.isNotNull() & (parsed_eff != 0), parsed_eff
-    ).otherwise(orig)
-
     # promotion dates (aldi.ts:259-294): YYYY-MM-DD passthrough, else
     # unix-ms; missing → current ISO week Mon..Sun when promoted
     pd = F.col("promotionDetails")["promotionDate"]
@@ -159,13 +154,43 @@ def transform(raw: DataFrame, run_date: str = DEFAULT_RUN_DATE) -> DataFrame:
     unit_price = F.when(bp_ok, F.col("basePriceValue"))
     unit_price_unit = F.when(bp_ok & (bp_unit_raw != ""), normalize_unit(bp_unit_raw))
 
-    disc_ok = (cur < orig) & (orig > 0)
+    # Stage heavy, multiply-referenced expressions as real columns so
+    # CollapseProject does NOT inline one copy of the (large) unit/
+    # promo-parser trees per consuming output column — keeps generated
+    # code small enough for a default-heap driver.
+    staged = raw.withColumns(
+        {
+            "_orig": orig,
+            "_mech": mech,
+            "_is_promo": is_promo,
+            "_promo_type": promo_type,
+            "_start": start_date,
+            "_end": end_date,
+            "_initial_cat": initial_cat,
+            "_q_amount": q_amount,
+            "_q_unit": q_unit,
+            "_unit_price": unit_price,
+            "_unit_price_unit": unit_price_unit,
+        }
+    )
+    o, m = F.col("_orig"), F.col("_mech")
+    parsed_eff = parse_promotion_mechanism(m, o, o)["effective_unit_price"]
+    staged = staged.withColumn(
+        "_cur",
+        F.when(
+            (m != "") & parsed_eff.isNotNull() & (parsed_eff != 0), parsed_eff
+        ).otherwise(o),
+    )
 
-    return raw.select(
+    cur = F.col("_cur")
+    q_amount, q_unit = F.col("_q_amount"), F.col("_q_unit")
+    disc_ok = (cur < o) & (o > 0)
+
+    return staged.select(
         F.col("articleNumber").alias("unified_id"),
         F.lit("ALDI").alias("shop_type"),
         F.col("title").alias("title"),
-        initial_cat.alias("main_category"),
+        F.col("_initial_cat").alias("main_category"),
         F.when(
             F.col("brandName").isNotNull() & (F.col("brandName") != ""),
             F.trim(F.col("brandName")),
@@ -181,26 +206,26 @@ def transform(raw: DataFrame, run_date: str = DEFAULT_RUN_DATE) -> DataFrame:
         q_unit.alias("quantity_unit"),
         F.lit(1.0).alias("default_quantity_amount"),
         q_unit.alias("default_quantity_unit"),
-        orig.alias("price_before_bonus"),
+        o.alias("price_before_bonus"),
         cur.alias("current_price"),
-        unit_price.alias("unit_price"),
-        unit_price_unit.alias("unit_price_unit"),
-        is_promo.alias("is_promotion"),
-        promo_type.alias("promotion_type"),
-        mech.alias("promotion_mechanism"),
-        start_date.alias("promotion_start_date"),
-        end_date.alias("promotion_end_date"),
-        F.when(cur < orig, cur).alias("parsed_promotion_effective_unit_price"),
+        F.col("_unit_price").alias("unit_price"),
+        F.col("_unit_price_unit").alias("unit_price_unit"),
+        F.col("_is_promo").alias("is_promotion"),
+        F.col("_promo_type").alias("promotion_type"),
+        m.alias("promotion_mechanism"),
+        F.col("_start").alias("promotion_start_date"),
+        F.col("_end").alias("promotion_end_date"),
+        F.when(cur < o, cur).alias("parsed_promotion_effective_unit_price"),
         F.lit(None).cast("double").alias("parsed_promotion_required_quantity"),
         F.lit(None).cast("double").alias("parsed_promotion_total_price"),
         F.lit(False).alias("parsed_promotion_is_multi_purchase_required"),
         q_amount.alias("normalized_quantity_amount"),
         q_unit.alias("normalized_quantity_unit"),
         F.lit(1.0).alias("conversion_factor"),
-        unit_price.alias("price_per_standard_unit"),
-        unit_price.alias("current_price_per_standard_unit"),
-        F.when(disc_ok, orig - cur).alias("discount_absolute"),
-        F.when(disc_ok, (orig - cur) / orig * 100.0).alias("discount_percentage"),
+        F.col("_unit_price").alias("price_per_standard_unit"),
+        F.col("_unit_price").alias("current_price_per_standard_unit"),
+        F.when(disc_ok, o - cur).alias("discount_absolute"),
+        F.when(disc_ok, (o - cur) / o * 100.0).alias("discount_percentage"),
         (
             ~F.col("isNotAvailable").eqNullSafe(F.lit(True))
             & ~F.col("isSoldOut").eqNullSafe(F.lit(True))

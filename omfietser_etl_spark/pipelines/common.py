@@ -24,10 +24,16 @@ from ..schemas import UNIFIED_COLUMN_NAMES
 
 
 def js_or(col: Column, default) -> Column:
-    """JS `x || default`: null/''/0/false/NaN take the default."""
+    """JS `x || default` for STRING columns: only null/'' are falsy
+    (the string '0' is truthy in JS)."""
     d = F.lit(default) if not isinstance(default, Column) else default
-    falsy = col.isNull() | (col.cast("string").isin("", "0", "0.0", "false", "NaN"))
-    return F.when(falsy, d).otherwise(col)
+    return F.when(col.isNull() | (col == ""), d).otherwise(col)
+
+
+def js_or_num(col: Column, default) -> Column:
+    """JS `x || default` for NUMBER columns: null/0/NaN are falsy."""
+    d = F.lit(default) if not isinstance(default, Column) else default
+    return F.when(col.isNull() | F.isnan(col) | (col == 0), d).otherwise(col)
 
 
 def qty_struct(text: Column) -> Column:
@@ -61,9 +67,9 @@ def apply_template_defaults(df: DataFrame) -> DataFrame:
     }.items()}
     # main_category: `|| null` — empty string becomes null
     s["main_category"] = F.nullif(F.col("main_category"), F.lit(""))
-    s["quantity_amount"] = js_or(F.col("quantity_amount").cast("double"), 0.0)
-    s["price_before_bonus"] = js_or(F.col("price_before_bonus").cast("double"), 0.0)
-    s["current_price"] = js_or(F.col("current_price").cast("double"), 0.0)
+    s["quantity_amount"] = js_or_num(F.col("quantity_amount").cast("double"), 0.0)
+    s["price_before_bonus"] = js_or_num(F.col("price_before_bonus").cast("double"), 0.0)
+    s["current_price"] = js_or_num(F.col("current_price").cast("double"), 0.0)
     s["is_promotion"] = F.coalesce(F.col("is_promotion").cast("boolean"), F.lit(False))
     s["is_active"] = F.coalesce(F.col("is_active").cast("boolean"), F.lit(True))
     return df.withColumns(s)
@@ -150,8 +156,19 @@ def business_rule_errors(df: DataFrame) -> Column:
 
 def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split unified rows into (valid, dead-letter) — the error rows
-    mirror processing_errors (K4)."""
+    mirror processing_errors (K4).
+
+    The persist is load-bearing twice over: the split is a fan-out
+    (both branches consume the same enriched batch once), and it stops
+    PushPredicateThroughProject from substituting the _err filter with
+    the entire upstream expression cascade (which makes codegen
+    explode on small-heap drivers). MEMORY_AND_DISK so oversized
+    batches spill instead of failing.
+    """
+    from pyspark import StorageLevel
+
     flagged = df.withColumn("_err", business_rule_errors(df))
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
     valid = flagged.filter(F.col("_err").isNull()).drop("_err")
     errors = flagged.filter(F.col("_err").isNotNull()).select(
         F.col("unified_id").alias("raw_product_id"),

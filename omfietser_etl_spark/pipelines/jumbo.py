@@ -57,6 +57,20 @@ def transform(raw: DataFrame) -> DataFrame:
 
     orig = F.coalesce(p["prices"]["price"], F.lit(0)) / 100.0
 
+    # Stage heavy, multiply-referenced expressions as real columns
+    # (CollapseProject would otherwise inline one copy of the promo-
+    # parser / unit-normalizer trees per consuming output column).
+    raw = raw.withColumns(
+        {
+            "_mech": mech,
+            "_orig": orig,
+            "_q": qty_struct(
+                F.coalesce(F.nullif(p["quantity"], F.lit("")), p["subtitle"])
+            ),
+        }
+    )
+    mech, orig = F.col("_mech"), F.col("_orig")
+
     # current price: parsed effective (truthy) else orig, then promoPrice
     # override (jumbo.ts:146-169)
     parsed_eff = parse_promotion_mechanism(mech, orig, orig)["effective_unit_price"]
@@ -67,6 +81,8 @@ def transform(raw: DataFrame) -> DataFrame:
     cur = F.when(
         promo_price.isNotNull() & (promo_price > 0), promo_price / 100.0
     ).otherwise(cur)
+    raw = raw.withColumn("_cur", cur)
+    cur = F.col("_cur")
 
     brand = F.coalesce(
         F.nullif(p["brand"], F.lit("")),
@@ -74,7 +90,7 @@ def transform(raw: DataFrame) -> DataFrame:
         F.lit(""),
     )
 
-    q = qty_struct(F.coalesce(F.nullif(p["quantity"], F.lit("")), p["subtitle"]))
+    q = F.col("_q")
 
     up = p["prices"]["pricePerUnit"]
     unit_price = F.when(up.isNotNull() & up["price"].isNotNull(), up["price"] / 100.0)

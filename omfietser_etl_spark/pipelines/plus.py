@@ -102,20 +102,44 @@ def transform(raw: DataFrame) -> DataFrame:
     mech = F.when(is_promo, F.coalesce(p["PromotionLabel"], F.lit(""))).otherwise(
         F.lit("")
     )
-    parsed_eff = parse_promotion_mechanism(mech, orig, initial_cur)[
+
+    # Stage heavy, multiply-referenced expressions as real columns so
+    # CollapseProject does NOT inline a copy of the unit/promo-parser
+    # trees per consuming output column (keeps codegen small on a
+    # default-heap driver).
+    staged = raw.withColumns(
+        {
+            "_orig": orig,
+            "_initial_cur": initial_cur,
+            "_is_promo": is_promo,
+            "_mech": mech,
+            "_q_amount": q_amount,
+            "_q_unit": q_unit,
+            "_sales_unit_size": sales_unit_size,
+            "_err": err,
+        }
+    )
+    o, m = F.col("_orig"), F.col("_mech")
+    is_promo = F.col("_is_promo")
+    q_amount, q_unit = F.col("_q_amount"), F.col("_q_unit")
+    parsed_eff = parse_promotion_mechanism(m, o, F.col("_initial_cur"))[
         "effective_unit_price"
     ]
-    cur = F.when(
-        is_promo & (mech != "") & parsed_eff.isNotNull() & (parsed_eff != 0),
-        parsed_eff,
-    ).otherwise(initial_cur)
+    staged = staged.withColumn(
+        "_cur",
+        F.when(
+            is_promo & (m != "") & parsed_eff.isNotNull() & (parsed_eff != 0),
+            parsed_eff,
+        ).otherwise(F.col("_initial_cur")),
+    )
+    cur = F.col("_cur")
 
     # computed unit price per kg/l ×1000 (plus.ts:343-380)
-    up_valid = (orig > 0) & (q_amount > 0) & ~((q_amount == 1) & (q_unit == "stuk"))
+    up_valid = (o > 0) & (q_amount > 0) & ~((q_amount == 1) & (q_unit == "stuk"))
     up_price = (
-        F.when(q_unit.isin("g", "gram", "grams"), orig / q_amount * 1000.0)
-        .when(q_unit.isin("ml", "milliliter", "milliliters"), orig / q_amount * 1000.0)
-        .otherwise(orig / q_amount)
+        F.when(q_unit.isin("g", "gram", "grams"), o / q_amount * 1000.0)
+        .when(q_unit.isin("ml", "milliliter", "milliliters"), o / q_amount * 1000.0)
+        .otherwise(o / q_amount)
     )
     up_unit = (
         F.when(q_unit.isin("g", "gram", "grams"), F.lit("kg"))
@@ -125,30 +149,30 @@ def transform(raw: DataFrame) -> DataFrame:
     unit_price = F.when(up_valid, F.round(up_price, 2))
     unit_price_unit = F.when(up_valid, up_unit)
 
-    disc_ok = (cur < orig) & (orig > 0)
+    disc_ok = (cur < o) & (o > 0)
 
-    return raw.select(
+    return staged.select(
         p["SKU"].alias("unified_id"),
         F.lit("PLUS").alias("shop_type"),
         title.alias("title"),
         initial_cat.alias("main_category"),
         brand.alias("brand"),
         F.coalesce(p["ImageURL"], F.lit("")).alias("image_url"),
-        sales_unit_size.alias("sales_unit_size"),
+        F.col("_sales_unit_size").alias("sales_unit_size"),
         q_amount.alias("quantity_amount"),
         q_unit.alias("quantity_unit"),
         F.lit(1.0).alias("default_quantity_amount"),
         q_unit.alias("default_quantity_unit"),
-        orig.alias("price_before_bonus"),
+        o.alias("price_before_bonus"),
         cur.alias("current_price"),
         unit_price.alias("unit_price"),
         unit_price_unit.alias("unit_price_unit"),
         is_promo.alias("is_promotion"),
         F.when(is_promo, F.lit("DISCOUNT")).otherwise(F.lit("")).alias("promotion_type"),
-        mech.alias("promotion_mechanism"),
+        m.alias("promotion_mechanism"),
         F.when(is_promo, p["PromotionStartDate"]).alias("promotion_start_date"),
         F.when(is_promo, p["PromotionEndDate"]).alias("promotion_end_date"),
-        F.when(cur < orig, cur).alias("parsed_promotion_effective_unit_price"),
+        F.when(cur < o, cur).alias("parsed_promotion_effective_unit_price"),
         F.lit(None).cast("double").alias("parsed_promotion_required_quantity"),
         F.lit(None).cast("double").alias("parsed_promotion_total_price"),
         F.lit(False).alias("parsed_promotion_is_multi_purchase_required"),
@@ -157,10 +181,10 @@ def transform(raw: DataFrame) -> DataFrame:
         F.lit(1.0).alias("conversion_factor"),
         unit_price.alias("price_per_standard_unit"),
         unit_price.alias("current_price_per_standard_unit"),
-        F.when(disc_ok, orig - cur).alias("discount_absolute"),
-        F.when(disc_ok, (orig - cur) / orig * 100.0).alias("discount_percentage"),
+        F.when(disc_ok, o - cur).alias("discount_absolute"),
+        F.when(disc_ok, (o - cur) / o * 100.0).alias("discount_percentage"),
         p["IsAvailable"].alias("is_active"),
-        err.alias("_transform_err"),
+        F.col("_err").alias("_transform_err"),
     )
 
 
