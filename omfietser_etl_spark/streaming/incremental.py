@@ -1,0 +1,178 @@
+"""Incremental / streaming semantics (SURVEY §2.13) on Structured
+Streaming.
+
+The reference is micro-batch incremental: scrapers land JSON under a
+job id, the processor consumes bounded slices, upserts latest state
+per (shop_type, external_id, schema_version), skips unchanged
+payloads via content hash, and emits progress events
+(ref: api/services/job-manager.ts:148-416 job loop;
+postgres-adapter.ts:172-251 staging upsert, :637-788 processed
+upsert; 01-init.sql:17,26 content_hash; job progress events
+job-manager.ts:278-348).
+
+Spark mapping:
+- landing zone → ``spark.readStream`` file source (Auto-Loader-style
+  incremental listing; ``maxFilesPerTrigger`` bounds a micro-batch
+  like the reference's LIMIT 10000 job slices),
+- upsert state → ``foreachBatch`` + MERGE. With Delta unavailable in
+  this container, the merge is a parquet-backed read-union-dedupe-
+  rewrite partitioned by ``shop_type``; on a real cluster swap
+  ``_merge_parquet`` for ``DeltaTable.merge`` and the call sites
+  don't change. Partition pruning on shop_type + key bucketing keeps
+  the rewrite bounded at scale (SURVEY §7.7 risk 5).
+- change detection → xxhash64 content hash compared against current
+  state (ST4) — unchanged rows never rewrite state,
+- watermark + tumbling windows over late events (ST6) for the
+  price-history rollup capability.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import content_hash
+
+
+def read_landing_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/ST1: incremental scan of a landing directory."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def with_content_hash(df: DataFrame, *cols: str) -> DataFrame:
+    """ST4/D7: deterministic change-detection hash over payload cols."""
+    return df.withColumn("content_hash", content_hash(*[F.col(c) for c in cols]))
+
+
+def _merge_parquet(
+    batch: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """MERGE INTO state USING batch ON keys — parquet-backed.
+
+    Latest row per key wins (ties → batch row). Only partitions
+    (shop_type values) present in the batch are rewritten — the
+    pruning a Delta MERGE would get from partition filters.
+    """
+    spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    exists = os.path.isdir(state_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(state_dir)
+    )
+    batch = batch.withColumn("_src", F.lit(1))
+    if exists:
+        state = spark.read.parquet(state_dir).withColumn("_src", F.lit(0))
+        if "shop_type" in keys:
+            shops = [r[0] for r in batch.select("shop_type").distinct().collect()]
+            state = state.filter(F.col("shop_type").isin(shops))
+        merged = state.unionByName(batch, allowMissingColumns=True)
+    else:
+        merged = batch
+    w = (
+        "row_number() OVER (PARTITION BY "
+        + ", ".join(keys)
+        + f" ORDER BY {order_col} DESC, _src DESC)"
+    )
+    latest = (
+        merged.withColumn("_rn", F.expr(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    writer = latest.write.mode("overwrite")
+    if "shop_type" in keys:
+        writer = writer.partitionBy("shop_type")
+    writer.parquet(state_dir)
+
+
+def skip_unchanged(batch: DataFrame, state_dir: str, keys: list[str]) -> DataFrame:
+    """ST4: drop batch rows whose content_hash equals current state.
+
+    Left-anti join on (keys, content_hash) — an unchanged payload
+    never touches the sink, mirroring the reference's hash check
+    before upsert.
+    """
+    spark = batch.sparkSession
+    if not (os.path.isdir(state_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(state_dir)
+    )):
+        return batch
+    state = spark.read.parquet(state_dir).select(*keys, "content_hash")
+    return batch.join(state, on=[*keys, "content_hash"], how="left_anti")
+
+
+def upsert_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str = "scraped_at",
+    hash_cols: list[str] | None = None,
+):
+    """K2/K3/ST3: foreachBatch latest-wins MERGE of a landing stream
+    into the state store, with optional ST4 change skipping.
+
+    Returns the started StreamingQuery (availableNow trigger: drain
+    everything currently in the landing zone, then stop — the batch-
+    incremental shape the reference's job loop has)."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if hash_cols:
+            batch = with_content_hash(batch, *hash_cols)
+            batch = skip_unchanged(batch, state_dir, keys)
+        if batch.isEmpty():
+            return
+        _merge_parquet(batch, state_dir, keys, order_col)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """ST6: watermarked tumbling-window counts per event type.
+
+    Works on a stream (late rows beyond the watermark are dropped and
+    state is evicted) and on a batch frame (same expression). The
+    events table stores epoch-nanos; convert to timestamp first.
+    """
+    with_ts = events.withColumn(
+        "_event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark)
+    return (
+        with_ts.groupBy(
+            F.window("_event_time", window_len).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,145 @@
+"""Structured Streaming incremental semantics: landing-zone drain,
+latest-wins upsert, change-detection skip, watermark windows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omfietser_etl_spark.streaming.incremental import (
+    read_landing_stream,
+    upsert_stream,
+    windowed_event_counts,
+    with_content_hash,
+)
+
+LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("shop_type", T.StringType()),
+        T.StructField("external_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("current_price", T.DoubleType()),
+        T.StructField("scraped_at", T.LongType()),
+    ]
+)
+
+
+def _land(path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_drain(spark, landing, state, ckpt):
+    stream = read_landing_stream(spark, landing, LANDING_SCHEMA)
+    q = upsert_stream(
+        stream,
+        state,
+        ckpt,
+        keys=["shop_type", "external_id"],
+        order_col="scraped_at",
+        hash_cols=["title", "current_price"],
+    )
+    q.awaitTermination(120)
+
+
+def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(landing, "batch1.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 2.0, "scraped_at": 100},
+        {"shop_type": "AH", "external_id": "2", "title": "Sap",
+         "current_price": 3.0, "scraped_at": 100},
+        {"shop_type": "JUMBO", "external_id": "1", "title": "Thee",
+         "current_price": 4.0, "scraped_at": 100},
+    ])
+    _run_drain(spark, landing, state, ckpt)
+
+    got = {
+        (r.shop_type, r.external_id): (r.title, r.current_price, r.scraped_at)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {
+        ("AH", "1"): ("Cola", 2.0, 100),
+        ("AH", "2"): ("Sap", 3.0, 100),
+        ("JUMBO", "1"): ("Thee", 4.0, 100),
+    }
+
+    # batch 2: price change for AH/1, unchanged AH/2 (skipped → keeps
+    # scraped_at 100), new PLUS/9
+    _land(landing, "batch2.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 1.5, "scraped_at": 200},
+        {"shop_type": "AH", "external_id": "2", "title": "Sap",
+         "current_price": 3.0, "scraped_at": 200},
+        {"shop_type": "PLUS", "external_id": "9", "title": "Koek",
+         "current_price": 1.0, "scraped_at": 200},
+    ])
+    _run_drain(spark, landing, state, ckpt)
+
+    got = {
+        (r.shop_type, r.external_id): (r.title, r.current_price, r.scraped_at)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {
+        ("AH", "1"): ("Cola", 1.5, 200),
+        ("AH", "2"): ("Sap", 3.0, 100),  # unchanged → not rewritten
+        ("JUMBO", "1"): ("Thee", 4.0, 100),
+        ("PLUS", "9"): ("Koek", 1.0, 200),
+    }
+
+
+def test_content_hash_stable_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0)], ["t", "p"]
+    )
+    h = with_content_hash(df, "t", "p").select("content_hash").collect()
+    assert h[0].content_hash == h[1].content_hash
+    assert h[0].content_hash != h[2].content_hash
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
+    from omfietser_etl_spark.session import load
+
+    events = load(spark, sf_dir, "events")
+    batch_out = windowed_event_counts(events).orderBy("window_start", "event_type")
+    expected = [tuple(r) for r in batch_out.collect()]
+    assert len(expected) > 0
+
+    # same computation over a stream of the same rows (one file drop)
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .orderBy("window_start", "event_type")
+        .collect()
+    ]
+    # append mode only emits windows closed by the watermark; all rows
+    # arrive in one batch so the final (max-ts) window stays open
+    assert len(got) > 0
+    assert set(got) <= set(expected)
+    missing = set(expected) - set(got)
+    if missing:
+        max_start = max(w for w, *_ in expected)
+        assert all(w == max_start for w, *_ in missing)
