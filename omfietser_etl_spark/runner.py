@@ -1,0 +1,92 @@
+"""File-mode run orchestration (SURVEY §3.1): the reference's CLI
+lifecycle re-expressed as one Spark job per shop.
+
+Ref: src/index.ts:150-412 — config/shops arg parsing, per-shop
+processor execution, per-shop + rollup summary counters (A1).
+
+Each shop is a single declarative DAG (scan → skip filter → transform
+→ category cascade → enrich → dedupe/split → sinks) that Catalyst
+plans end-to-end; the per-shop loop is driver-side bookkeeping only.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipelines import ah, aldi, jumbo, plus
+from .sinks.files import write_errors, write_reports, write_unified_parquet
+from .sources.files import input_filename, read_shop_json
+
+PIPELINES = {
+    "ah": ah.pipeline,
+    "jumbo": jumbo.pipeline,
+    "aldi": aldi.pipeline,
+    "plus": plus.pipeline,
+}
+
+
+@dataclass
+class ShopRunResult:
+    shop: str
+    n_unified: int
+    n_errors: int
+    n_corrupt: int
+    report: dict = field(default_factory=dict)
+
+
+def run_file_mode(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    shops: list[str] | None = None,
+    predictions: DataFrame | None = None,
+    write_reports_flag: bool = True,
+) -> dict:
+    """Process every shop input file present in ``input_dir``.
+
+    Returns the A1-style summary: per-shop counters + overall rollup
+    (ref: index.ts:363-412)."""
+    shops = shops or list(PIPELINES)
+    results: list[ShopRunResult] = []
+    for shop in shops:
+        path = os.path.join(input_dir, input_filename(shop))
+        if not os.path.exists(path):
+            continue
+        good, corrupt = read_shop_json(spark, path, shop)
+        unified, errors = PIPELINES[shop](good, predictions=predictions)
+        out = os.path.join(output_dir, "unified")
+        unified.write.mode("overwrite").parquet(
+            os.path.join(output_dir, "unified", shop)
+        )
+        write_errors(errors, os.path.join(output_dir, "errors"))
+        unified_back = spark.read.parquet(os.path.join(output_dir, "unified", shop))
+        report = (
+            write_reports(unified_back, os.path.join(output_dir, "reports"), shop)
+            if write_reports_flag
+            else {}
+        )
+        results.append(
+            ShopRunResult(
+                shop=shop,
+                n_unified=unified_back.count(),
+                n_errors=errors.count(),
+                n_corrupt=corrupt.count(),
+                report=report,
+            )
+        )
+    return {
+        "shops": {
+            r.shop: {
+                "unified": r.n_unified,
+                "errors": r.n_errors,
+                "corrupt": r.n_corrupt,
+            }
+            for r in results
+        },
+        "total_unified": sum(r.n_unified for r in results),
+        "total_errors": sum(r.n_errors for r in results),
+    }

@@ -1,0 +1,63 @@
+"""File sinks (SURVEY K1, K4, K6): unified output, dead-letter
+errors, and small-result reports.
+
+Ref: infrastructure/storage/writer.ts:147-179 + core/services/
+output.ts:47-76 (unified_<shop>_products.json with timestamped
+backups), postgres-adapter.ts:856-919 (error sink),
+processors/base.ts:626-716 (reports).
+
+Parquet partitioned by shop_type is the engine-native sink (predicate
+pruning on the 5-value shop column); the pretty-JSON single file
+exists for parity with the reference's output contract only — it
+coalesces to one task and must never be used at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.quality import completeness_report, quality_report
+
+
+def write_unified_parquet(df: DataFrame, path: str) -> None:
+    """Engine-native unified sink: parquet partitioned by shop_type."""
+    df.write.mode("overwrite").partitionBy("shop_type").parquet(path)
+
+
+def write_unified_json(df: DataFrame, out_dir: str, shop: str, run_ts: str) -> str:
+    """Reference-parity JSON file `unified_<shop>_products.json`,
+    previous file renamed to a run-stamped backup (writer.ts:147-179).
+    run_ts is an explicit parameter — no wall clock (determinism)."""
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"unified_{shop}_products.json")
+    if os.path.exists(final):
+        os.replace(final, os.path.join(out_dir, f"unified_{shop}_products.{run_ts}.bak.json"))
+    rows = [json.loads(r) for r in df.toJSON().collect()]
+    with open(final, "w") as f:
+        json.dump(rows, f, indent=2, sort_keys=True)
+    return final
+
+
+def write_errors(errors: DataFrame, path: str) -> None:
+    """K4 dead-letter append sink."""
+    errors.write.mode("append").parquet(path)
+
+
+def write_reports(unified: DataFrame, out_dir: str, shop: str) -> dict:
+    """K6: quality + completeness reports (small collects by
+    construction — aggregates, not fact data)."""
+    os.makedirs(out_dir, exist_ok=True)
+    q = quality_report(unified).collect()
+    c = completeness_report(unified).first()
+    report = {
+        "shop": shop,
+        "quality": [r.asDict() for r in q],
+        "completeness_pct": c.asDict() if c else {},
+    }
+    with open(os.path.join(out_dir, f"{shop}_quality_report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    return report

@@ -1,0 +1,64 @@
+"""File sources (SURVEY S1, S7): per-shop raw JSON with schema
+enforcement and a corrupt-record dead-letter channel.
+
+Ref: processors/base.ts:99-100,722-737 (whole-file JSON array parse),
+infrastructure/storage/reader.ts:104-144 (read w/ retry),
+src/config/default.json (per-shop input file names).
+
+Spark mapping: `spark.read.schema(...).json` with PERMISSIVE mode +
+``_corrupt_record`` (SURVEY §1.2) — schema-on-read like the
+reference's implicit TS interfaces, but with malformed rows captured
+instead of crashing the run. Scale: JSON scan parallelizes per file
+split; for 100 TB landing zones prefer NDJSON (splittable) over
+multiLine arrays (one task per file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import AH_SCHEMA, ALDI_SCHEMA, JUMBO_SCHEMA, PLUS_SCHEMA
+
+SHOP_SCHEMAS = {
+    "ah": AH_SCHEMA,
+    "jumbo": JUMBO_SCHEMA,
+    "aldi": ALDI_SCHEMA,
+    "plus": PLUS_SCHEMA,
+}
+
+# reference file naming: <shop>_products.json (config/default.json)
+def input_filename(shop: str) -> str:
+    return f"{shop}_products.json"
+
+
+def read_shop_json(
+    spark: SparkSession, path: str, shop: str, multi_line: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Read one shop's raw JSON (array file or NDJSON) → (good rows,
+    corrupt rows). Corrupt rows carry the raw text for the error sink
+    (K4 dead letter)."""
+    # StructType.add mutates in place — build a fresh copy instead
+    schema = T.StructType(
+        list(SHOP_SCHEMAS[shop].fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", multi_line)
+        .json(path)
+    )
+    # Spark refuses queries that reference ONLY _corrupt_record on a
+    # raw JSON scan; cache materializes the parse once for both the
+    # good and dead-letter branches (a fan-out anyway).
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.lit(shop).alias("shop_type"),
+        F.col("_corrupt_record").alias("raw_text"),
+        F.lit("corrupt_record").alias("error_type"),
+    )
+    return good, corrupt

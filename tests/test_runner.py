@@ -1,0 +1,81 @@
+"""File-mode orchestration: raw shop JSON in → unified parquet +
+error dead-letter + reports out, with corrupt-record capture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.runner import run_file_mode
+from omfietser_etl_spark.sources.files import read_shop_json
+
+JUMBO_ROWS = [
+    {"product": {"id": "J1", "title": "Merk Cola", "category": "Aardappel, groente, fruit",
+                 "quantity": "500 g", "inAssortment": True,
+                 "availability": {"isAvailable": True},
+                 "prices": {"price": 2000}}},
+    {"product": {"id": "J2", "title": "Merk Sap", "category": "",
+                 "quantity": "1 l", "inAssortment": True,
+                 "availability": {"isAvailable": True},
+                 "prices": {"price": 400},
+                 "promotions": [{"tags": [{"text": "2 voor €7.00"}]}]}},
+    {"product": {"id": "J3", "title": "Weg", "category": "x",
+                 "inAssortment": False,
+                 "availability": {"isAvailable": True},
+                 "prices": {"price": 500}}},
+]
+
+AH_ROWS = [
+    {"webshopId": 11, "title": "AH Cola", "brand": "Merk",
+     "mainCategory": "Aardappel, groente, fruit", "salesUnitSize": "500 g",
+     "priceBeforeBonus": 8.0, "orderAvailabilityStatus": "IN_ASSORTMENT"},
+    # no price at all → dropped by the F1 skip filter
+    {"webshopId": 12, "title": "AH Gratis",
+     "mainCategory": "Aardappel, groente, fruit",
+     "orderAvailabilityStatus": "IN_ASSORTMENT"},
+]
+
+
+def _write_inputs(d: str) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "jumbo_products.json"), "w") as f:
+        json.dump(JUMBO_ROWS, f)
+    with open(os.path.join(d, "ah_products.json"), "w") as f:
+        json.dump(AH_ROWS, f)
+
+
+def test_run_file_mode_end_to_end(spark, tmp_path):
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_inputs(inp)
+    summary = run_file_mode(spark, inp, out)
+    assert summary["shops"]["jumbo"] == {"unified": 2, "errors": 0, "corrupt": 0}
+    assert summary["shops"]["ah"] == {"unified": 1, "errors": 0, "corrupt": 0}
+    assert summary["total_unified"] == 3
+
+    uj = spark.read.parquet(os.path.join(out, "unified", "jumbo"))
+    assert len(uj.columns) == 32
+    got = {r.unified_id: r.current_price for r in uj.collect()}
+    assert got == {"J1": 20.0, "J2": 3.5}
+
+    rep = json.load(open(os.path.join(out, "reports", "jumbo_quality_report.json")))
+    assert rep["quality"][0]["n_products"] == 2
+
+
+def test_corrupt_record_dead_letter(spark, tmp_path):
+    p = str(tmp_path / "bad")
+    os.makedirs(p)
+    # NDJSON with one malformed line
+    with open(os.path.join(p, "jumbo_products.json"), "w") as f:
+        f.write(json.dumps(JUMBO_ROWS[0]) + "\n")
+        f.write('{"product": {"id": "broken", "prices": {"price": "not_a_number"\n')
+    good, corrupt = read_shop_json(
+        spark, os.path.join(p, "jumbo_products.json"), "jumbo", multi_line=False
+    )
+    assert good.count() == 1
+    bad = corrupt.collect()
+    assert len(bad) == 1
+    assert bad[0].error_type == "corrupt_record"
+    assert "broken" in bad[0].raw_text
