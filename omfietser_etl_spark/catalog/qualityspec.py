@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omfietser_etl_spark.operators.quality import quality_report
-from omfietser_etl_spark.operators.validation import rules, validation_summary
+from omfietser_etl_spark.operators.validation import RULE_META, validation_summary
 
 from . import QuerySpec
 from .pipelines import _jumbo_raw, p2_jumbo_pipeline
@@ -63,7 +63,7 @@ def x3_validation_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x3_oracle() -> str:
-    sev = {name: s for name, s, _ in rules()}
+    sev = dict(RULE_META)
     counts = {
         "required_title": "(SELECT count(*) FROM part WHERE p_partkey % 4 = 0)",
         "valid_price": "(SELECT count(*) FROM part WHERE p_partkey % 4 = 1)",

@@ -22,6 +22,23 @@ def _nonempty(c: Column) -> Column:
     return c.isNotNull() & (c.cast("string") != "")
 
 
+# (rule_name, severity), ordered as the reference registers them.
+# Plain data — importable with no SparkContext (oracle SQL generation
+# happens before the session exists).
+RULE_META: list[tuple[str, str]] = [
+    ("required_id", "error"),
+    ("required_title", "error"),
+    ("required_shop_type", "error"),
+    ("valid_price", "error"),
+    ("price_consistency", "warning"),
+    ("promotion_consistency", "warning"),
+    ("promotion_dates", "info"),
+    ("valid_quantity", "warning"),
+    ("valid_category", "info"),
+    ("unit_price_consistency", "warning"),
+]
+
+
 def rules() -> list[tuple[str, str, Column]]:
     """(rule_name, severity, PASS-condition) — ordered as the
     reference registers them."""
@@ -100,9 +117,7 @@ def validation_summary(df: DataFrame) -> DataFrame:
     """A9: violation counts per rule (zeros included), plus severity."""
     iss = issues(df)
     counts = iss.groupBy("rule").agg(F.count("*").alias("n_violations"))
-    all_rules = df.sparkSession.createDataFrame(
-        [(name, sev) for name, sev, _ in rules()], ["rule", "severity"]
-    )
+    all_rules = df.sparkSession.createDataFrame(RULE_META, ["rule", "severity"])
     return (
         all_rules.join(counts, "rule", "left")
         .withColumn("n_violations", F.coalesce(F.col("n_violations"), F.lit(0)))
