@@ -51,7 +51,7 @@ MECHS = [
 
 
 def d1_promo_parse(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
+    li = load(spark, sf, "lineitem", fanout=True)
     mech_arr = F.array(*[F.lit(m) for m in MECHS])
     base = li.select(
         "l_orderkey",
@@ -61,14 +61,17 @@ def d1_promo_parse(spark: SparkSession, sf: str) -> DataFrame:
         (((F.col("l_partkey") % 90) + 10).cast("double") - 0.5).alias("cur"),
     ).withColumn("mech", F.element_at(mech_arr, F.col("v").cast("int") + 1))
     parsed = parse_promotion_mechanism(F.col("mech"), F.col("orig"), F.col("cur"))
-    return base.select(
+    # Stage the parser struct as a real column: referenced 5× below, it
+    # must be evaluated once per row, not inlined 5× (CollapseProject
+    # keeps non-cheap multi-use projections separate).
+    return base.withColumn("p", parsed).select(
         "l_orderkey",
         "l_linenumber",
-        parsed["promo_type"].alias("promo_type"),
-        parsed["effective_unit_price"].alias("eff_price"),
-        parsed["required_quantity"].alias("req_qty"),
-        parsed["total_price"].alias("total_price"),
-        parsed["is_multi_purchase_required"].alias("multi"),
+        F.col("p.promo_type").alias("promo_type"),
+        F.col("p.effective_unit_price").alias("eff_price"),
+        F.col("p.required_quantity").alias("req_qty"),
+        F.col("p.total_price").alias("total_price"),
+        F.col("p.is_multi_purchase_required").alias("multi"),
     )
 
 
@@ -139,7 +142,7 @@ _D2_GOLD = [
 
 
 def d2_quantity_standardize(spark: SparkSession, sf: str) -> DataFrame:
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     arr = F.array(*[F.lit(s) for s in UNIT_INPUTS])
     base = part.select(
         "p_partkey",
@@ -173,7 +176,7 @@ FROM part
 # ---------------------------------------------------------------- #
 
 def d4_price_per_unit(spark: SparkSession, sf: str) -> DataFrame:
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     base = part.select(
         "p_partkey",
         ((F.col("p_partkey") % 90) + 10).cast("double").alias("price"),
@@ -211,7 +214,7 @@ FROM part
 # ---------------------------------------------------------------- #
 
 def d5_discount_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
+    li = load(spark, sf, "lineitem", fanout=True)
     base = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -244,7 +247,7 @@ FROM base
 # ---------------------------------------------------------------- #
 
 def t_scalar_text(spark: SparkSession, sf: str) -> DataFrame:
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     price_str = F.concat(
         F.lit("€"), ((F.col("p_partkey") % 90) + 10).cast("string"), F.lit(",99")
     )

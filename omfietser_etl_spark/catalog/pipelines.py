@@ -48,7 +48,7 @@ def _jumbo_raw(spark: SparkSession, sf: str) -> DataFrame:
     """Synthesize jumbo raw rows: v0 plain, v1 tag-promo (2 voor €7),
     v2 promoPrice override (25% korting), v3 out-of-assortment
     (dropped by F2)."""
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     k = F.col("p_partkey").cast("string")
     m = (F.col("p_partkey") % 7).cast("string")
     v = F.col("p_partkey") % 4
@@ -84,12 +84,9 @@ def _jumbo_raw(spark: SparkSession, sf: str) -> DataFrame:
 
 def p2_jumbo_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     raw = _jumbo_raw(spark, sf)
-    unified, _errors = jumbo.pipeline(raw)
-    return raw.select("p_partkey").join(
-        unified.withColumn(
-            "p_partkey", F.regexp_replace("unified_id", "^J", "").cast("long")
-        ),
-        "p_partkey",
+    unified, _ = jumbo.pipeline(raw, with_errors=False)
+    return unified.withColumn(
+        "p_partkey", F.regexp_replace("unified_id", "^J", "").cast("long")
     ).select("p_partkey", *OUT_COLS)
 
 
@@ -139,7 +136,7 @@ def _ah_raw(spark: SparkSession, sf: str) -> DataFrame:
     """v0 plain (widest image), v1 DISCOUNT_PERCENTAGE label, v2
     DISCOUNT_X_FOR_Y without mechanism text, v3 DISCOUNT_ONE_HALF_PRICE
     (no structured pricing fields), v4 out of assortment (dropped)."""
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     k = F.col("p_partkey").cast("string")
     m = (F.col("p_partkey") % 7).cast("string")
     v = F.col("p_partkey") % 5
@@ -182,7 +179,7 @@ def _ah_raw(spark: SparkSession, sf: str) -> DataFrame:
 
 def p1_ah_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     raw = _ah_raw(spark, sf)
-    unified, _errors = ah.pipeline(raw.drop("p_partkey"))
+    unified, _ = ah.pipeline(raw.drop("p_partkey"), with_errors=False)
     return unified.withColumn("p_partkey", F.col("unified_id").cast("long")).select(
         "p_partkey", *OUT_COLS
     )
@@ -232,7 +229,7 @@ FROM part WHERE p_partkey % 5 <> 4
 def _aldi_raw(spark: SparkSession, sf: str) -> DataFrame:
     """v0 plain, v1 oldPrice reduction (synthesized '-50%'),
     v2 priceReduction text, v3 sold out (dropped)."""
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     k = F.col("p_partkey").cast("string")
     m = (F.col("p_partkey") % 7).cast("string")
     v = F.col("p_partkey") % 4
@@ -263,7 +260,7 @@ ALDI_OUT = OUT_COLS + ["promotion_start_date", "promotion_end_date"]
 
 def p3_aldi_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     raw = _aldi_raw(spark, sf)
-    unified, _errors = aldi.pipeline(raw.drop("p_partkey"))
+    unified, _ = aldi.pipeline(raw.drop("p_partkey"), with_errors=False)
     return unified.withColumn(
         "p_partkey", F.regexp_replace("unified_id", "^A", "").cast("long")
     ).select("p_partkey", *ALDI_OUT)
@@ -312,7 +309,7 @@ def _plus_raw(spark: SparkSession, sf: str) -> DataFrame:
     """v0 plain (subtitle quantity, computed unit price), v1 promo
     with real dates, v2 sentinel dates → NOT promo + NewPrice + slug
     quantity, v3 unavailable (dropped)."""
-    part = load(spark, sf, "part")
+    part = load(spark, sf, "part", fanout=True)
     k = F.col("p_partkey").cast("string")
     m = (F.col("p_partkey") % 7).cast("string")
     v = F.col("p_partkey") % 4
@@ -349,7 +346,7 @@ PLUS_OUT = OUT_COLS + ["promotion_start_date", "promotion_end_date"]
 
 def p4_plus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     raw = _plus_raw(spark, sf)
-    unified, _errors = plus.pipeline(raw.drop("p_partkey"))
+    unified, _ = plus.pipeline(raw.drop("p_partkey"), with_errors=False)
     return unified.withColumn(
         "p_partkey", F.regexp_replace("unified_id", "^P", "").cast("long")
     ).select("p_partkey", *PLUS_OUT)

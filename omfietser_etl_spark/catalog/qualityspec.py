@@ -19,7 +19,7 @@ from omfietser_etl_spark.pipelines import jumbo
 
 
 def _jumbo_unified(spark: SparkSession, sf: str) -> DataFrame:
-    unified, _ = jumbo.pipeline(_jumbo_raw(spark, sf))
+    unified, _ = jumbo.pipeline(_jumbo_raw(spark, sf), with_errors=False)
     return unified
 
 

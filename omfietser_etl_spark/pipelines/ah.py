@@ -20,6 +20,7 @@ from .common import (
     qty_struct,
     select_unified,
     split_errors,
+    stage_break,
 )
 
 
@@ -242,25 +243,34 @@ def transform(raw: DataFrame) -> DataFrame:
 
 
 def pipeline(
-    raw: DataFrame, predictions: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
+    raw: DataFrame, predictions: DataFrame | None = None, with_errors: bool = True
+) -> tuple[DataFrame, DataFrame | None]:
     """Full AH dataflow: skip → transform (+error channel) → category
     cascade → template defaults → calculateFields → business-rule
-    split. Returns (unified, errors)."""
+    split. Returns (unified, errors).
+
+    ``with_errors=False`` skips the dead-letter branch (and its
+    persist-backed fan-out) for callers that only consume unified rows.
+    """
     kept = skip_filter(raw)
     t = transform(kept)
-    transform_errors = t.filter(F.col("_transform_err").isNotNull()).select(
-        F.col("unified_id").alias("raw_product_id"),
-        "shop_type",
-        F.col("_transform_err").alias("error_type"),
-        F.lit("high").alias("severity"),
-        F.concat(F.lit("transform error: "), F.col("_transform_err")).alias(
-            "error_message"
-        ),
-    )
+    transform_errors = None
+    if with_errors:
+        transform_errors = t.filter(F.col("_transform_err").isNotNull()).select(
+            F.col("unified_id").alias("raw_product_id"),
+            "shop_type",
+            F.col("_transform_err").alias("error_type"),
+            F.lit("high").alias("severity"),
+            F.concat(F.lit("transform error: "), F.col("_transform_err")).alias(
+                "error_message"
+            ),
+        )
     ok = t.filter(F.col("_transform_err").isNull()).drop("_transform_err")
     ok = normalize_categories(ok, predictions=predictions)
     ok = apply_template_defaults(ok)
+    ok = stage_break(ok)
     ok = apply_calculate_fields(ok)
     valid, rule_errors = split_errors(ok)
+    if not with_errors:
+        return select_unified(valid), None
     return select_unified(valid), transform_errors.unionByName(rule_errors)

@@ -22,6 +22,7 @@ from .common import (
     apply_template_defaults,
     select_unified,
     split_errors,
+    stage_break,
 )
 
 DEFAULT_RUN_DATE = "2025-09-12"  # reference snapshot date; override per run
@@ -237,11 +238,13 @@ def pipeline(
     raw: DataFrame,
     predictions: DataFrame | None = None,
     run_date: str = DEFAULT_RUN_DATE,
-) -> tuple[DataFrame, DataFrame]:
+    with_errors: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     kept = skip_filter(raw)
     t = transform(kept, run_date=run_date)
     t = normalize_categories(t, predictions=predictions)
     t = apply_template_defaults(t)
+    t = stage_break(t)
     t = apply_calculate_fields(t)
     valid, errors = split_errors(t)
-    return select_unified(valid), errors
+    return select_unified(valid), (errors if with_errors else None)

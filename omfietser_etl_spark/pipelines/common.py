@@ -143,6 +143,20 @@ def apply_calculate_fields(df: DataFrame) -> DataFrame:
     return step2.drop("_pp", "_q")
 
 
+def stage_break(df: DataFrame) -> DataFrame:
+    """Round-robin exchange between the transform cascade and the
+    calculate-fields cascade.
+
+    Two jobs: (1) it cuts one un-compilable mega whole-stage-codegen
+    unit (raw parse + transform + category cascade + defaults + parser
+    + calc fields fused) into two units that each compile inside a
+    default 1 GiB driver heap; (2) it rebalances CPU-bound rows across
+    all cores regardless of input split count. The exchanged rows are
+    the narrow unified set — orders of magnitude cheaper than the
+    expression work on either side."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def business_rule_errors(df: DataFrame) -> Column:
     """F6 price-validity rules → error label or null (ref:
     processors/base.ts:478-503)."""
@@ -154,21 +168,27 @@ def business_rule_errors(df: DataFrame) -> Column:
     )
 
 
-def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_errors(df: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame]:
     """Split unified rows into (valid, dead-letter) — the error rows
     mirror processing_errors (K4).
 
-    The persist is load-bearing twice over: the split is a fan-out
-    (both branches consume the same enriched batch once), and it stops
-    PushPredicateThroughProject from substituting the _err filter with
-    the entire upstream expression cascade (which makes codegen
-    explode on small-heap drivers). MEMORY_AND_DISK so oversized
-    batches spill instead of failing.
+    With ``persist`` (the default, for callers that consume BOTH
+    branches) the enriched batch is materialized once: the split is a
+    fan-out, and the persist stops PushPredicateThroughProject from
+    substituting the _err filter with the entire upstream expression
+    cascade (which makes codegen explode on small-heap drivers).
+    MEMORY_AND_DISK so oversized batches spill instead of failing.
+
+    Callers that only consume the valid branch (analytics queries that
+    discard the dead-letter) pass ``persist=False``: a single plan
+    instance with a cheap pushed predicate (the business rules touch
+    only the price/promo-flag columns), no materialization cost.
     """
     from pyspark import StorageLevel
 
     flagged = df.withColumn("_err", business_rule_errors(df))
-    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
     valid = flagged.filter(F.col("_err").isNull()).drop("_err")
     errors = flagged.filter(F.col("_err").isNotNull()).select(
         F.col("unified_id").alias("raw_product_id"),

@@ -20,6 +20,7 @@ from .common import (
     qty_struct,
     select_unified,
     split_errors,
+    stage_break,
 )
 
 
@@ -157,12 +158,13 @@ def transform(raw: DataFrame) -> DataFrame:
 
 
 def pipeline(
-    raw: DataFrame, predictions: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
+    raw: DataFrame, predictions: DataFrame | None = None, with_errors: bool = True
+) -> tuple[DataFrame, DataFrame | None]:
     kept = skip_filter(raw)
     t = transform(kept)
     t = normalize_categories(t, predictions=predictions)
     t = apply_template_defaults(t)
+    t = stage_break(t)
     t = apply_calculate_fields(t)
     valid, errors = split_errors(t)
-    return select_unified(valid), errors
+    return select_unified(valid), (errors if with_errors else None)

@@ -20,6 +20,7 @@ from .common import (
     apply_template_defaults,
     select_unified,
     split_errors,
+    stage_break,
 )
 
 _SENTINEL = "1900-01-01"
@@ -189,19 +190,21 @@ def transform(raw: DataFrame) -> DataFrame:
 
 
 def pipeline(
-    raw: DataFrame, predictions: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
+    raw: DataFrame, predictions: DataFrame | None = None, with_errors: bool = True
+) -> tuple[DataFrame, DataFrame | None]:
     kept = skip_filter(raw)
     t = transform(kept)
-    transform_errors = t.filter(F.col("_transform_err").isNotNull()).select(
-        F.col("unified_id").alias("raw_product_id"),
-        "shop_type",
-        F.col("_transform_err").alias("error_type"),
-        F.lit("high").alias("severity"),
-        F.concat(F.lit("transform error: "), F.col("_transform_err")).alias(
-            "error_message"
-        ),
-    )
+    transform_errors = None
+    if with_errors:
+        transform_errors = t.filter(F.col("_transform_err").isNotNull()).select(
+            F.col("unified_id").alias("raw_product_id"),
+            "shop_type",
+            F.col("_transform_err").alias("error_type"),
+            F.lit("high").alias("severity"),
+            F.concat(F.lit("transform error: "), F.col("_transform_err")).alias(
+                "error_message"
+            ),
+        )
     ok = t.filter(F.col("_transform_err").isNull()).drop("_transform_err")
     # Plus only normalizes when an initial category exists
     # (plus.ts:95-104); null categories stay null
@@ -210,6 +213,9 @@ def pipeline(
     has_cat = normalize_categories(has_cat, predictions=predictions)
     ok = has_cat.unionByName(no_cat)
     ok = apply_template_defaults(ok)
+    ok = stage_break(ok)
     ok = apply_calculate_fields(ok)
     valid, errors = split_errors(ok)
+    if not with_errors:
+        return select_unified(valid), None
     return select_unified(valid), transform_errors.unionByName(errors)

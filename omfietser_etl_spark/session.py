@@ -62,12 +62,23 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, table: str):
+def load(spark: SparkSession, sf_dir: str, table: str, fanout: bool = False):
     """Read one driver-provided parquet table as a DataFrame.
 
     The events table stores TIMESTAMP(NANOS) which Spark 4 rejects by
     default; we read it as epoch-nanos LongType (engine-neutral — the
     DuckDB oracle uses epoch_ns for the same integer semantics).
+
+    ``fanout=True`` round-robins the scan across the full core count
+    before a CPU-bound map stage (regex cascades, JSON synthesis+parse).
+    Small parquet inputs arrive as 1-3 splits, which would otherwise
+    serialize the expensive map on as many cores; the repartition is a
+    narrow-row shuffle, orders of magnitude cheaper than the map it
+    parallelizes. On a real cluster with many input splits it is a
+    cheap no-op-shaped rebalance, never a correctness change.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if fanout:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df

@@ -34,16 +34,91 @@ def dot_expr(a: str, b: str) -> str:
     )
 
 
-def cosine_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embeddings pre-normalized →
-    cosine = dot). Brute-force; the LSH/IVF variants are the scale
-    path — this is the exactness baseline the brief asks for.
-    """
+def cosine_neardup_pairs_sql(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold via pure SQL lambdas — the
+    semantic reference for :func:`cosine_neardup_pairs` (identical
+    output, ~50× slower: interpreted per-element higher-order
+    functions over |N|²/2 pairs)."""
     a = emb.select(F.col(id_col).alias("id_lo"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_hi"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_lo") < F.col("id_hi"))
         .withColumn("sim", F.round(F.expr(dot_expr("va", "vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_lo", "id_hi", "sim")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast_block: int = 1 << 20,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embeddings pre-normalized →
+    cosine = dot). Exact baseline; LSH/IVF are the recall<1 scale path.
+
+    Execution: the corpus streams through ``mapInPandas`` partitions
+    while the comparison side is broadcast as one numpy matrix per
+    ≤``broadcast_block``-row block (multiple blocks → one pass per
+    block, unioned — bounded executor memory at any corpus size; the
+    N² work itself is what you buy with an exact all-pairs query).
+
+    Bit-parity with the SQL/DuckDB fold: the dot is accumulated with a
+    dimension-major loop (``acc += A[:,k]*B[:,k]``), which performs the
+    same double additions in the same order as the sequential left fold
+    — numpy's pairwise/BLAS summation would not. The 4dp rounding and
+    the threshold compare stay Spark-side on the raw double.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()
+    n_blocks = max(1, -(-n // broadcast_block))
+    # Pre-round guard: keep any raw dot that could still round up past
+    # the threshold (round-half-up at 4dp moves a value < 5.0001e-5).
+    guard = threshold - 1e-4
+
+    out = None
+    for blk in range(n_blocks):
+        b_side = src if n_blocks == 1 else src.filter(F.col("_id") % n_blocks == blk)
+        pdf = b_side.toPandas()
+        b_ids = pdf["_id"].to_numpy(np.int64)
+        b_mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+        def block_pairs(batches, _bc=bc):
+            ids_b, mat_b = _bc.value
+            dim = mat_b.shape[1]
+            for pdf_a in batches:
+                if pdf_a.empty:
+                    continue
+                ids_a = pdf_a["_id"].to_numpy(np.int64)
+                mat_a = np.stack(pdf_a["_v"].to_numpy()).astype(np.float64)
+                for lo in range(0, len(ids_a), 1024):
+                    a_ids = ids_a[lo : lo + 1024]
+                    a_mat = mat_a[lo : lo + 1024]
+                    sims = np.zeros((len(a_ids), len(ids_b)))
+                    for k in range(dim):  # fold-order accumulation
+                        sims += np.outer(a_mat[:, k], mat_b[:, k])
+                    ii, jj = np.nonzero(
+                        (a_ids[:, None] < ids_b[None, :]) & (sims >= guard)
+                    )
+                    if len(ii):
+                        yield pd.DataFrame(
+                            {"id_lo": a_ids[ii], "id_hi": ids_b[jj], "dot": sims[ii, jj]}
+                        )
+
+        part = src.mapInPandas(block_pairs, "id_lo long, id_hi long, dot double")
+        out = part if out is None else out.unionByName(part)
+
+    return (
+        out.withColumn("sim", F.round("dot", 4))
         .filter(F.col("sim") >= threshold)
         .select("id_lo", "id_hi", "sim")
     )
