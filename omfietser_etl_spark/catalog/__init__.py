@@ -35,10 +35,28 @@ class QuerySpec:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import derived, pipelines, qualityspec, relational, streaming, textops
+    from . import (
+        derived,
+        multimodalspec,
+        pipelines,
+        qualityspec,
+        relational,
+        reports,
+        streaming,
+        textops,
+    )
 
     specs: list[QuerySpec] = []
-    for mod in (relational, derived, pipelines, qualityspec, textops, streaming):
+    for mod in (
+        relational,
+        derived,
+        pipelines,
+        qualityspec,
+        textops,
+        streaming,
+        reports,
+        multimodalspec,
+    ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in catalog"

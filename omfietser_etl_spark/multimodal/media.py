@@ -83,16 +83,31 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``mapInPandas`` so one Python worker handles a whole Arrow batch
-    (not a row) — the only viable shape for 100 TB of blobs."""
+    (not a row) — the only viable shape for 100 TB of blobs.
+
+    The closure is self-contained (no module-level references): Python
+    workers must not need this package importable on their own path —
+    the driver may run from any directory.
+    """
+    n_features = N_FEATURES
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        def fake(data):
+            h = _hashlib.sha256(data or b"").digest()
+            return [
+                int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32
+                for i in range(n_features)
+            ]
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0),
-                    "features": pdf["data"].map(_fake_features),
+                    "features": pdf["data"].map(fake),
                 }
             )
 

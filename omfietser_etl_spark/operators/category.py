@@ -158,6 +158,7 @@ def normalize_categories(
     shop_col: str = "shop_type",
     predictions: DataFrame | None = None,
     output_col: str | None = None,
+    method_col: str | None = None,
 ) -> DataFrame:
     """Attach the normalized category column (default: overwrite
     `category_col`).
@@ -165,6 +166,10 @@ def normalize_categories(
     Collects the DISTINCT (category, shop) keys (dimension-sized),
     resolves the cascade in Python, and broadcast-joins the mapping
     back — the fact side never shuffles.
+
+    ``method_col`` additionally emits which cascade step resolved each
+    row — static/ml/special/fuzzy/default — mirroring the reference's
+    mapping-method stats (A12, ref: normalizer.ts:577-580,55-63).
     """
     spark = df.sparkSession
     output_col = output_col or category_col
@@ -222,7 +227,19 @@ def normalize_categories(
             F.col("_fuzzy"),
         )
     )
+    out = out.withColumn(output_col, final)
+    if method_col is not None:
+        ml65_hit = ml_65.isNotNull()
+        ml40_hit = ml_40.isNotNull()
+        out = out.withColumn(
+            method_col,
+            F.when(F.col("_empty"), F.when(ml65_hit, "ml").otherwise("default"))
+            .when(F.col("_static").isNotNull(), "static")
+            .when(F.col("_special"), F.when(ml40_hit, "ml").otherwise("special_default"))
+            .when(ml65_hit, "ml")
+            .otherwise("fuzzy"),
+        )
     drop = ["_cat_key", "_shop_key", "_static", "_special", "_fuzzy", "_empty"]
     if predictions is not None:
         drop += ["_pred_title", "_pred_final", "_pred_conf"]
-    return out.withColumn(output_col, final).drop(*drop)
+    return out.drop(*drop)
