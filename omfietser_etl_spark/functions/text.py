@@ -77,3 +77,22 @@ def content_hash(*cols: Column) -> Column:
     (ref: n8n transform-products-for-db.js:29-41 — semantics are
     change detection, not value parity)."""
     return F.xxhash64(F.to_json(F.struct(*cols)))
+
+
+def camel_to_snake(name: str) -> str:
+    """P8 column-name rename, driver-side (ref: src/utils/string.ts:184-190)."""
+    import re
+
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+def snake_to_camel(name: str) -> str:
+    """P8 inverse (ref: string.ts:192-196)."""
+    head, *rest = name.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+def rename_columns(df, mapper):
+    """Bulk rename via one ``toDF`` (single projection, no per-column
+    plan growth): ``rename_columns(df, camel_to_snake)``."""
+    return df.toDF(*[mapper(c) for c in df.columns])

@@ -195,3 +195,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for j in range(SIMHASH_BITS)
     )
     return agg.select("doc", F.expr(recombine).alias("simhash"))
+
+
+def drop_incomplete(df, required=("unified_id", "shop_type", "title")):
+    """F5 incomplete-row filter: keep rows whose identity strings are
+    truthy and whose current_price is defined (ref:
+    src/utils/dedupe.ts:83-93 — JS truthiness for the strings,
+    `!== undefined` for the price, so 0.0 passes)."""
+    from pyspark.sql import functions as F
+
+    cond = F.col("current_price").isNotNull()
+    for c in required:
+        cond = cond & F.col(c).isNotNull() & (F.col(c).cast("string") != "")
+    return df.filter(cond)

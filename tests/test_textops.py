@@ -95,3 +95,32 @@ def test_lang_id_stopword_heuristic(spark):
         .collect()
     }
     assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_drop_incomplete_f5(spark):
+    rows = [
+        ("a", "AH", "Cola", 1.0),     # complete
+        ("", "AH", "Cola", 1.0),      # empty id -> drop
+        ("b", "AH", None, 1.0),       # null title -> drop
+        ("c", "AH", "Thee", None),    # undefined price -> drop
+        ("d", "AH", "Sap", 0.0),      # 0.0 price is defined -> keep
+    ]
+    df = spark.createDataFrame(
+        rows, "unified_id string, shop_type string, title string, current_price double"
+    )
+    kept = sorted(r.unified_id for r in dd.drop_incomplete(df).collect())
+    assert kept == ["a", "d"]
+
+
+def test_rename_columns_p8(spark):
+    from omfietser_etl_spark.functions.text import (
+        camel_to_snake,
+        rename_columns,
+        snake_to_camel,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["priceBeforeBonus", "mainCategory"])
+    out = rename_columns(df, camel_to_snake)
+    assert out.columns == ["price_before_bonus", "main_category"]
+    back = rename_columns(out, snake_to_camel)
+    assert back.columns == ["priceBeforeBonus", "mainCategory"]
