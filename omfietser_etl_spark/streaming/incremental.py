@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import content_hash
@@ -142,6 +142,76 @@ def upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_into_bucketed_state(
+    batch: DataFrame,
+    table: str,
+    keys: list[str],
+    order_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """ST3/K3 scale path: latest-wins MERGE against a BUCKETED state
+    table (SURVEY §7.7 risk 5 — "MERGE on 100 TB needs partition
+    pruning + key bucketing; avoid full-state rewrites").
+
+    The state table is ``bucketBy(keys)`` + ``sortBy(keys)``, so the
+    merge join reads state already hash-distributed AND sorted on the
+    merge key: the SortMergeJoin needs **no Exchange and no Sort on
+    the state side** (asserted in tests via explain). Only the
+    incoming batch — orders of magnitude smaller — shuffles. Compare
+    ``_merge_parquet``, which re-shuffles state ∪ batch every merge.
+
+    The batch is first reduced to one winner per key (a shuffle of
+    batch-sized data), then FULL OUTER joined with state; per key the
+    newer row wins (ties → batch). The rewrite here is whole-table
+    ``saveAsTable`` for portability; on Delta/Iceberg the same join
+    becomes the MERGE condition and rewrites only matched files.
+    """
+    spark = batch.sparkSession
+    key_cols = [F.col(k) for k in keys]
+
+    one_per_key = (
+        batch.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    if spark.catalog.tableExists(table):
+        state = spark.table(table)
+        cols = state.columns
+        b = one_per_key.select(*cols)
+        joined = state.alias("s").join(b.alias("b"), on=keys, how="full_outer")
+        batch_wins = F.col(f"b.{order_col}").isNotNull() & (
+            F.col(f"s.{order_col}").isNull()
+            | (F.col(f"b.{order_col}") >= F.col(f"s.{order_col}"))
+        )
+        payload = [c for c in cols if c not in keys]
+        merged = joined.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.when(batch_wins, F.col(f"b.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
+                for c in payload
+            ],
+        ).select(*cols)
+    else:
+        merged = one_per_key
+
+    (
+        merged.write.mode("overwrite")
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+        .format("parquet")
+        .saveAsTable(f"{table}__next")
+    )
+    # atomic-ish swap (metastore rename); Delta MERGE replaces this
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {table}__next RENAME TO {table}")
 
 
 def windowed_event_counts(

@@ -143,3 +143,50 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     if missing:
         max_start = max(w for w, *_ in expected)
         assert all(w == max_start for w, *_ in missing)
+
+
+def test_merge_into_bucketed_state(spark, tmp_path):
+    from omfietser_etl_spark.streaming.incremental import merge_into_bucketed_state
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bstate LOCATION '{tmp_path}/bstate'")
+    table = "bstate.products"
+
+    b1 = spark.createDataFrame(
+        [("AH", "e1", 10, 1.0), ("AH", "e2", 10, 2.0), ("JUMBO", "e1", 10, 3.0)],
+        "shop_type string, external_id string, scraped_at int, price double",
+    )
+    merge_into_bucketed_state(b1, table, ["shop_type", "external_id"], "scraped_at")
+
+    # newer e1, older e2 (ignored), brand-new e3
+    b2 = spark.createDataFrame(
+        [("AH", "e1", 20, 9.0), ("AH", "e2", 5, 99.0), ("AH", "e3", 20, 4.0)],
+        "shop_type string, external_id string, scraped_at int, price double",
+    )
+    merge_into_bucketed_state(b2, table, ["shop_type", "external_id"], "scraped_at")
+
+    got = {
+        (r.shop_type, r.external_id): (r.scraped_at, r.price)
+        for r in spark.table(table).collect()
+    }
+    assert got == {
+        ("AH", "e1"): (20, 9.0),
+        ("AH", "e2"): (10, 2.0),
+        ("AH", "e3"): (20, 4.0),
+        ("JUMBO", "e1"): (10, 3.0),
+    }
+
+    # Scale property: the state side of the merge join is read bucketed —
+    # no Exchange between the state table scan and the join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        state = spark.table(table)
+        probe = b2.withColumnsRenamed({"price": "p2"})
+        j = state.join(probe, ["shop_type", "external_id"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # Exactly one Exchange in the join plan: the (small) batch
+        # side. The bucketed state side is read pre-hashed — no
+        # Exchange above its scan.
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
