@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from omfietser_etl_spark.pipelines import ah, aldi, jumbo, plus
+from omfietser_etl_spark.pipelines import ah, aldi, generic, jumbo, plus
 from omfietser_etl_spark.schemas import (
     AH_SCHEMA,
     ALDI_SCHEMA,
@@ -396,3 +396,78 @@ SPECS = [
     QuerySpec("p4_plus_pipeline", p4_plus_pipeline, P4_ORACLE,
               "P4 full plus raw→unified pipeline"),
 ]
+
+
+# ---------------------------------------------------------------- #
+# P6 — generic DB-mode pipeline (kruidvat: no dedicated processor)
+# ---------------------------------------------------------------- #
+
+def _kruidvat_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """v0 plain (price-only), v1 promo with old/new price, v2 missing
+    sku → error channel (dropped)."""
+    part = load(spark, sf, "part", fanout=True)
+    k = F.col("p_partkey").cast("string")
+    m = (F.col("p_partkey") % 7).cast("string")
+    v = F.col("p_partkey") % 3
+    js = F.concat(
+        F.when(v != 2, F.concat(F.lit('{"sku":"K'), k, F.lit('",'))).otherwise(F.lit('{')),
+        F.lit('"name":"Merk'), m,
+        F.when(v == 0, F.lit(
+            ' Zeep","price":"3.00","category":"Drogisterij","quantity":"250 ml"}')
+        ).when(v == 1, F.lit(
+            ' Shampoo","originalPrice":"4.00","newPrice":"3.00",'
+            '"promotionLabel":"25% korting","category":"drogisterij","quantity":"1 l"}')
+        ).otherwise(F.lit(' Weg","price":"1.00","category":"Drogisterij"}')),
+    )
+    return part.select("p_partkey", js.alias("raw_data"))
+
+
+def p6_generic_kruidvat(spark: SparkSession, sf: str) -> DataFrame:
+    raw = _kruidvat_raw(spark, sf)
+    unified, _ = generic.pipeline(raw.drop("p_partkey"), shop="kruidvat",
+                                  with_errors=False)
+    return unified.withColumn(
+        "p_partkey", F.regexp_replace("unified_id", "^kruidvat_K", "").cast("long")
+    ).select("p_partkey", *OUT_COLS)
+
+
+def _c3(by: dict, default: str = "NULL") -> str:
+    whens = " ".join(f"WHEN {i} THEN {e}" for i, e in by.items())
+    return f"CASE p_partkey % 3 {whens} ELSE {default} END"
+
+
+P6_ORACLE = f"""
+SELECT p_partkey,
+  'kruidvat_K' || CAST(p_partkey AS VARCHAR) AS unified_id,
+  'KRUIDVAT' AS shop_type,
+  'Merk' || CAST(p_partkey % 7 AS VARCHAR) ||
+      {_c3({0: "' Zeep'", 1: "' Shampoo'"})} AS title,
+  'Drogisterij' AS main_category,
+  'Merk' || CAST(p_partkey % 7 AS VARCHAR) AS brand,
+  {_c3({0: "'250 ml'", 1: "'1 l'"})} AS sales_unit_size,
+  {_c3({0: "250.0", 1: "1.0"})} AS quantity_amount,
+  {_c3({0: "'ml'", 1: "'l'"})} AS quantity_unit,
+  {_c3({0: "3.0", 1: "4.0"})} AS price_before_bonus,
+  {_c3({0: "3.0", 1: "3.0"})} AS current_price,
+  {_c3({0: "false", 1: "true"})} AS is_promotion,
+  {_c3({0: "'none'", 1: "'DISCOUNT'"})} AS promotion_type,
+  {_c3({0: "'none'", 1: "'25% korting'"})} AS promotion_mechanism,
+  {_c3({0: "NULL", 1: "3.0"})} AS parsed_promotion_effective_unit_price,
+  {_c3({0: "NULL", 1: "1.0"})} AS parsed_promotion_required_quantity,
+  {_c3({0: "NULL", 1: "3.0"})} AS parsed_promotion_total_price,
+  false AS parsed_promotion_is_multi_purchase_required,
+  {_c3({0: "0.25", 1: "1.0"})} AS normalized_quantity_amount,
+  {_c3({0: "'l'", 1: "'l'"})} AS normalized_quantity_unit,
+  {_c3({0: "0.25", 1: "1.0"})} AS conversion_factor,
+  {_c3({0: "12.0", 1: "4.0"})} AS price_per_standard_unit,
+  {_c3({0: "12.0", 1: "3.0"})} AS current_price_per_standard_unit,
+  {_c3({0: "NULL", 1: "1.0"})} AS discount_absolute,
+  {_c3({0: "NULL", 1: "25.0"})} AS discount_percentage,
+  true AS is_active
+FROM part WHERE p_partkey % 3 <> 2
+"""
+
+SPECS.append(
+    QuerySpec("p6_generic_kruidvat", p6_generic_kruidvat, P6_ORACLE,
+              "P6 generic DB-mode pipeline (kruidvat)")
+)
