@@ -480,6 +480,62 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+
+def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination of
+    the per-shop × overall report in one pass (SURVEY §2.10 tail —
+    per-shop and combined rollups as grouping sets)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("o_totalprice"), 0).cast("long").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status_g"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority_g"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status_g,
+       coalesce(o_orderpriority, 'ALL') AS priority_g,
+       count(*) AS cnt,
+       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def j7_first_last_seen(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-history bookkeeping: first_seen / last_updated per key
+    plus observation count (ref: init-processor-schema.sql:36-38 —
+    the columns a MERGE maintains; one hash aggregate here)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_seen"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_updated"),
+            F.count("*").alias("n_obs"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+J7B_ORACLE = """
+SELECT l_partkey AS part_key,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS first_seen,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS last_updated,
+       count(*) AS n_obs,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_partkey
+"""
+
+
 def a13_distinct_parts(spark: SparkSession, sf: str) -> DataFrame:
     """Exact distinct-count per group (ref: uniqueProducts,
     types/product.ts:110-115). The approximate variant is
@@ -620,6 +676,10 @@ SPECS = [
     QuerySpec("a7_event_summary", a7_event_summary, A7_ORACLE, "A7 conditional agg"),
     QuerySpec("a8_version_stats", a8_version_stats, A8_ORACLE, "A8 groupBy2 stats"),
     QuerySpec("rollup_region_nation", rollup_region_nation, ROLLUP_ORACLE, "rollup report"),
+    QuerySpec("cube_status_priority", cube_status_priority, CUBE_ORACLE,
+              "cube grouping-sets report"),
+    QuerySpec("j7_first_last_seen", j7_first_last_seen, J7B_ORACLE,
+              "price-history first/last seen"),
     QuerySpec("a13_distinct_parts", a13_distinct_parts, A13_ORACLE, "A13 exact distinct"),
     QuerySpec("a13_approx_distinct", a13_approx_distinct, None, "A13 approx distinct"),
     QuerySpec("o1_pagination", o1_pagination, O1_ORACLE, "O1 pagination"),

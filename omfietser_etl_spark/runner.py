@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipelines import ah, aldi, jumbo, plus
+from .pipelines import ah, aldi, generic, jumbo, plus
 from .sinks.files import write_errors, write_reports, write_unified_parquet
 from .sources.files import input_filename, read_shop_json
 
@@ -27,6 +27,10 @@ PIPELINES = {
     "aldi": aldi.pipeline,
     "plus": plus.pipeline,
 }
+
+# shops without a typed processor take the generic DB-mode path
+# (NDJSON landing: one raw product JSON per line)
+GENERIC_SHOPS = ("kruidvat",)
 
 
 @dataclass
@@ -50,14 +54,21 @@ def run_file_mode(
 
     Returns the A1-style summary: per-shop counters + overall rollup
     (ref: index.ts:363-412)."""
-    shops = shops or list(PIPELINES)
+    shops = shops or [*PIPELINES, *GENERIC_SHOPS]
     results: list[ShopRunResult] = []
     for shop in shops:
         path = os.path.join(input_dir, input_filename(shop))
         if not os.path.exists(path):
             continue
-        good, corrupt = read_shop_json(spark, path, shop)
-        unified, errors = PIPELINES[shop](good, predictions=predictions)
+        if shop in GENERIC_SHOPS:
+            raw = spark.read.text(path).select(F.col("value").alias("raw_data"))
+            corrupt = raw.filter(F.lit(False))
+            unified, errors = generic.pipeline(
+                raw, shop=shop, predictions=predictions
+            )
+        else:
+            good, corrupt = read_shop_json(spark, path, shop)
+            unified, errors = PIPELINES[shop](good, predictions=predictions)
         out = os.path.join(output_dir, "unified")
         unified.write.mode("overwrite").parquet(
             os.path.join(output_dir, "unified", shop)

@@ -79,3 +79,31 @@ def test_corrupt_record_dead_letter(spark, tmp_path):
     assert len(bad) == 1
     assert bad[0].error_type == "corrupt_record"
     assert "broken" in bad[0].raw_text
+
+
+def test_run_file_mode_generic_kruidvat(spark, tmp_path):
+    inp = tmp_path / "in"
+    os.makedirs(inp)
+    rows = [
+        {"sku": "K1", "name": "Merk Zeep", "price": "3.00",
+         "category": "Drogisterij", "quantity": "250 ml"},
+        {"sku": "K2", "name": "Merk Shampoo", "originalPrice": "4.00",
+         "newPrice": "3.00", "promotionLabel": "25% korting",
+         "category": "drogisterij", "quantity": "1 l"},
+        {"name": "Naamloos", "price": "1.00"},  # no sku → error channel
+    ]
+    with open(inp / "kruidvat_products.json", "w") as f:
+        for r in rows:  # NDJSON landing for the generic path
+            f.write(json.dumps(r) + "\n")
+
+    summary = run_file_mode(spark, str(inp), str(tmp_path / "out"), shops=["kruidvat"])
+    assert summary["shops"]["kruidvat"] == {"unified": 2, "errors": 1, "corrupt": 0}
+
+    out = spark.read.parquet(str(tmp_path / "out" / "unified" / "kruidvat"))
+    got = {r["unified_id"]: r for r in out.collect()}
+    assert set(got) == {"kruidvat_K1", "kruidvat_K2"}
+    k2 = got["kruidvat_K2"]
+    assert k2["shop_type"] == "KRUIDVAT"
+    assert k2["main_category"] == "Drogisterij"
+    assert k2["is_promotion"] and k2["discount_percentage"] == 25.0
+    assert k2["price_per_standard_unit"] == 4.0
