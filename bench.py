@@ -36,6 +36,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.codegen.maxFields", "25")  # see session.load() note
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

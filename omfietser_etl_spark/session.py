@@ -40,6 +40,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.codegen.maxFields", "25")  # see load() note
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -78,6 +79,15 @@ def load(spark: SparkSession, sf_dir: str, table: str, fanout: bool = False):
     cheap no-op-shaped rebalance, never a correctness change.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The 32-column unified pipeline stages generate one >64 KB
+    # whole-stage method that janino cannot compile; Spark then pays a
+    # multi-second doomed compile attempt per execution before falling
+    # back. Capping codegen at 25 fields skips the attempt for exactly
+    # those wide stages (per-expression codegen still applies) and
+    # leaves every narrow analytic plan in whole-stage codegen.
+    # Runtime-settable, so it reaches vanilla driver sessions via this
+    # load() path.
+    spark.conf.set("spark.sql.codegen.maxFields", "25")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
