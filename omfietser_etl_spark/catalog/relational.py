@@ -569,11 +569,18 @@ def a13_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 def o1_pagination(spark: SparkSession, sf: str) -> DataFrame:
     """ORDER BY ... LIMIT/OFFSET pagination with deterministic tiebreak
-    (ref: postgres-adapter.ts:72-81)."""
+    (ref: postgres-adapter.ts:72-81).
+
+    Scale shape: orderBy().limit(page_end) FIRST — Spark plans it as
+    TakeOrderedAndProject (per-partition top-k + driver merge, no
+    global sort, no single-partition window). The row_number window
+    then runs over page_end rows only."""
     o = load(spark, sf, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    top = o.orderBy(*order).limit(25)
+    w = Window.orderBy(*order)
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 10) & (F.col("rn") <= 25))
         .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
     )

@@ -313,9 +313,13 @@ def s3_multi_filter_scan(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1999-01-01"))
     )
-    w = Window.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    # top-k first (TakeOrderedAndProject — distributed, no global
+    # sort); the offset window then sees page_end rows only
+    order = [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    top = filtered.orderBy(*order).limit(250)
+    w = Window.orderBy(*order)
     return (
-        filtered.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 50) & (F.col("rn") <= 250))
         .select(
             "rn",
