@@ -202,6 +202,7 @@ def merge_into_bucketed_state(
     else:
         merged = one_per_key
 
+    spark.sql(f"DROP TABLE IF EXISTS {table}__next")  # crashed-run residue
     (
         merged.write.mode("overwrite")
         .bucketBy(n_buckets, keys[0], *keys[1:])
