@@ -18,9 +18,19 @@ from .pipelines import _jumbo_raw, p2_jumbo_pipeline
 from omfietser_etl_spark.pipelines import jumbo
 
 
+_UNIFIED_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def _jumbo_unified(spark: SparkSession, sf: str) -> DataFrame:
-    unified, _ = jumbo.pipeline(_jumbo_raw(spark, sf), with_errors=False)
-    return unified
+    """Shared input for q2/x3: build (and persist, via split_errors)
+    the jumbo unified frame once per (session, sf) — the second
+    consumer reuses the materialized batch instead of re-running the
+    whole cascade."""
+    key = (id(spark), sf)
+    if key not in _UNIFIED_MEMO:
+        unified, _ = jumbo.pipeline(_jumbo_raw(spark, sf))
+        _UNIFIED_MEMO[key] = unified
+    return _UNIFIED_MEMO[key]
 
 
 # Scores per variant (additive, base 50): v0 has no image/no promo →
