@@ -47,7 +47,7 @@ WITH n AS (SELECT
   FROM part)
 SELECT 'JUMBO' AS shop_type,
     n0 + n12 AS n_products,
-    round((80.0 * n0 + 90.0 * n12) / (n0 + n12), 2) AS avg_score,
+    CAST(floor((80 * n0 + 90 * n12) * 100.0 / (n0 + n12)) AS BIGINT) AS avg_score_x100,
     n12 AS "n_90-100",
     n0 AS "n_80-89",
     0 AS "n_70-79", 0 AS "n_60-69", 0 AS "n_50-59", 0 AS "n_<50"

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import exact
 from ..session import load
 from . import QuerySpec
 
@@ -163,8 +164,10 @@ def j1_broadcast_enrich(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            # 2dp price × 2dp (1-discount) has ≤4 decimals → exact in
+            # basis points; long sum is order-independent (see exact.py).
+            exact.sum_bp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_bp"
             ),
             F.count("*").alias("cnt"),
             F.countDistinct("s_suppkey").alias("n_suppliers"),
@@ -174,7 +177,7 @@ def j1_broadcast_enrich(spark: SparkSession, sf: str) -> DataFrame:
 
 J1_ORACLE = """
 SELECT p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_bp,
        count(*) AS cnt,
        count(DISTINCT s_suppkey) AS n_suppliers
 FROM lineitem
@@ -199,8 +202,8 @@ def j5_multiway_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            exact.sum_bp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_bp"
             ),
             F.count("*").alias("n_items"),
         )
@@ -209,7 +212,7 @@ def j5_multiway_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 J5_ORACLE = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_bp,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -314,16 +317,18 @@ def a1_status_counters(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     agg = o.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        exact.sum_cents("o_totalprice").alias("total_cents"),
     )
     return agg.withColumn(
-        "pct", F.round(100.0 * F.col("cnt") / F.sum("cnt").over(Window.partitionBy()), 2)
+        "pct_bp",
+        exact.floor_ratio(F.col("cnt"), F.sum("cnt").over(Window.partitionBy())),
     )
 
 
 A1_ORACLE = """
-SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
-       round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(floor(count(*) * 10000.0 / sum(count(*)) OVER ()) AS BIGINT) AS pct_bp
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -338,7 +343,11 @@ def a4_price_stats(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     stats = j.groupBy("c_mktsegment").agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        # avg over an order-dependent double sum rounds apart across
+        # engines at .xx5 ties — derive from the exact cents sum instead.
+        exact.floor_ratio(exact.sum_cents("o_totalprice"), F.count("*"), 1).alias(
+            "avg_price_cents"
+        ),
         F.sum(F.when(F.col("o_totalprice") < 50000, 1).otherwise(0)).alias("bucket_low"),
         F.sum(
             F.when(
@@ -381,7 +390,8 @@ WITH j AS (
   GROUP BY c_mktsegment
 )
 SELECT j.c_mktsegment,
-       round(avg(o_totalprice), 2) AS avg_price,
+       CAST(floor(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 1.0
+                  / count(*)) AS BIGINT) AS avg_price_cents,
        sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS bucket_low,
        sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS bucket_mid,
        sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS bucket_high,
@@ -397,13 +407,14 @@ def a3_type_distribution(spark: SparkSession, sf: str) -> DataFrame:
     p = load(spark, sf, "part")
     agg = p.groupBy("p_type").agg(F.count("*").alias("cnt"))
     return agg.withColumn(
-        "pct", F.round(100.0 * F.col("cnt") / F.sum("cnt").over(Window.partitionBy()), 2)
+        "pct_bp",
+        exact.floor_ratio(F.col("cnt"), F.sum("cnt").over(Window.partitionBy())),
     )
 
 
 A3_ORACLE = """
 SELECT p_type, count(*) AS cnt,
-       round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+       CAST(floor(count(*) * 10000.0 / sum(count(*)) OVER ()) AS BIGINT) AS pct_bp
 FROM part GROUP BY p_type
 """
 
@@ -418,7 +429,7 @@ def a7_event_summary(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high"),
         F.sum(F.when(F.col("value") <= 100, 1).otherwise(0)).alias("n_low"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        exact.sum_cents("value").alias("sum_value_cents"),
     )
 
 
@@ -426,7 +437,7 @@ A7_ORACLE = """
 SELECT event_type, count(*) AS total, count(DISTINCT user_id) AS n_users,
        sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
        sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """
 
@@ -460,11 +471,11 @@ def rollup_region_nation(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         j.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("cnt"))
+        .agg(exact.sum_cents("c_acctbal").alias("total_bal_cents"), F.count("*").alias("cnt"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_g"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation_g"),
-            "total_bal",
+            "total_bal_cents",
             "cnt",
         )
     )
@@ -472,7 +483,7 @@ def rollup_region_nation(spark: SparkSession, sf: str) -> DataFrame:
 
 ROLLUP_ORACLE = """
 SELECT coalesce(r_name, 'ALL') AS region_g, coalesce(n_name, 'ALL') AS nation_g,
-       round(sum(c_acctbal), 2) AS total_bal, count(*) AS cnt
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents, count(*) AS cnt
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -489,12 +500,12 @@ def cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("o_totalprice"), 0).cast("long").alias("total"))
+             exact.sum_cents("o_totalprice").alias("total_cents"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status_g"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority_g"),
             "cnt",
-            "total",
+            "total_cents",
         )
     )
 
@@ -503,7 +514,7 @@ CUBE_ORACLE = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status_g,
        coalesce(o_orderpriority, 'ALL') AS priority_g,
        count(*) AS cnt,
-       CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 

@@ -32,13 +32,18 @@ def j7_asof_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
+            # scale-0 round of a deterministic double is cross-engine
+            # safe; round(·, 2) is not (see functions/exact.py).
+            F.round((F.col("value") - F.col("prev_value")) * 100, 0)
+            .cast("long")
+            .alias("delta_cents"),
         )
     )
 
 
 J7_ORACLE = """
-SELECT event_id, user_id, event_type, round(value - prev_value, 2) AS delta
+SELECT event_id, user_id, event_type,
+       CAST(round((value - prev_value) * 100, 0) AS BIGINT) AS delta_cents
 FROM (
   SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
                              ORDER BY ts, event_id) AS prev_value
@@ -78,13 +83,17 @@ def st6_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     hour_bucket = F.expr("ts div 3600000000000").alias("hour_bucket")
     return (
         ev.groupBy(hour_bucket, "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+        )
     )
 
 
 ST6_ORACLE = """
 SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
-       count(*) AS cnt, round(sum(value), 2) AS sum_value
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 

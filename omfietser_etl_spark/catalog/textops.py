@@ -293,14 +293,18 @@ def ta1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("ws").alias("ws_tokens"),
             F.sum("bpe").alias("bpe_tokens"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            # exact-integer ratio — round(avg, 2) ties apart across
+            # engines (see functions/exact.py).
+            F.floor(F.sum("n_chars") * 100.0 / F.count("*"))
+            .cast("long")
+            .alias("avg_chars_x100"),
         )
     )
 
 
 TA1_ORACLE = r"""
-SELECT source, count(*) AS n_docs, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
-       round(avg(n_chars), 2) AS avg_chars
+SELECT source, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(floor(sum(n_chars) * 100.0 / count(*)) AS BIGINT) AS avg_chars_x100
 FROM (SELECT source, n_chars,
         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -326,17 +330,22 @@ def ta2_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("size(array_distinct(t))").alias("n_uniq"),
         F.expr(f"size(filter(t, x -> array_contains(array({en}), x)))").alias("n_stop"),
     )
-    d = d.withColumn("uniq_ratio", F.round(F.col("n_uniq") / F.col("n_tok"), 4))
-    d = d.withColumn("stop_ratio", F.round(F.col("n_stop") / F.col("n_tok"), 4))
+    # Raw IEEE quotients for the threshold tests (deterministic — same
+    # integer inputs, same division on both engines); floor-bp integers
+    # for the emitted ratio columns (see functions/exact.py).
+    uniq_raw = F.col("n_uniq") / F.col("n_tok")
+    stop_raw = F.col("n_stop") / F.col("n_tok")
+    d = d.withColumn("uniq_ratio_bp", F.floor(F.col("n_uniq") * 10000.0 / F.col("n_tok")).cast("long"))
+    d = d.withColumn("stop_ratio_bp", F.floor(F.col("n_stop") * 10000.0 / F.col("n_tok")).cast("long"))
     return d.select(
         "doc",
-        "uniq_ratio",
-        "stop_ratio",
+        "uniq_ratio_bp",
+        "stop_ratio_bp",
         (
             F.lit(50)
             + F.when((F.col("n_tok") >= 10) & (F.col("n_tok") <= 1000), 20).otherwise(0)
-            + F.when(F.col("uniq_ratio") > 0.5, 15).otherwise(0)
-            + F.when((F.col("stop_ratio") >= 0.02) & (F.col("stop_ratio") <= 0.6), 15).otherwise(0)
+            + F.when(uniq_raw > 0.5, 15).otherwise(0)
+            + F.when((stop_raw >= 0.02) & (stop_raw <= 0.6), 15).otherwise(0)
         ).alias("score"),
     )
 
@@ -348,14 +357,14 @@ def _ta2_oracle() -> str:
         + DK_TOKENS.format(c="text")
         + " AS t FROM documents), "
         "m AS (SELECT doc, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq, "
-        f"len(list_filter(t, x -> list_contains([{en}], x))) AS n_stop FROM d), "
-        "r AS (SELECT doc, round(n_uniq / n_tok, 4) AS uniq_ratio, "
-        "round(n_stop / n_tok, 4) AS stop_ratio, n_tok FROM m) "
-        "SELECT doc, uniq_ratio, stop_ratio, "
+        f"len(list_filter(t, x -> list_contains([{en}], x))) AS n_stop FROM d) "
+        "SELECT doc, "
+        "CAST(floor(n_uniq * 10000.0 / n_tok) AS BIGINT) AS uniq_ratio_bp, "
+        "CAST(floor(n_stop * 10000.0 / n_tok) AS BIGINT) AS stop_ratio_bp, "
         "50 + (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 20 ELSE 0 END) "
-        "+ (CASE WHEN uniq_ratio > 0.5 THEN 15 ELSE 0 END) "
-        "+ (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6 THEN 15 ELSE 0 END) AS score "
-        "FROM r"
+        "+ (CASE WHEN n_uniq / n_tok > 0.5 THEN 15 ELSE 0 END) "
+        "+ (CASE WHEN n_stop / n_tok BETWEEN 0.02 AND 0.6 THEN 15 ELSE 0 END) AS score "
+        "FROM m"
     )
 
 

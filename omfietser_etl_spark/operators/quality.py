@@ -71,7 +71,11 @@ def quality_report(df: DataFrame) -> DataFrame:
     )
     return scored.groupBy("shop_type").agg(
         F.count("*").alias("n_products"),
-        F.round(F.avg("quality_score"), 2).alias("avg_score"),
+        # scores are exact ints — emit floor(sum*100/cnt) so the avg is
+        # an exact integer on both engines (see functions/exact.py).
+        F.floor(F.sum("quality_score") * 100.0 / F.count("*"))
+        .cast("long")
+        .alias("avg_score_x100"),
         *[
             F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"n_{b}")
             for b in ["90-100", "80-89", "70-79", "60-69", "50-59", "<50"]
@@ -90,6 +94,10 @@ def completeness_report(df: DataFrame) -> DataFrame:
     for c in REQUIRED_FIELDS + OPTIONAL_FIELDS:
         present = F.col(c).isNotNull() & (F.col(c).cast("string") != "")
         aggs.append(
-            F.round(F.avg(F.when(present, 1.0).otherwise(0.0)) * 100, 2).alias(c)
+            F.floor(
+                F.sum(F.when(present, 1).otherwise(0)) * 10000.0 / F.count("*")
+            )
+            .cast("long")
+            .alias(f"{c}_bp")
         )
     return df.agg(*aggs)

@@ -32,7 +32,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            # round(6) multiplies by 1e6 internally — above ~2^53/1e6
+            # that round-trip corrupts exact integers (e.g. DuckDB
+            # HUGEINT sums surfaced as float64). Only round small
+            # magnitudes; large values are integral sums anyway.
+            v = df[c]
+            df[c] = v.where(v.abs() >= 1e9, v.round(6))
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
     return df

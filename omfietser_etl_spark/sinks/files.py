@@ -56,7 +56,7 @@ def write_reports(unified: DataFrame, out_dir: str, shop: str) -> dict:
     report = {
         "shop": shop,
         "quality": [r.asDict() for r in q],
-        "completeness_pct": c.asDict() if c else {},
+        "completeness_bp": c.asDict() if c else {},
     }
     with open(os.path.join(out_dir, f"{shop}_quality_report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)

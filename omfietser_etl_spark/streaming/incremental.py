@@ -238,12 +238,14 @@ def windowed_event_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact cents sum — order-independent across micro-batches
+            # and partial aggregates (see functions/exact.py).
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_value_cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
         )
     )

@@ -61,14 +61,14 @@ def test_quality_score_additive_and_capped(spark):
     scores = sorted(r.quality_score for r in with_quality(df).collect())
     assert scores == [50, 100]
     rep = quality_report(df).first()
-    assert rep.n_products == 2 and rep.avg_score == 75.0
+    assert rep.n_products == 2 and rep.avg_score_x100 == 7500
     assert getattr(rep, "n_90-100") == 1 and getattr(rep, "n_50-59") == 1
 
 
 def test_completeness_report(spark):
     df = _df(spark, _row(), _row(brand=""))
     r = completeness_report(df).first()
-    assert r.title == 100.0 and r.brand == 50.0
+    assert r.title_bp == 10000 and r.brand_bp == 5000
 
 
 def test_validation_rules_fire_individually(spark):
