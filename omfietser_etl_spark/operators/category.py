@@ -159,6 +159,7 @@ def normalize_categories(
     predictions: DataFrame | None = None,
     output_col: str | None = None,
     method_col: str | None = None,
+    broadcast_predictions: bool = True,
 ) -> DataFrame:
     """Attach the normalized category column (default: overwrite
     `category_col`).
@@ -201,18 +202,35 @@ def normalize_categories(
     )
 
     if predictions is not None:
-        # precomputed lookup table (the reference loads it wholly in
-        # memory, prediction.ts:30-35) — map to canon on the small side
-        pred_rows = [
-            (r["title"], to_final_category(r["category"]), float(r["confidence"]))
-            for r in predictions.collect()
+        # The title-keyed predictions table stays DISTRIBUTED (it is
+        # row-scaled — millions at 100 TB). Only its DISTINCT label
+        # set (bounded by the model's label space) is collected to
+        # resolve label→canon in Python; that tiny map broadcast-joins
+        # onto predictions. The reference instead loads the whole
+        # title→prediction JSON in memory (prediction.ts:30-35) —
+        # fine single-node, wrong shape at scale.
+        labels = [
+            r[0] or ""
+            for r in predictions.select(F.col("category")).distinct().collect()
         ]
-        preds = spark.createDataFrame(
-            pred_rows, "_pred_title string, _pred_final string, _pred_conf double"
+        canon = spark.createDataFrame(
+            [(lbl, to_final_category(lbl)) for lbl in labels],
+            "_pred_cat string, _pred_final string",
         )
-        out = out.join(
-            F.broadcast(preds), out[title_col] == preds["_pred_title"], "left"
+        preds = (
+            predictions.select(
+                F.col("title").alias("_pred_title"),
+                F.coalesce(F.col("category"), F.lit("")).alias("_pred_cat"),
+                F.col("confidence").cast("double").alias("_pred_conf"),
+            )
+            .join(F.broadcast(canon), "_pred_cat")
+            .drop("_pred_cat")
         )
+        # Broadcast the prediction side only when the caller says it
+        # fits (default: reference-sized dim table). At scale, leave
+        # it to AQE / a bucketed shuffle join on title.
+        side = F.broadcast(preds) if broadcast_predictions else preds
+        out = out.join(side, out[title_col] == F.col("_pred_title"), "left")
         ml_65 = F.when(F.col("_pred_conf") >= ML_CONFIDENCE, F.col("_pred_final"))
         ml_40 = F.when(F.col("_pred_conf") >= ML_CONFIDENCE_SPECIAL, F.col("_pred_final"))
     else:

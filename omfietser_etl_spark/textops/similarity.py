@@ -56,16 +56,20 @@ def cosine_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    broadcast_block: int = 1 << 20,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embeddings pre-normalized →
     cosine = dot). Exact baseline; LSH/IVF are the recall<1 scale path.
 
-    Execution: the corpus streams through ``mapInPandas`` partitions
-    while the comparison side is broadcast as one numpy matrix per
-    ≤``broadcast_block``-row block (multiple blocks → one pass per
-    block, unioned — bounded executor memory at any corpus size; the
-    N² work itself is what you buy with an exact all-pairs query).
+    Execution — fully executor-side block-pair join (no vector ever
+    transits the driver): each vector gets a block id (``id mod B``)
+    and is shuffled to every block-pair group (p, q) it participates
+    in, tagged with the side it plays; ``applyInPandas`` over the
+    B(B+1)/2 groups computes one ≤block×block sim matrix per task.
+    Replication factor is B ≈ N/block_rows — the shuffle is O(N·B)
+    rows while the compute is O(N²·d) flops, so the shuffle is never
+    the bottleneck of an exact all-pairs pass. B is floored for
+    parallelism so small corpora still fan out across the cluster.
 
     Bit-parity with the SQL/DuckDB fold: the dot is accumulated with a
     dimension-major loop (``acc += A[:,k]*B[:,k]``), which performs the
@@ -79,44 +83,90 @@ def cosine_neardup_pairs(
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     n = src.count()
-    n_blocks = max(1, -(-n // broadcast_block))
+    par = spark.sparkContext.defaultParallelism
+    # B(B+1)/2 tasks ≥ ~2×cores, and blocks never exceed block_rows
+    # (bounds both the replication factor and each task's sim matrix).
+    b_par = max(1, int((4 * par) ** 0.5))
+    n_blocks = max(1, -(-n // block_rows), b_par)
     # Pre-round guard: keep any raw dot that could still round up past
     # the threshold (round-half-up at 4dp moves a value < 5.0001e-5).
     guard = threshold - 1e-4
 
-    out = None
-    for blk in range(n_blocks):
-        b_side = src if n_blocks == 1 else src.filter(F.col("_id") % n_blocks == blk)
-        pdf = b_side.toPandas()
-        b_ids = pdf["_id"].to_numpy(np.int64)
-        b_mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    tagged = src.withColumn("blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
+    # Row with block i plays side 'a' in pairs (i, j≥i) and side 'b'
+    # in pairs (j<i, i); the diagonal pair is emitted once (side 'a').
+    pairs = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}), j -> CASE WHEN j >= blk "
+        "THEN struct(blk AS pl, CAST(j AS INT) AS ph, 'a' AS side) "
+        "ELSE struct(CAST(j AS INT) AS pl, blk AS ph, 'b' AS side) END)"
+    )
+    exploded = (
+        tagged.select("_id", "_v", F.explode(pairs).alias("p"))
+        .select("_id", "_v", F.col("p.pl").alias("pl"), F.col("p.ph").alias("ph"),
+                F.col("p.side").alias("side"))
+    )
 
-        def block_pairs(batches, _bc=bc):
-            ids_b, mat_b = _bc.value
-            dim = mat_b.shape[1]
-            for pdf_a in batches:
-                if pdf_a.empty:
-                    continue
-                ids_a = pdf_a["_id"].to_numpy(np.int64)
-                mat_a = np.stack(pdf_a["_v"].to_numpy()).astype(np.float64)
-                for lo in range(0, len(ids_a), 1024):
-                    a_ids = ids_a[lo : lo + 1024]
-                    a_mat = mat_a[lo : lo + 1024]
-                    sims = np.zeros((len(a_ids), len(ids_b)))
-                    for k in range(dim):  # fold-order accumulation
-                        sims += np.outer(a_mat[:, k], mat_b[:, k])
-                    ii, jj = np.nonzero(
-                        (a_ids[:, None] < ids_b[None, :]) & (sims >= guard)
-                    )
-                    if len(ii):
-                        yield pd.DataFrame(
-                            {"id_lo": a_ids[ii], "id_hi": ids_b[jj], "dot": sims[ii, jj]}
-                        )
+    def pair_block(key, pdf):
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series([], dtype="int64"),
+                    "id_hi": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="float64"),
+                }
+            )
+        diagonal = key[0] == key[1]
+        a = pdf[pdf["side"] == "a"]
+        b = a if diagonal else pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series([], dtype="int64"),
+                    "id_hi": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="float64"),
+                }
+            )
+        ids_b = b["_id"].to_numpy(np.int64)
+        mat_b = np.stack(b["_v"].to_numpy()).astype(np.float64)
+        dim = mat_b.shape[1]
+        out_lo, out_hi, out_dot = [], [], []
+        ids_all = a["_id"].to_numpy(np.int64)
+        mat_all = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        for lo in range(0, len(ids_all), 1024):
+            a_ids = ids_all[lo : lo + 1024]
+            a_mat = mat_all[lo : lo + 1024]
+            sims = np.zeros((len(a_ids), len(ids_b)))
+            for k in range(dim):  # fold-order accumulation
+                sims += np.outer(a_mat[:, k], mat_b[:, k])
+            keep = sims >= guard
+            if diagonal:
+                keep &= a_ids[:, None] < ids_b[None, :]
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                # off-diagonal blocks are disjoint, but a-side ids are
+                # not globally below b-side ids — order per pair.
+                out_lo.append(np.minimum(a_ids[ii], ids_b[jj]))
+                out_hi.append(np.maximum(a_ids[ii], ids_b[jj]))
+                out_dot.append(sims[ii, jj])
+        if not out_lo:
+            return pd.DataFrame(
+                {
+                    "id_lo": pd.Series([], dtype="int64"),
+                    "id_hi": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_lo": np.concatenate(out_lo),
+                "id_hi": np.concatenate(out_hi),
+                "dot": np.concatenate(out_dot),
+            }
+        )
 
-        part = src.mapInPandas(block_pairs, "id_lo long, id_hi long, dot double")
-        out = part if out is None else out.unionByName(part)
-
+    out = exploded.groupBy("pl", "ph").applyInPandas(
+        pair_block, "id_lo long, id_hi long, dot double"
+    )
     return (
         out.withColumn("sim", F.round("dot", 4))
         .filter(F.col("sim") >= threshold)
