@@ -57,17 +57,22 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(line))
+    # Round-over-round history (BENCH_HISTORY.jsonl is committed) so
+    # per-query regressions are diffable across rounds.
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **line}) + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -37,6 +37,7 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     from . import (
         derived,
+        inferencespec,
         multimodalspec,
         pipelines,
         qualityspec,
@@ -56,6 +57,7 @@ def all_specs() -> list[QuerySpec]:
         streaming,
         reports,
         multimodalspec,
+        inferencespec,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

@@ -1,0 +1,57 @@
+"""X2 online model-inference query under the correctness gate.
+
+The model itself is the deterministic stand-in from
+``operators.inference`` (polynomial title hash → label + confidence
+basis points) so the DuckDB oracle can replicate it exactly — what
+the gate then proves is the *operator*: Arrow-batched mapInPandas
+inference with schema passthrough and the confidence-threshold
+consumption step (ref: src/scripts/ml/batch_categorize.py:27-41
+producer; category/prediction.ts:74-87 consumer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.config.categories import FINAL_CATEGORIES
+from omfietser_etl_spark.operators.inference import CONF_THRESHOLD_BP, infer_categories
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.textops.constants import CHAR_SEED, MOD
+
+from . import QuerySpec
+
+
+def x2_online_inference(spark: SparkSession, sf: str) -> DataFrame:
+    parts = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("title")
+    )
+    return infer_categories(parts)
+
+
+def _x2_oracle() -> str:
+    labels = ", ".join(f"'{c}'" for c in FINAL_CATEGORIES)
+    return f"""
+WITH h AS (
+  SELECT p_partkey AS pid, p_name AS title,
+         list_reduce(list_prepend(CAST({CHAR_SEED} AS BIGINT),
+           list_transform(string_split_regex(p_name, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % {MOD}) AS h
+  FROM part)
+SELECT pid, title,
+       ([{labels}])[h % {len(FINAL_CATEGORIES)} + 1] AS pred_label,
+       h % 10000 AS conf_bp,
+       h % 10000 >= {CONF_THRESHOLD_BP} AS accepted
+FROM h
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "x2_online_inference",
+        x2_online_inference,
+        _x2_oracle(),
+        "X2 model-inference column + confidence threshold",
+    ),
+]

@@ -1,0 +1,131 @@
+"""Model-inference column operator (SURVEY §2 X2).
+
+The reference generates category predictions with an offline BERT
+batch job (`src/scripts/ml/batch_categorize.py:27-41`) and consumes
+them as a title-keyed lookup (`category/prediction.ts:74-87`).
+:func:`infer_column` generalizes that to an *online* inference column:
+any batch model function runs inside ``mapInPandas`` over Arrow
+batches, so
+
+- the model executes once per Arrow batch (vectorized), not per row;
+- model weights load once per Python worker (pass a loader, not a
+  loaded model, so the broadcast-pickle stays small);
+- rows never leave executors — the 100 TB shape.
+
+This is the same contract as ``pyspark.ml.functions.predict_batch_udf``
+but dependency-free and schema-explicit. The multimodal extractor
+(`multimodal/media.py:82`) is the same pattern specialized to bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from ..config.categories import FINAL_CATEGORIES
+from ..textops.constants import CHAR_SEED, MOD
+
+# confidence is carried in exact basis points (see functions/exact.py)
+CONF_THRESHOLD_BP = 6500
+
+
+def infer_column(
+    df: DataFrame,
+    model_loader: Callable[[], Callable[[pd.DataFrame], pd.DataFrame]],
+    input_cols: list[str],
+    output_ddl: str,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """Append model outputs as columns, Arrow-batched.
+
+    ``model_loader`` is called ONCE per Python worker and must return
+    the actual batch model: ``model(batch: pd.DataFrame) ->
+    pd.DataFrame`` where the input has exactly ``input_cols`` and the
+    output has the ``output_ddl`` columns, same length and order.
+
+    ``batch_size`` optionally re-chunks Arrow batches before the model
+    sees them (GPU-memory-bound models want fixed batch shapes).
+    """
+    out_struct = StructType.fromDDL(output_ddl)
+    full_schema = StructType(list(df.schema.fields) + list(out_struct.fields))
+    cols = list(input_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_loader()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            chunks = (
+                [pdf]
+                if batch_size is None
+                else [pdf.iloc[i : i + batch_size] for i in range(0, len(pdf), batch_size)]
+            )
+            for chunk in chunks:
+                out = model(chunk[cols].reset_index(drop=True))
+                if len(out) != len(chunk):
+                    raise ValueError(
+                        f"model returned {len(out)} rows for a {len(chunk)}-row batch"
+                    )
+                yield pd.concat(
+                    [chunk.reset_index(drop=True), out.reset_index(drop=True)], axis=1
+                )
+
+    return df.mapInPandas(run, full_schema)
+
+
+def make_demo_category_loader() -> Callable[[], Callable[[pd.DataFrame], pd.DataFrame]]:
+    """Deterministic stand-in for the reference's BERT categorizer
+    (`batch_categorize.py:27-41`): label = canon[poly_hash(title) mod
+    26], confidence = hash mod 10000 bp. Oracle-expressible (the same
+    polynomial hash the dedup oracles replicate), so the inference
+    *plumbing* sits under the exact correctness gate; swap the body
+    for a real model, keep the contract.
+
+    Returned as a runtime-created closure over plain data so
+    cloudpickle ships it BY VALUE — Python workers never need this
+    package importable (the driver may run from any directory; same
+    discipline as multimodal/media.py:94)."""
+    labels = tuple(FINAL_CATEGORIES)
+    seed, mod = CHAR_SEED, MOD
+
+    def loader() -> Callable[[pd.DataFrame], pd.DataFrame]:
+        import pandas as _pd
+
+        def model(batch):
+            out_label, out_conf = [], []
+            for title in batch["title"]:
+                h = seed
+                for ch in title or "":
+                    h = (h * 31 + ord(ch)) % mod
+                out_label.append(labels[h % len(labels)])
+                out_conf.append(h % 10000)
+            return _pd.DataFrame({"pred_label": out_label, "conf_bp": out_conf})
+
+        return model
+
+    return loader
+
+
+def demo_category_model_loader() -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Driver-side convenience: the demo model itself."""
+    return make_demo_category_loader()()
+
+
+def infer_categories(df: DataFrame, title_col: str = "title") -> DataFrame:
+    """X2 demo pipeline: online inference + confidence threshold
+    (ref consumption: category/prediction.ts:74-87 — predictions below
+    the confidence floor fall back to the unresolved path)."""
+    from pyspark.sql import functions as F
+
+    inferred = infer_column(
+        df.withColumnRenamed(title_col, "title") if title_col != "title" else df,
+        make_demo_category_loader(),
+        ["title"],
+        "pred_label string, conf_bp long",
+    )
+    return inferred.withColumn(
+        "accepted", F.col("conf_bp") >= CONF_THRESHOLD_BP
+    )
