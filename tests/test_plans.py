@@ -1,0 +1,64 @@
+"""Physical-plan assertions for the scale-critical queries: these
+lock in the plans the 100 TB posture depends on (pushdown reaches the
+scan, small dims broadcast, top-k never globally sorts) so a refactor
+that silently regresses one fails CI, not the cluster."""
+
+from __future__ import annotations
+
+from omfietser_etl_spark.catalog.relational import (
+    j1_broadcast_enrich,
+    j5_multiway_revenue,
+    o1_pagination,
+    s1_scan_pushdown,
+)
+from omfietser_etl_spark.catalog.inferencespec import x2_online_inference
+from omfietser_etl_spark.catalog.textops import td5_embed_neardup
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    plan = _plan(s1_scan_pushdown(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan and "l_discount" in plan.split("PushedFilters")[1][:200]
+    # column pruning: only the 4 referenced columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    import re
+
+    plan = _plan(j1_broadcast_enrich(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in nodes
+
+    plan5 = _plan(j5_multiway_revenue(spark, SF_SMOKE))
+    nodes5 = re.findall(r"^\(\d+\) (\w+)", plan5, re.M)
+    # nation + region broadcast; the fact-fact joins may be SMJ/AQE
+    assert nodes5.count("BroadcastHashJoin") >= 2
+
+
+def test_pagination_is_top_k_not_global_sort(spark):
+    plan = _plan(o1_pagination(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_td5_has_no_driver_collect_shape(spark):
+    # executor-side block-pair join: one FlatMapGroupsInPandas over the
+    # exploded block pairs; no broadcast of vector matrices
+    plan = _plan(td5_embed_neardup(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Generate" in plan and "explode" in plan
+
+
+def test_x2_inference_is_arrow_batched(spark):
+    plan = _plan(x2_online_inference(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
