@@ -160,6 +160,7 @@ def normalize_categories(
     output_col: str | None = None,
     method_col: str | None = None,
     broadcast_predictions: bool = True,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Attach the normalized category column (default: overwrite
     `category_col`).
@@ -168,12 +169,25 @@ def normalize_categories(
     resolves the cascade in Python, and broadcast-joins the mapping
     back — the fact side never shuffles.
 
+    The distinct-key collect is an EAGER action over ``df``; without
+    ``materialize_input`` the upstream plan (for the shop pipelines:
+    from_json + the whole transform cascade) would execute twice —
+    once here, once when the result is consumed. The default persist
+    (MEMORY_AND_DISK, batch-slice-sized — the reference processes
+    bounded job slices too) makes the collect the single
+    materialization pass. Pass ``False`` for inputs that are already
+    cached or trivially cheap to recompute.
+
     ``method_col`` additionally emits which cascade step resolved each
     row — static/ml/special/fuzzy/default — mirroring the reference's
     mapping-method stats (A12, ref: normalizer.ts:577-580,55-63).
     """
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     output_col = output_col or category_col
+    if materialize_input:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     keys = [
         (r[0] or "", r[1])
