@@ -426,6 +426,65 @@ TA4_ORACLE = (
 )
 
 
+# ---------------------------------------------------------------- #
+# tc1/tc2 — chunking + PII scrub (training-data prep)
+# ---------------------------------------------------------------- #
+
+def tc1_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    from omfietser_etl_spark.textops.chunking import chunk_documents
+
+    return chunk_documents(load(spark, sf, "documents"))
+
+
+TC1_ORACLE = (
+    "WITH d AS (SELECT doc_id AS doc, "
+    + DK_TOKENS.format(c="text")
+    + " AS t FROM documents), "
+    "s AS (SELECT doc, t, unnest(range(0, "
+    "CAST(ceil(greatest(len(t) - 16, 1) / 48.0) AS INT))) AS i FROM d) "
+    "SELECT doc, CAST(i AS BIGINT) AS chunk_id, "
+    "len(t[i * 48 + 1 : i * 48 + 64]) AS n_chunk_tokens, "
+    "array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text "
+    "FROM s"
+)
+
+
+def tc2_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Inject deterministic PII (synthetic docs carry none), then
+    scrub — proves the regex semantics end-to-end on both engines."""
+    from omfietser_etl_spark.textops.chunking import scrub_pii
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@mail.example.org"),
+            F.lit(" or +31 6 1234 "), F.col("doc_id") % 100,
+            F.lit(" ip 10.0.0."), F.col("doc_id") % 256,
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
+TC2_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id AS doc,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+              || ' or +31 6 1234 ' || CAST(doc_id % 100 AS VARCHAR)
+              || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]')) AS n_phones,
+  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed_text
+FROM d
+"""
+
+
 SPECS = [
     QuerySpec("td1_exact_dedup", td1_exact_dedup, TD1_ORACLE, "exact dedup stats"),
     QuerySpec("td2_ngram_jaccard", td2_ngram_jaccard, TD2_ORACLE, "n-gram Jaccard near-dup"),
@@ -438,4 +497,7 @@ SPECS = [
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),
     QuerySpec("ta4_fingerprint", ta4_fingerprint, TA4_ORACLE, "doc fingerprint hash"),
+    QuerySpec("tc1_doc_chunking", tc1_doc_chunking, TC1_ORACLE,
+              "token-window chunking with overlap"),
+    QuerySpec("tc2_pii_scrub", tc2_pii_scrub, TC2_ORACLE, "PII scrubbing + counts"),
 ]

@@ -124,3 +124,38 @@ def test_rename_columns_p8(spark):
     assert out.columns == ["price_before_bonus", "main_category"]
     back = rename_columns(out, snake_to_camel)
     assert back.columns == ["priceBeforeBonus", "mainCategory"]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from omfietser_etl_spark.textops.chunking import chunk_documents
+
+    text_65 = " ".join(f"w{i}" for i in range(65))
+    df = spark.createDataFrame(
+        [(1, text_65), (2, "short doc"), (3, "")], ["doc_id", "text"]
+    )
+    out = {(r.doc, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+           for r in chunk_documents(df).collect()}
+    # 65 tokens, window 64, step 48 → chunks at 0 (64 tokens) and 48 (17)
+    assert out[(1, 0)][0] == 64 and out[(1, 0)][1].startswith("w0 ")
+    assert out[(1, 1)][0] == 17 and out[(1, 1)][1].startswith("w48 ")
+    # overlap: tokens 48..63 are in both chunks
+    assert "w50" in out[(1, 0)][1] and "w50" in out[(1, 1)][1]
+    assert out[(2, 0)] == (2, "short doc")
+    assert out[(3, 0)] == (0, "")  # empty doc → one empty chunk
+    assert len(out) == 4
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from omfietser_etl_spark.textops.chunking import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.example.com, call +31 6 1234 5678, host 192.168.1.1"),
+         (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc: r for r in scrub_pii(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 1)
+    s = rows[1].scrubbed_text
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<IP>" in s
+    assert "example.com" not in s and "192.168" not in s
+    assert rows[2].scrubbed_text == "nothing here"
