@@ -427,6 +427,36 @@ TA4_ORACLE = (
 
 
 # ---------------------------------------------------------------- #
+# dd4 — near-dup connected components (transitive closure of the
+#       MinHash-LSH pair graph: A~B, B~C → one keep-group)
+# ---------------------------------------------------------------- #
+
+def dd4_neardup_components(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dd.minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text")
+    return dd.connected_components(pairs)
+
+
+def _dd4_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME pair graph the
+    td3 oracle produces; component = min reachable node (order-free,
+    so it matches Spark's iterative min-label propagation exactly)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_lo, doc_hi FROM ({_td3_oracle()})
+), edges AS (
+  SELECT doc_lo AS a, doc_hi AS b FROM pairs
+  UNION
+  SELECT doc_hi AS a, doc_lo AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+)
+SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------- #
 # tc1/tc2 — chunking + PII scrub (training-data prep)
 # ---------------------------------------------------------------- #
 
@@ -497,6 +527,8 @@ SPECS = [
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),
     QuerySpec("ta4_fingerprint", ta4_fingerprint, TA4_ORACLE, "doc fingerprint hash"),
+    QuerySpec("dd4_neardup_components", dd4_neardup_components, _dd4_oracle(),
+              "near-dup connected components"),
     QuerySpec("tc1_doc_chunking", tc1_doc_chunking, TC1_ORACLE,
               "token-window chunking with overlap"),
     QuerySpec("tc2_pii_scrub", tc2_pii_scrub, TC2_ORACLE, "PII scrubbing + counts"),

@@ -208,3 +208,70 @@ def drop_incomplete(df, required=("unified_id", "shop_type", "title")):
     for c in required:
         cond = cond & F.col(c).isNotNull() & (F.col(c).cast("string") != "")
     return df.filter(cond)
+
+
+def connected_components(
+    pairs: DataFrame,
+    lo_col: str = "doc_lo",
+    hi_col: str = "doc_hi",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (node, component) with
+    component = min node id reachable.
+
+    This is the canonical dedup-clustering step after any pair
+    producer (MinHash/LSH, Jaccard, SimHash, cosine): A~B and B~C must
+    collapse to one keep-group even though A and C never met in a
+    bucket.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels. Rounds needed =
+    graph diameter (near-dup clusters are short chains; GraphX/
+    GraphFrames use the same loop with large-star/small-star to cut
+    worst cases). Each round is one shuffle of the EDGE list — at
+    100 TB the edge list is candidate pairs, orders of magnitude
+    smaller than the corpus. Labels persist per round and the
+    previous round unpersists; convergence is detected with a
+    changed-row count (driver-coordinated loop, data never leaves
+    executors).
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(lo_col).alias("a"), F.col(hi_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(hi_col).alias("a"), F.col(lo_col).alias("b"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(edges["a"].alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

@@ -159,3 +159,14 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "<EMAIL>" in s and "<PHONE>" in s and "<IP>" in s
     assert "example.com" not in s and "192.168" not in s
     assert rows[2].scrubbed_text == "nothing here"
+
+
+def test_connected_components_transitive(spark):
+    from omfietser_etl_spark.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 3)], ["doc_lo", "doc_hi"]
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    # {1,2,3,4} collapse via chains; {7,9} separate
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
