@@ -77,7 +77,8 @@ FROM (
 
 def st6_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window rollup on event time (ref: ST6 — capability the
-    reference lacks; streaming variant in streaming/rollups.py uses
+    reference lacks; streaming variant
+    `streaming/incremental.py::windowed_event_counts` uses
     window()+watermark with identical bucketing)."""
     ev = load(spark, sf, "events")
     hour_bucket = F.expr("ts div 3600000000000").alias("hour_bucket")
