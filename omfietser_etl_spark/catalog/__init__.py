@@ -45,6 +45,7 @@ def all_specs() -> list[QuerySpec]:
         reports,
         streaming,
         textops,
+        trainprep,
     )
 
     specs: list[QuerySpec] = []
@@ -58,6 +59,7 @@ def all_specs() -> list[QuerySpec]:
         reports,
         multimodalspec,
         inferencespec,
+        trainprep,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

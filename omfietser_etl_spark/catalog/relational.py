@@ -677,6 +677,63 @@ SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 """
 
 
+# --------------------------------------------------------------------------
+# J8 — range/interval join (bin-blocked; operators/joins.py)
+# --------------------------------------------------------------------------
+
+#: one day in microseconds — the bin width for j8's blocking join.
+DAY_US = 86_400_000_000
+
+
+def j8_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Events joined to overlapping validity windows via the
+    bin-blocked interval join (operators/joins.py::interval_join).
+
+    The range dimension is synthesized from ``nation``: 25 overlapping
+    windows tiling the event time span (start = lo + k·(span div 32),
+    width = 3·(span div 32)) — the promotion-window shape the
+    reference stores as promotion_start/end dates
+    (types/product.ts:32-33). Here the join itself is the point: the
+    interval predicate runs as an equi-join on day bins, never a
+    nested loop, so BOTH sides scale. Event time is truncated to
+    epoch-µs first (Spark reads the parquet nanos raw, DuckDB at µs —
+    see st7); all arithmetic is exact integers after that.
+    """
+    ev = load(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    bounds = ev.agg(F.min("tus").alias("lo"), F.max("tus").alias("hi"))
+    ranges = (
+        load(spark, sf, "nation")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n_nationkey",
+            F.expr("lo + n_nationkey * ((hi - lo) div 32)").alias("start_us"),
+            F.expr("lo + n_nationkey * ((hi - lo) div 32) + 3 * ((hi - lo) div 32)")
+            .alias("end_us"),
+        )
+    )
+    from omfietser_etl_spark.operators.joins import interval_join
+
+    joined = interval_join(ev, ranges, "tus", "start_us", "end_us", DAY_US)
+    return joined.groupBy("n_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_value_cents"),
+    )
+
+
+J8_ORACLE = """
+WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+r AS (SELECT n_nationkey,
+             lo + n_nationkey * ((hi - lo) // 32) AS start_us,
+             lo + n_nationkey * ((hi - lo) // 32) + 3 * ((hi - lo) // 32) AS end_us
+      FROM nation, b)
+SELECT r.n_nationkey, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM r JOIN events e
+  ON epoch_us(e.ts) >= r.start_us AND epoch_us(e.ts) < r.end_us
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("s1_scan_pushdown", s1_scan_pushdown, S1_ORACLE, "S1/S3 filtered scan"),
     QuerySpec("s5_point_lookup", s5_point_lookup, S5_ORACLE, "S5 point lookup"),
@@ -704,4 +761,6 @@ SPECS = [
     QuerySpec("o7_topk_per_group", o7_topk_per_group, O7_ORACLE, "O7 top-k per group"),
     QuerySpec("o4_argmax_per_group", o4_argmax_per_group, O4_ORACLE, "O4 argmax"),
     QuerySpec("u1_union_distinct", u1_union_distinct, U1_ORACLE, "U1/U2 union distinct"),
+    QuerySpec("j8_range_join", j8_range_join, J8_ORACLE,
+              "bin-blocked interval join (big×big range join)"),
 ]

@@ -182,10 +182,50 @@ FROM unpivoted GROUP BY field
 """
 
 
+def st7_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): sessions per
+    user with a 1-hour inactivity gap, one row per session. The
+    boundary-flag + running-sum + aggregate all share one hash
+    partitioning on user_id — a single shuffle end to end. Streaming
+    twin: session state via applyInPandasWithState
+    (streaming/stateful.py).
+
+    Event time is truncated to epoch-µs first: Spark reads the
+    parquet timestamps as raw nanos while DuckDB's TIMESTAMP carries
+    µs — raw-ts outputs must agree on the coarser unit (same hazard
+    class as the double-sum rounding ties; see catalog docstring)."""
+    from omfietser_etl_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf, "events").withColumn("tus", F.expr("ts div 1000"))
+    return session_stats(ev, ts_col="tus")
+
+
+ST7_ORACLE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+b AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL THEN 1
+                 WHEN tus - lag(tus) OVER w > 3600000000 THEN 1
+                 ELSE 0 END AS nb
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (
+  SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM b)
+SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(min(tus) AS BIGINT) AS start_ts,
+       CAST(max(tus) AS BIGINT) AS end_ts,
+       CAST(max(tus) - min(tus) AS BIGINT) AS duration,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
     QuerySpec("st6_window_counts", st6_window_counts, ST6_ORACLE, "ST6 tumbling window"),
     QuerySpec("u4_new_disappeared", u4_new_keys_between_halves, U4H_ORACLE, "U4 new/gone keys"),
     QuerySpec("a10_drift_report", a10_drift_report, A10_ORACLE, "A10 drift report"),
+    QuerySpec("st7_sessionize", st7_sessionize, ST7_ORACLE,
+              "gap-based sessionization (single-shuffle)"),
 ]

@@ -1,0 +1,127 @@
+"""Training-data preparation queries: deterministic sampling, mixture
+splits, sequence packing (textops/sampling.py).
+
+These close the sampling/splitting surface of a large-scale training
+pipeline: every "random" decision is a salted integer hash of the
+stable doc id, so membership is reproducible across runs, engines, and
+task retries (Spark's ``rand()`` is NOT retry-stable — see the
+sampling module docstring). The DuckDB oracles replay the identical
+polynomial hash, so the gate checks bit-exact membership, not just
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.textops import sampling as sp
+
+from . import QuerySpec
+from .textops import dk_poly
+
+#: sampling rate for ts1 (basis points of 10000).
+TS1_RATE_BP = 500
+#: packing context length for ts3 (tokens).
+TS3_CTX = 128
+
+
+def _dk_mix31(x: str) -> str:
+    """DuckDB twin of sampling.mix31 (same xor-shift-multiply rounds)."""
+    for shift, c in zip(sp.MIX_SHIFTS, (sp.MIX_C1, sp.MIX_C2)):
+        x = f"(xor({x}, ({x}) >> {shift}) * {c}) % {sp.M31}"
+    return f"xor({x}, ({x}) >> 16)"
+
+
+def _dk_bucket(salt: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of sampling.hash_bucket (same salted mixed hash)."""
+    poly = dk_poly(f"'{salt}' || ':' || CAST({id_expr} AS VARCHAR)")
+    return f"({_dk_mix31(poly)}) % {sp.BUCKETS}"
+
+
+# ---------------------------------------------------------------- #
+# ts1 — deterministic hash sampling
+# ---------------------------------------------------------------- #
+
+def ts1_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    return sp.hash_sample(docs, "doc", TS1_RATE_BP).select(
+        "doc", "source", F.col("_bucket").alias("bucket")
+    )
+
+
+TS1_ORACLE = f"""
+SELECT doc, source, CAST(bucket AS BIGINT) AS bucket FROM (
+  SELECT doc_id AS doc, source, {_dk_bucket('sample', 'doc_id')} AS bucket
+  FROM documents)
+WHERE bucket < {TS1_RATE_BP}
+"""
+
+
+# ---------------------------------------------------------------- #
+# ts2 — train/val/test + shard assignment (mixture split)
+# ---------------------------------------------------------------- #
+
+def ts2_mixture_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    assigned = sp.mixture_split(docs, "doc")
+    return assigned.groupBy("source", "split", "shard").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+TS2_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {_dk_bucket('split', 'doc_id')} < 9000 THEN 'train'
+              WHEN {_dk_bucket('split', 'doc_id')} < 9500 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST({_dk_bucket('split:shard', 'doc_id')} % 8 AS BIGINT) AS shard
+  FROM documents)
+SELECT source, split, shard, count(*) AS n_docs
+FROM assigned GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- #
+# ts3 — concat-then-chunk sequence packing plan
+# ---------------------------------------------------------------- #
+
+def ts3_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return sp.pack_sequences(docs, "doc_id", "text", TS3_CTX)
+
+
+TS3_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id AS doc, source AS stream,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents),
+s AS (
+  SELECT doc, stream, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM d)
+SELECT doc, stream, n_tok, start_tok,
+       CAST(floor(start_tok / {TS3_CTX}.0) AS BIGINT) AS first_chunk,
+       CAST(floor((start_tok + greatest(n_tok, 1) - 1) / {TS3_CTX}.0) AS BIGINT)
+         AS last_chunk
+FROM s
+"""
+
+
+SPECS = [
+    QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
+              "deterministic hash sampling (retry-stable, monotone)"),
+    QuerySpec("ts2_mixture_split", ts2_mixture_split, TS2_ORACLE,
+              "train/val/test + shard assignment by salted hash"),
+    QuerySpec("ts3_sequence_pack", ts3_sequence_pack, TS3_ORACLE,
+              "concat-then-chunk packing plan per stream"),
+]

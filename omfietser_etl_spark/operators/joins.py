@@ -13,6 +13,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Bin-blocked range join: facts whose ``ts_col`` falls in a
+    range's half-open ``[start_col, end_col)`` window.
+
+    A naive range join is a theta join — Catalyst plans it as
+    broadcast-nested-loop, which is fine only while one side fits in
+    memory. This operator makes the range predicate *equi-joinable*:
+
+    - each fact maps to exactly one time bin (``ts div bin_width``);
+    - each range explodes to the bins it overlaps
+      (``sequence(start div w, (end-1) div w)``);
+    - the join runs on the bin key, with the exact interval predicate
+      as a residual filter.
+
+    The shuffle key is the bin, so both sides can be arbitrarily
+    large; no pair is formed unless the two rows share a bin. Each
+    (fact, range) pair is produced at most once — the fact's single
+    bin either is or isn't in the range's bin list — so no distinct
+    pass is needed. Choose ``bin_width`` near the typical range span:
+    cost scales with ranges' span/bin_width replication factor on one
+    side and bin skew on the other (AQE skew-join splits hot bins).
+
+    For a small range dimension, ``F.broadcast(ranges)`` + the theta
+    predicate is simpler and Catalyst handles it; this operator is
+    the big×big path.
+    """
+    if how not in ("inner",):
+        raise ValueError("interval_join supports inner joins")
+    f = facts.withColumn("_bin", F.expr(f"{ts_col} div {bin_width}"))
+    r = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.expr(f"sequence({start_col} div {bin_width}, ({end_col} - 1) div {bin_width})")
+        ),
+    )
+    joined = f.join(
+        r,
+        (f["_bin"] == r["_bin"])
+        & (f[ts_col] >= r[start_col])
+        & (f[ts_col] < r[end_col]),
+    )
+    return joined.drop("_bin")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

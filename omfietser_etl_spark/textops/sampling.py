@@ -1,0 +1,157 @@
+"""Deterministic sampling / split / packing operators for
+training-data preparation.
+
+Large-scale pipelines cannot use ``rand()`` for sampling or split
+assignment: Spark re-executes lost tasks, and a nondeterministic
+sample changes membership under retry — rows silently appear in both
+train and test. Every operator here derives its randomness from an
+exact integer hash of the row's stable id (the same polynomial hash
+the dedup operators use, so the DuckDB oracle reproduces it bit for
+bit). That makes membership:
+
+- stable under task retries / speculative execution,
+- stable across runs and engines (reproducible experiments),
+- local (no shuffle, no driver coordination — a map-side filter).
+
+Generalizes the reference's deterministic keep-first dedupe discipline
+(`src/utils/dedupe.ts:23-52` — explicit order, no randomness) to the
+sampling/splitting surface a 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analysis import poly_hash, ws_token_count
+
+#: hash-bucket space for sampling rates (basis points: 10000 = 100%).
+BUCKETS = 10_000
+
+#: 31-bit mixer constants (xor-shift-multiply finalizer). All
+#: arithmetic stays under 2^63 (needed because DuckDB BIGINT
+#: multiplication errors on overflow instead of wrapping, so the
+#: usual 64-bit finalizers aren't engine-portable).
+M31 = 2_147_483_648
+MIX_C1 = 73_244_475
+MIX_C2 = 295_990_163
+MIX_SHIFTS = (15, 13)
+
+
+def mix31(x: Column) -> Column:
+    """Avalanche finalizer over a non-negative < 2^31 hash value.
+
+    The polynomial rolling hash is a *left fold* — consecutive ids
+    yield consecutive hashes, so ``poly % buckets`` selects contiguous
+    id bands, not a sample. Two xor-shift-multiply rounds (classic
+    32-bit finalizer shape, reduced mod 2^31 for portable exact
+    integer arithmetic) break that linearity.
+    """
+    for shift, c in zip(MIX_SHIFTS, (MIX_C1, MIX_C2)):
+        x = F.pmod(x.bitwiseXOR(F.shiftright(x, shift)) * c, F.lit(M31))
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a salted, mixed id
+    hash.
+
+    The salt decouples independent decisions (sample vs split vs
+    shard) made from the same id: each salt is an independent hash
+    function over the same key.
+    """
+    salted = f"concat('{salt}', ':', cast({id_col} as string))"
+    return F.pmod(mix31(poly_hash(salted)), F.lit(BUCKETS))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate_bp: int, salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ``rate_bp``/10000 fraction of rows.
+
+    Map-side filter — no shuffle, no state; at 100 TB the sample
+    predicate is pushed into the scan's filter stage and rows never
+    move. The kept set is a fixed property of (id, salt, rate), so
+    downsampling is monotone: rate 100 ⊂ rate 200 ⊂ … (lowering the
+    rate removes rows, never swaps them) — the property curriculum /
+    ablation runs rely on.
+    """
+    return df.withColumn("_bucket", hash_bucket(id_col, salt)).filter(
+        F.col("_bucket") < rate_bp
+    )
+
+
+def mixture_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 9000), ("val", 500), ("test", 500)),
+    n_shards: int = 8,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a (split, shard) pair deterministically.
+
+    ``splits`` are (name, weight_bp) with weights summing to BUCKETS;
+    the split comes from one salted hash (contiguous bucket ranges),
+    the shard from an independently salted hash — so shards are
+    uniform *within* each split. Pure map-side expressions: the
+    train/val/test membership of 100 TB is decided without moving a
+    byte, and writing shard-partitioned output is a single
+    ``partitionBy(split, shard)`` write.
+    """
+    total = sum(w for _, w in splits)
+    if total != BUCKETS:
+        raise ValueError(f"split weights must sum to {BUCKETS}, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    edge = 0
+    chain = None
+    for name, weight in splits:
+        edge += weight
+        cond = bucket < edge
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    return df.withColumn("split", chain).withColumn(
+        "shard", F.pmod(hash_bucket(id_col, salt + ":shard"), F.lit(n_shards))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ctx_len: int,
+    stream_col: str = "source",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing plan (GPT-style).
+
+    Documents are concatenated in deterministic (stream, id) order and
+    cut into fixed ``ctx_len``-token training windows; each document
+    reports the window range it lands in. This is the standard packing
+    used for LLM pretraining (no padding waste, documents may straddle
+    window boundaries).
+
+    Scale shape: one window function partitioned by ``stream_col`` —
+    the running token offset never needs a global ordering, because at
+    real scale packing is per-shard by design (each output shard is an
+    independent token stream). No global sort, no single-partition
+    window; the only shuffle is the hash partition on the stream key.
+    """
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(stream_col).alias("stream"),
+            ws_token_count(text_col).cast("long").alias("n_tok"),
+        )
+        .withColumn("start_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .select(
+            "doc",
+            "stream",
+            "n_tok",
+            "start_tok",
+            F.floor(F.col("start_tok") / ctx_len).alias("first_chunk"),
+            F.floor(
+                (F.col("start_tok") + F.greatest(F.col("n_tok"), F.lit(1)) - 1) / ctx_len
+            ).alias("last_chunk"),
+        )
+    )
