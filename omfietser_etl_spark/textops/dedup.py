@@ -228,12 +228,17 @@ def connected_components(
     min of its own label and its neighbors' labels. Rounds needed =
     graph diameter (near-dup clusters are short chains; GraphX/
     GraphFrames use the same loop with large-star/small-star to cut
-    worst cases). Each round is one shuffle of the EDGE list — at
-    100 TB the edge list is candidate pairs, orders of magnitude
-    smaller than the corpus. Labels persist per round and the
-    previous round unpersists; convergence is detected with a
+    worst cases). At 100 TB the edge list is candidate pairs, orders
+    of magnitude smaller than the corpus. Labels persist per round
+    and the previous round unpersists; convergence is detected with a
     changed-row count (driver-coordinated loop, data never leaves
     executors).
+
+    Each round is exactly TWO shuffles — the edges⋈labels hash join
+    and one groupBy(node) — because the old label rides the round as
+    a tagged union row instead of a second join back onto the labels
+    frame: min over (neighbor labels ∪ own label) is the new label,
+    and the own-label row doubles as the change detector.
     """
     from pyspark import StorageLevel
 
@@ -252,25 +257,22 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(max_iter):
-        neighbor_min = (
+        contrib = (
             edges.join(labels, edges["b"] == labels["node"])
-            .groupBy(edges["a"].alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+            .select(edges["a"].alias("node"), "label", F.lit(False).alias("own"))
+            .unionByName(labels.withColumn("own", F.lit(True)))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+        agg = (
+            contrib.groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = new_labels.filter(F.col("_changed")).count()
+        changed = agg.filter(F.col("label") < F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels.drop("_changed")
+        labels = agg.drop("_old")
         if changed == 0:
             break
     edges.unpersist()
