@@ -220,6 +220,53 @@ FROM s GROUP BY 1, 2
 """
 
 
+def h1_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 interval history (operators/history.py): collapse each
+    customer's order-status log into type-2 validity runs. The
+    reference's upsert keeps only the latest state
+    (postgres-adapter.ts:637-788, first_seen/last_updated at
+    init-processor-schema.sql:36-38); this reconstructs the full
+    history — one shuffle on the key, all three windows share it."""
+    from omfietser_etl_spark.operators.history import scd2_intervals
+
+    o = load(spark, sf, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    runs = scd2_intervals(
+        o, "o_custkey", "o_orderdate", ["o_orderstatus"], order_col="o_orderkey"
+    )
+    return runs.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+H1_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n_key,
+         (lag(o_orderdate) OVER w IS NULL
+          OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w) AS b
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+starts AS (SELECT * FROM ordered WHERE b)
+SELECT o_custkey, o_orderstatus,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER ws, '%Y-%m-%d') AS valid_to,
+       CAST(COALESCE(lead(rn) OVER ws, n_key + 1) - rn AS BIGINT) AS n_rows,
+       CAST(CASE WHEN lead(o_orderdate) OVER ws IS NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS is_current
+FROM starts
+WINDOW ws AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
@@ -228,4 +275,6 @@ SPECS = [
     QuerySpec("a10_drift_report", a10_drift_report, A10_ORACLE, "A10 drift report"),
     QuerySpec("st7_sessionize", st7_sessionize, ST7_ORACLE,
               "gap-based sessionization (single-shuffle)"),
+    QuerySpec("h1_scd2_history", h1_scd2_history, H1_ORACLE,
+              "SCD2 type-2 interval history (gaps-and-islands, one shuffle)"),
 ]

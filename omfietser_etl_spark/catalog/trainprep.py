@@ -117,6 +117,37 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------- #
+# ts4 — stratified (per-group-rate) sampling
+# ---------------------------------------------------------------- #
+
+#: per-source keep rates in basis points; sources absent here fall
+#: back to TS4_DEFAULT_BP (downsample the over-represented head,
+#: keep a trickle of the long tail — corpus rebalancing).
+TS4_RATES_BP = {"src0": 9000, "src1": 5000, "src2": 2500}
+TS4_DEFAULT_BP = 1000
+
+
+def ts4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    kept = sp.stratified_sample(docs, "doc", "source", TS4_RATES_BP, TS4_DEFAULT_BP)
+    return kept.select("doc", "source", F.col("_bucket").alias("bucket"))
+
+
+_TS4_RATE_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in TS4_RATES_BP.items()
+) + f" ELSE {TS4_DEFAULT_BP} END"
+
+TS4_ORACLE = f"""
+SELECT doc, source, CAST(bucket AS BIGINT) AS bucket FROM (
+  SELECT doc_id AS doc, source, {_dk_bucket('strat', 'doc_id')} AS bucket
+  FROM documents)
+WHERE bucket < {_TS4_RATE_CASE}
+"""
+
+
 SPECS = [
     QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
               "deterministic hash sampling (retry-stable, monotone)"),
@@ -124,4 +155,6 @@ SPECS = [
               "train/val/test + shard assignment by salted hash"),
     QuerySpec("ts3_sequence_pack", ts3_sequence_pack, TS3_ORACLE,
               "concat-then-chunk packing plan per stream"),
+    QuerySpec("ts4_stratified_sample", ts4_stratified_sample, TS4_ORACLE,
+              "per-group-rate deterministic sampling (corpus rebalancing)"),
 ]

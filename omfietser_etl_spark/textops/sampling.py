@@ -111,6 +111,37 @@ def mixture_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sampling (``sampleBy`` made retry-stable).
+
+    Each group keeps its own ``rates_bp``/10000 fraction, decided by
+    the same salted id hash as ``hash_sample`` — so membership is
+    again a pure map-side filter (no shuffle, no driver state) and
+    rebalancing a skewed corpus (downsample the over-represented
+    source, keep the long tail) is reproducible across runs and
+    engines. Groups absent from ``rates_bp`` fall back to
+    ``default_bp``. Within every group the monotone property of
+    ``hash_sample`` holds: raising a group's rate only adds rows.
+    """
+    rate = None
+    for value, bp in rates_bp.items():
+        cond = F.col(group_col) == value
+        rate = F.when(cond, bp) if rate is None else rate.when(cond, bp)
+    rate = F.lit(default_bp) if rate is None else rate.otherwise(default_bp)
+    return (
+        df.withColumn("_bucket", hash_bucket(id_col, salt))
+        .withColumn("_rate", rate)
+        .filter(F.col("_bucket") < F.col("_rate"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

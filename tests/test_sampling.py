@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from omfietser_etl_spark.operators.history import scd2_intervals
 from omfietser_etl_spark.operators.joins import interval_join
 from omfietser_etl_spark.operators.sessions import session_stats, sessionize
 from omfietser_etl_spark.session import load
@@ -13,6 +14,7 @@ from omfietser_etl_spark.textops.sampling import (
     hash_sample,
     mixture_split,
     pack_sequences,
+    stratified_sample,
 )
 
 from .conftest import SF_SMOKE
@@ -71,6 +73,60 @@ def test_pack_sequences_is_contiguous_per_stream(spark):
             assert r.first_chunk == r.start_tok // 64
             assert r.first_chunk <= r.last_chunk
             offset += r.n_tok
+
+
+def test_stratified_sample_rates_and_monotonicity(spark):
+    docs = _docs(spark)
+    rates = {"src0": 10_000, "src1": 5_000}
+    kept = stratified_sample(docs, "doc", "source", rates, default_bp=0)
+    per_src = {
+        r.source: r.cnt
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # rate 10000 keeps every row; rate 0 (default) keeps none
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert per_src.get("src0") == n_src0
+    assert set(per_src) <= {"src0", "src1"}
+    # per-group membership is the hash_sample set at the same salt/rate
+    via_global = {
+        r.doc
+        for r in hash_sample(docs, "doc", 5_000, salt="strat")
+        .filter(F.col("source") == "src1")
+        .collect()
+    }
+    via_strat = {r.doc for r in kept.filter(F.col("source") == "src1").collect()}
+    assert via_strat == via_global
+
+
+def test_scd2_intervals_runs_and_chaining(spark):
+    rows = [
+        # key 1: A,A,B,A — three runs; ties on ts broken by seq
+        (1, 10, 1, "A"),
+        (1, 20, 2, "A"),
+        (1, 30, 3, "B"),
+        (1, 40, 4, "A"),
+        # key 2: null -> null is NOT a change; null -> X is
+        (2, 10, 1, None),
+        (2, 20, 2, None),
+        (2, 30, 3, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "state"])
+    out = scd2_intervals(df, "k", "ts", ["state"], order_col="seq").collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.valid_from)
+    assert [(r.state, r.valid_from, r.valid_to, r.n_rows, r.is_current) for r in k1] == [
+        ("A", 10, 30, 2, False),
+        ("B", 30, 40, 1, False),
+        ("A", 40, None, 1, True),
+    ]
+    k2 = sorted([r for r in out if r.k == 2], key=lambda r: r.valid_from)
+    assert [(r.state, r.valid_from, r.valid_to, r.n_rows, r.is_current) for r in k2] == [
+        (None, 10, 30, 2, False),
+        ("X", 30, None, 1, True),
+    ]
+    # intervals chain: every non-final valid_to equals the next valid_from
+    for runs in (k1, k2):
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to == b.valid_from
 
 
 def test_sessionize_boundaries(spark):
