@@ -734,6 +734,163 @@ GROUP BY 1
 """
 
 
+def a14_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (crosstab) report: status counts as columns per priority
+    (ref: visualize-data.ts:100-118 renders the same distribution
+    matrix; the reference computes it client-side row by row).
+
+    Spark's `pivot(col, values)` with EXPLICIT values is the scale
+    shape: without them, pivot runs an extra distinct JOB over the
+    whole input just to discover the column domain before it can even
+    plan. With them it compiles to two map-side-partial hash
+    aggregates (per (priority,status), then per priority with the
+    CASE branches) — both shuffles carry only group keys + counters."""
+    o = load(spark, sf, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("cnt_f"),
+        F.coalesce("O", F.lit(0)).alias("cnt_o"),
+        F.coalesce("P", F.lit(0)).alias("cnt_p"),
+    )
+
+
+A14_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a15_percentile_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p25/p50/p75/p90 per group by nearest-rank (generalizes
+    a4's median; ref: visualize-data.ts:213-224 sorts to index the
+    median the same way).
+
+    Scale shape: ONE sort-shuffle on the group key computes every
+    percentile — rank + count ride the same window partitioning, and
+    the four extractions are conditional aggregates over that single
+    pass. Nearest-rank (rn == ceil(p·n/100), exact integer
+    arithmetic) picks a real data value — no interpolation, so no
+    cross-engine float ties. Compare `percentile_approx` for the
+    sketch-based scale path (approximate, mergeable)."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return ranked.groupBy("l_returnflag").agg(
+        *[
+            F.max(
+                F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"), cents)
+            ).alias(f"p{p}_cents")
+            for p in (25, 50, 75, 90)
+        ]
+    )
+
+
+A15_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       max(CASE WHEN rn = (25 * n + 99) // 100
+                THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS p25_cents,
+       max(CASE WHEN rn = (50 * n + 99) // 100
+                THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS p50_cents,
+       max(CASE WHEN rn = (75 * n + 99) // 100
+                THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS p75_cents,
+       max(CASE WHEN rn = (90 * n + 99) // 100
+                THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS p90_cents
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+def a16_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profiler (ANALYZE-style data quality summary):
+    null count, exact distinct, min/max per column — the
+    deequ/profiling surface the reference approximates with ad-hoc
+    completeness tallies (product-quality-service.ts:90-158,
+    processors/base.ts:626-716).
+
+    Scale shape: a single global aggregate; the multiple exact
+    COUNT(DISTINCT) columns compile to one Expand + hash aggregate
+    (data duplicated once per distinct column — the documented cost
+    of exactness; swap in approx_count_distinct per column at the
+    100 TB tier). Min/max for doubles are emitted in integer cents so
+    the unpivoted string column is engine-stable."""
+    o = load(spark, sf, "orders")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # o_orderstatus
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("s_nulls"),
+        F.countDistinct("o_orderstatus").alias("s_nd"),
+        F.min("o_orderstatus").alias("s_min"),
+        F.max("o_orderstatus").alias("s_max"),
+        # o_custkey
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("c_nulls"),
+        F.countDistinct("o_custkey").alias("c_nd"),
+        F.min("o_custkey").cast("string").alias("c_min"),
+        F.max("o_custkey").cast("string").alias("c_max"),
+        # o_totalprice
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("t_nulls"),
+        F.countDistinct("o_totalprice").alias("t_nd"),
+        F.min(cents("o_totalprice")).cast("string").alias("t_min"),
+        F.max(cents("o_totalprice")).cast("string").alias("t_max"),
+    )
+    return agg.select(
+        "n_rows",
+        F.expr(
+            "stack(3, "
+            "'o_orderstatus', s_nulls, s_nd, s_min, s_max, "
+            "'o_custkey', c_nulls, c_nd, c_min, c_max, "
+            "'o_totalprice', t_nulls, t_nd, t_min, t_max) "
+            "AS (col_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+    )
+
+
+A16_ORACLE = """
+WITH base AS (SELECT count(*) AS n_rows FROM orders)
+SELECT n_rows, 'o_orderstatus' AS col_name,
+       (SELECT CAST(count(*) - count(o_orderstatus) AS BIGINT) FROM orders) AS n_nulls,
+       (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders) AS n_distinct,
+       (SELECT min(o_orderstatus) FROM orders) AS min_s,
+       (SELECT max(o_orderstatus) FROM orders) AS max_s
+FROM base
+UNION ALL
+SELECT n_rows, 'o_custkey',
+       (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders),
+       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+       (SELECT CAST(min(o_custkey) AS VARCHAR) FROM orders),
+       (SELECT CAST(max(o_custkey) AS VARCHAR) FROM orders)
+FROM base
+UNION ALL
+SELECT n_rows, 'o_totalprice',
+       (SELECT CAST(count(*) - count(o_totalprice) AS BIGINT) FROM orders),
+       (SELECT CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+       (SELECT CAST(CAST(min(round(o_totalprice * 100, 0)) AS BIGINT) AS VARCHAR) FROM orders),
+       (SELECT CAST(CAST(max(round(o_totalprice * 100, 0)) AS BIGINT) AS VARCHAR) FROM orders)
+FROM base
+"""
+
+
 SPECS = [
     QuerySpec("s1_scan_pushdown", s1_scan_pushdown, S1_ORACLE, "S1/S3 filtered scan"),
     QuerySpec("s5_point_lookup", s5_point_lookup, S5_ORACLE, "S5 point lookup"),
@@ -763,4 +920,10 @@ SPECS = [
     QuerySpec("u1_union_distinct", u1_union_distinct, U1_ORACLE, "U1/U2 union distinct"),
     QuerySpec("j8_range_join", j8_range_join, J8_ORACLE,
               "bin-blocked interval join (big×big range join)"),
+    QuerySpec("a14_pivot", a14_pivot, A14_ORACLE,
+              "pivot/crosstab with explicit value domain"),
+    QuerySpec("a15_percentile_bands", a15_percentile_bands, A15_ORACLE,
+              "exact nearest-rank percentiles, one sort-shuffle"),
+    QuerySpec("a16_profile", a16_profile, A16_ORACLE,
+              "one-pass column profiler (nulls/distinct/min/max)"),
 ]

@@ -9,7 +9,11 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from omfietser_etl_spark.session import load
-from omfietser_etl_spark.sinks.clustered import write_range_clustered
+from omfietser_etl_spark.sinks.clustered import (
+    write_range_clustered,
+    write_z_clustered,
+    z_order_key,
+)
 from omfietser_etl_spark.streaming.dedup import dedup_stream
 
 from .conftest import SF_SMOKE
@@ -45,6 +49,38 @@ def test_range_clustered_files_have_disjoint_bands(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey" in plan
+
+
+def test_z_order_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b11, 0b00), (0b00, 0b11), (0b10, 0b01)], ["a", "b"])
+    got = [r.z for r in df.select(z_order_key("a", "b", 2).alias("z")).collect()]
+    # a bits at even positions, b bits at odd positions
+    assert got == [0b0101, 0b1010, 0b0110]
+
+
+def _file_bands(path: str, col: str) -> list[tuple]:
+    bands = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        ix = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(ix).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(ix).statistics.max for i in range(md.num_row_groups))
+        bands.append((lo, hi))
+    return bands
+
+
+def test_z_clustered_layout_bounds_both_dimensions(spark, tmp_path):
+    # full 32x32 grid; 4 z-range files ≈ the four quadrants, so BOTH
+    # x and y spans per file are about half the domain
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    out = str(tmp_path / "zclustered")
+    write_z_clustered(grid, out, "x", "y", bits=5, n_files=4)
+    for col in ("x", "y"):
+        for lo, hi in _file_bands(out, col):
+            assert hi - lo <= 24, (col, lo, hi)  # never the full 0..31 span
+    assert spark.read.parquet(out).count() == 32 * 32
 
 
 def test_dedup_stream_batch_degrades_to_drop_duplicates(spark):
