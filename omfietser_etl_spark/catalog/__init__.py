@@ -39,6 +39,7 @@ def all_specs() -> list[QuerySpec]:
         derived,
         inferencespec,
         multimodalspec,
+        opsspec,
         pipelines,
         qualityspec,
         relational,
@@ -60,6 +61,7 @@ def all_specs() -> list[QuerySpec]:
         multimodalspec,
         inferencespec,
         trainprep,
+        opsspec,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

@@ -1,0 +1,90 @@
+"""Operational queries: incremental rollup state and skew diagnostics
+(operators/aggstate.py, operators/diagnostics.py).
+
+Both are 100 TB operability surface: the rollup-state query proves
+merge(batch states) ≡ direct recompute under the oracle gate (the
+property that lets running totals skip history rescans), and the skew
+report is the measurement step before salting/AQE-tuning a hot-key
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.operators.aggstate import (
+    agg_state,
+    merge_agg_state,
+    state_report,
+)
+from omfietser_etl_spark.operators.diagnostics import skew_report
+from omfietser_etl_spark.session import load
+
+from . import QuerySpec
+
+
+def a17_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Running per-status totals maintained as mergeable state: the
+    orders table is split into three synthetic 'batches' (key mod 3 —
+    standing in for daily loads), each reduced to agg_state, folded
+    with merge_agg_state, then reported. The oracle aggregates the
+    full table directly — passing the gate IS the merge-equivalence
+    proof (ref: postgres-adapter.ts:936-972 incremented job stats)."""
+    o = load(spark, sf, "orders")
+    keys, nums = ["o_orderstatus"], ["o_totalprice"]
+    state = None
+    for i in range(3):
+        batch = agg_state(o.filter(F.col("o_orderkey") % 3 == i), keys, nums)
+        state = batch if state is None else merge_agg_state(state, batch, keys, nums)
+    return state_report(state, nums)
+
+
+A17_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_o_totalprice_cents,
+       min(cents) AS min_o_totalprice_cents,
+       max(cents) AS max_o_totalprice_cents,
+       CAST(floor(CAST(sum(cents) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+         AS avg_o_totalprice_cents
+FROM c GROUP BY o_orderstatus
+"""
+
+
+def x7_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-distribution diagnosis over lineitem's supplier key — the
+    join key a real workload would salt if hot."""
+    li = load(spark, sf, "lineitem")
+    return skew_report(li, ["l_suppkey"], top_k=10)
+
+
+X7_ORACLE = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS max_cnt,
+         count(*) AS n_keys
+  FROM counts),
+top AS (
+  SELECT l_suppkey, cnt,
+         row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank
+  FROM counts ORDER BY cnt DESC, l_suppkey LIMIT 10)
+SELECT l_suppkey, cnt,
+       CAST(floor(cnt * 10000.0 / total) AS BIGINT) AS share_bp,
+       rank,
+       CAST(floor(max_cnt * 100.0 * n_keys / total) AS BIGINT) AS skew_ratio_x100
+FROM top, t
+"""
+
+
+SPECS = [
+    QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
+              "mergeable agg state: merge(batches) ≡ direct recompute"),
+    QuerySpec("x7_skew_report", x7_skew_report, X7_ORACLE,
+              "top-k heavy keys + skew ratio (pre-salting diagnosis)"),
+]
