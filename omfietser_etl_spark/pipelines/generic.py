@@ -53,17 +53,36 @@ FIELD_CANDIDATES: dict[str, list[str]] = {
 }
 
 
-def _first_json(raw: Column, paths: list[str]) -> Column:
-    """First non-empty `$.path` (JS truthiness: '' misses)."""
-    return F.coalesce(
-        *[F.nullif(F.get_json_object(raw, f"$.{p}"), F.lit("")) for p in paths]
-    )
+#: ordered distinct top-level keys across all candidate lists — the
+#: one-pass json_tuple extraction schema.
+_JSON_KEYS: list[str] = list(
+    dict.fromkeys(k for paths in FIELD_CANDIDATES.values() for k in paths)
+)
+
+
+def _first_of(extracted: dict[str, Column], paths: list[str]) -> Column:
+    """First non-empty candidate (JS truthiness: '' misses)."""
+    return F.coalesce(*[F.nullif(extracted[p], F.lit("")) for p in paths])
 
 
 def transform(raw: DataFrame, shop: str) -> DataFrame:
-    """Generic wide projection raw_data JSON → pre-template unified."""
-    r = F.col("raw_data")
-    g = {k: _first_json(r, v) for k, v in FIELD_CANDIDATES.items()}
+    """Generic wide projection raw_data JSON → pre-template unified.
+
+    All candidate fields are pulled in ONE `json_tuple` pass — every
+    key is top-level, so one generator parses the payload once per
+    row instead of the naive per-candidate `get_json_object` (which
+    re-parses the JSON for each of the ~35 paths; at 100 TB that is
+    the difference between 1× and 35× parse CPU on the scan stage)."""
+    # positional output names: JSON keys are case-SENSITIVE but Spark
+    # column resolution is not ('sku' vs 'SKU' would collide)
+    staged = raw.select(
+        "*",
+        F.json_tuple(F.col("raw_data"), *_JSON_KEYS).alias(
+            *[f"_j_{i}" for i in range(len(_JSON_KEYS))]
+        ),
+    )
+    extracted = {k: F.col(f"_j_{i}") for i, k in enumerate(_JSON_KEYS)}
+    g = {k: _first_of(extracted, v) for k, v in FIELD_CANDIDATES.items()}
 
     ext = g["external_id"]
     price_orig = g["price_before_bonus"].try_cast("double")
@@ -75,7 +94,7 @@ def transform(raw: DataFrame, shop: str) -> DataFrame:
         .when(price_orig.isNull() & price_cur.isNull(), F.lit("missing_price"))
     )
 
-    staged = raw.withColumns(
+    staged = staged.withColumns(
         {
             "_ext": ext,
             "_transform_err": err,
