@@ -74,6 +74,41 @@ def write_z_clustered(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    near ``target_file_bytes``. Returns the output file count.
+
+    Streaming sinks and per-batch upserts accrete small files; at
+    100 TB a 10⁶-file table spends more time in footer reads and task
+    scheduling than in data. Compaction sizes output from the
+    ACTUAL input bytes (cheap driver-side listing via the Hadoop FS,
+    no data read), then rewrites in one job — with an optional
+    re-sort to restore clustering (pair with `write_range_clustered`
+    keys so compaction preserves data-skipping bands).
+
+    Writes to ``out_path`` rather than in place: object stores have
+    no atomic directory swap, so publish-then-repoint (or a table
+    format's commit protocol) is the safe pattern.
+    """
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, int(total // target_file_bytes) + (1 if total % target_file_bytes else 0))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def write_range_clustered(
     df: DataFrame,
     path: str,

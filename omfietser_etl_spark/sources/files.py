@@ -62,3 +62,48 @@ def read_shop_json(
         F.lit("corrupt_record").alias("error_type"),
     )
     return good, corrupt
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV source with the same dead-letter contract as the JSON
+    reader: explicit schema (NEVER inferSchema at scale — inference
+    is an extra full scan before the real one), PERMISSIVE mode,
+    malformed lines to the corrupt channel. CSV splits by line, so
+    scans parallelize within files like NDJSON."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_text"),
+        F.lit("corrupt_record").alias("error_type"),
+    )
+    return good, corrupt
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet (embedded schema, predicate
+    pushdown, column pruning all apply); no corrupt channel because
+    the format is self-describing."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink, snappy-compressed (format parity for consumers that
+    read ORC; parquet stays the engine-native default)."""
+    df.write.mode(mode).option("compression", "snappy").orc(path)

@@ -1,0 +1,64 @@
+"""Format breadth (CSV dead-letter, ORC round-trip) and small-file
+compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.sinks.clustered import compact_parquet
+from omfietser_etl_spark.sources.files import read_csv, read_orc, write_orc
+
+from .conftest import SF_SMOKE
+
+
+def test_csv_schema_and_dead_letter(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,price\n1,2.50\n2,notanumber\n3,4.00\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    good, corrupt = read_csv(spark, str(p), schema)
+    assert {(r.id, r.price) for r in good.collect()} == {(1, 2.5), (3, 4.0)}
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "notanumber" in bad[0].raw_text
+
+
+def test_orc_round_trip_preserves_rows(spark, tmp_path):
+    orders = load(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    # columnar pushdown works on ORC like parquet
+    plan = (
+        back.filter(F.col("o_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    orders = load(spark, SF_SMOKE, "orders")
+    orders.repartition(40).write.parquet(src)  # simulate small-file debris
+    n_in = len(glob.glob(src + "/*.parquet"))
+    assert n_in >= 40
+
+    out = str(tmp_path / "compacted")
+    total = sum(os.path.getsize(f) for f in glob.glob(src + "/*.parquet"))
+    n_out = compact_parquet(spark, src, out, target_file_bytes=total)
+    assert n_out <= 2  # everything fits one target-size file (+rounding)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n_out
+    assert spark.read.parquet(out).count() == orders.count()
