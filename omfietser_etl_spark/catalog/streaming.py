@@ -220,6 +220,38 @@ FROM s GROUP BY 1, 2
 """
 
 
+def s10_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured scan via VariantType (Spark 4): `parse_json`
+    decodes the payload ONCE into a binary-encoded variant, and every
+    `variant_get` after that is cheap path navigation — the upgrade
+    over per-path `get_json_object` re-parsing (cf. a10, and the
+    json_tuple one-parse fix in pipelines/generic.py). At rest,
+    parquet can SHRED variant columns so common paths read columnar
+    with stats. Ref scan: raw.products.raw_data JSONB payloads
+    (postgres-adapter.ts:431-500 filters on extracted fields)."""
+    ev = load(spark, sf, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+S10_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def h1_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD2 interval history (operators/history.py): collapse each
     customer's order-status log into type-2 validity runs. The
@@ -277,4 +309,6 @@ SPECS = [
               "gap-based sessionization (single-shuffle)"),
     QuerySpec("h1_scd2_history", h1_scd2_history, H1_ORACLE,
               "SCD2 type-2 interval history (gaps-and-islands, one shuffle)"),
+    QuerySpec("s10_variant_extract", s10_variant_extract, S10_ORACLE,
+              "VariantType semi-structured scan (parse once, navigate cheap)"),
 ]

@@ -215,6 +215,52 @@ def merge_into_bucketed_state(
     spark.sql(f"ALTER TABLE {table}__next RENAME TO {table}")
 
 
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-merged session aggregation via Spark's native
+    ``session_window`` — the streaming twin of
+    `operators/sessions.py::session_stats` (whose batch window-sum
+    formulation this is unit-checked against).
+
+    On a stream, session state lives in the state store and a session
+    CLOSES (emits, evicts) once the watermark passes its end — true
+    incremental sessionization, no reprocessing of prior batches. On
+    a batch frame the same expression computes all sessions in one
+    pass. Boundary semantics: a new event at exactly ``gap`` after
+    the previous one starts a NEW session (window end is exclusive).
+
+    The events table stores epoch-nanos; converted to µs-precision
+    timestamps here (same convention as windowed_event_counts).
+    """
+    with_ts = events.withColumn(
+        "_event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark)
+    return (
+        with_ts.groupBy(
+            F.session_window("_event_time", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -12,6 +12,7 @@ from pyspark.sql import types as T
 
 from omfietser_etl_spark.streaming.incremental import (
     read_landing_stream,
+    session_window_stats,
     upsert_stream,
     windowed_event_counts,
     with_content_hash,
@@ -143,6 +144,71 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     if missing:
         max_start = max(w for w, *_ in expected)
         assert all(w == max_start for w, *_ in missing)
+
+
+def test_session_window_matches_batch_sessionizer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from omfietser_etl_spark.operators.sessions import session_stats
+    from omfietser_etl_spark.session import load
+
+    gap_us = 3_600_000_000
+    events = load(spark, sf_dir, "events")
+    ev = events.withColumn("tus", F.expr("ts div 1000"))
+
+    # precondition for exact equivalence: the two formulations differ
+    # only at delta == gap (sessionize: same session; session_window:
+    # new session) — assert the data has no such tie
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ties = (
+        ev.withColumn("_delta", F.col("tus") - F.lag("tus").over(w))
+        .filter(F.col("_delta") == gap_us)
+        .count()
+    )
+    assert ties == 0
+
+    ss = session_stats(ev, ts_col="tus", gap=gap_us)
+    sw = session_window_stats(events, gap="1 hour")
+
+    def per_user(df, n_col):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.user_id, []).append((r[n_col], r.sum_value_cents))
+        return {u: sorted(v) for u, v in out.items()}
+
+    assert per_user(ss, "n_events") == per_user(sw, "n_events")
+
+
+def test_session_window_streaming_smoke(spark, tmp_path, sf_dir):
+    from omfietser_etl_spark.session import load
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out_dir = str(tmp_path / "sw_out")
+    q = (
+        session_window_stats(stream, gap="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us, r.n_events, r.sum_value_cents)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start_us, r.n_events, r.sum_value_cents)
+        for r in session_window_stats(events, gap="1 hour").collect()
+    }
+    # append mode emits only watermark-closed sessions; all emitted
+    # rows must match the batch computation exactly
+    assert len(got) > 0
+    assert got <= batch
 
 
 def test_merge_into_bucketed_state(spark, tmp_path):
