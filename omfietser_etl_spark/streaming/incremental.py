@@ -144,6 +144,41 @@ def upsert_stream(
     )
 
 
+def idempotent_foreach_batch(handle, ledger_dir: str):
+    """Wrap a foreachBatch handler with a processed-batch ledger so
+    side effects are EXACTLY-ONCE under retries.
+
+    Structured Streaming guarantees foreachBatch is called
+    at-least-once per (checkpoint, batchId): after a crash between
+    the sink write and the checkpoint commit, the SAME batchId is
+    re-delivered. Any non-transactional sink (parquet merge, JDBC
+    staging load, the aggstate rollup fold — anything that is not
+    idempotent by key) must therefore dedup on batchId. The ledger
+    is a marker file per batchId written AFTER the handler succeeds
+    (the write is atomic-enough: a torn run re-executes the handler,
+    which is the at-least-once contract we started with — never
+    less).
+
+    Scale note: the ledger is one tiny file per micro-batch in one
+    directory — list cost is bounded by retention; prune old markers
+    with the checkpoint. Delta/Iceberg users get this from
+    txnAppId/txnVersion instead; call sites unchanged.
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(batch: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{epoch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch — side effect already applied
+        handle(batch, epoch_id)
+        with open(marker, "w") as f:
+            f.write("")
+
+    return wrapped
+
+
 def merge_into_bucketed_state(
     batch: DataFrame,
     table: str,

@@ -62,3 +62,35 @@ def test_td5_has_no_driver_collect_shape(spark):
 def test_x2_inference_is_arrow_batched(spark):
     plan = _plan(x2_online_inference(spark, SF_SMOKE))
     assert "MapInPandas" in plan
+
+
+def _exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_percentile_bands_use_one_exchange(spark):
+    # every percentile rides the single group-key sort-shuffle; a
+    # refactor that adds a per-percentile pass breaks this
+    from omfietser_etl_spark.catalog.relational import a15_percentile_bands
+
+    plan = _plan(a15_percentile_bands(spark, SF_SMOKE))
+    assert _exchanges(plan) == 1
+    assert "Window" in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    from omfietser_etl_spark.catalog.streaming import h1_scd2_history
+
+    plan = _plan(h1_scd2_history(spark, SF_SMOKE))
+    # all three windows (boundary lag, row_number/count, lead chain)
+    # partition by the same key -> exactly one hash exchange
+    assert _exchanges(plan) == 1
+
+
+def test_skew_report_is_top_k_not_global_sort(spark):
+    from omfietser_etl_spark.catalog.opsspec import x7_skew_report
+
+    plan = _plan(x7_skew_report(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan

@@ -146,6 +146,22 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
         assert all(w == max_start for w, *_ in missing)
 
 
+def test_idempotent_foreach_batch_suppresses_replay(spark, tmp_path):
+    from omfietser_etl_spark.streaming.incremental import idempotent_foreach_batch
+
+    applied = []
+
+    def handle(batch, epoch_id):
+        applied.append((epoch_id, batch.count()))
+
+    wrapped = idempotent_foreach_batch(handle, str(tmp_path / "ledger"))
+    b = spark.range(3)
+    wrapped(b, 7)
+    wrapped(b, 7)  # at-least-once re-delivery of the same batchId
+    wrapped(b, 8)
+    assert applied == [(7, 3), (8, 3)]
+
+
 def test_session_window_matches_batch_sessionizer(spark, sf_dir):
     from pyspark.sql import Window
 
