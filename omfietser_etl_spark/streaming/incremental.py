@@ -144,6 +144,62 @@ def upsert_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with the
+    right-side events of the same key that follow it within
+    ``within`` (e.g. scrape → purchase attribution, price-change →
+    promotion-start correlation).
+
+    Scale mechanics: both sides are watermarked and the join
+    condition carries an explicit event-time RANGE, so Spark plans a
+    StreamingSymmetricHashJoin whose per-key buffered state is
+    bounded — rows older than (watermark + within) are provably
+    unmatchable and evicted. Without the time bound the state grows
+    forever; that variant is rejected by Spark for good reason.
+
+    Works identically on batch frames (plain interval equi-join) —
+    the test asserts streaming output == batch output.
+    """
+    lt = left.withColumn(
+        "_lt", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).select(
+        F.col(key).alias("_lk"),
+        "_lt",
+        F.col("event_id").alias("left_event_id"),
+    )
+    rt = right.withColumn(
+        "_rt", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    ).select(
+        F.col(key).alias("_rk"),
+        "_rt",
+        F.col("event_id").alias("right_event_id"),
+    )
+    if lt.isStreaming:
+        lt = lt.withWatermark("_lt", watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark("_rt", watermark)
+    joined = lt.join(
+        rt,
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("_rt") > F.col("_lt"))
+        & (F.col("_rt") <= F.col("_lt") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        F.col("_lk").alias(key),
+        "left_event_id",
+        "right_event_id",
+        F.unix_micros(F.col("_lt")).alias("left_ts_us"),
+        F.unix_micros(F.col("_rt")).alias("right_ts_us"),
+    )
+
+
 def idempotent_foreach_batch(handle, ledger_dir: str):
     """Wrap a foreachBatch handler with a processed-batch ledger so
     side effects are EXACTLY-ONCE under retries.

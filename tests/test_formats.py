@@ -48,6 +48,36 @@ def test_orc_round_trip_preserves_rows(spark, tmp_path):
     assert "PushedFilters" in plan and "o_orderkey" in plan
 
 
+def test_audited_write_observes_metrics_in_one_job(spark, tmp_path):
+    import pytest
+
+    from omfietser_etl_spark.sinks.audit import audited_write
+
+    orders = load(spark, SF_SMOKE, "orders")
+    out = str(tmp_path / "audited")
+    got = audited_write(
+        orders,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "null_prices": F.sum(F.col("o_totalprice").isNull().cast("long")),
+            "max_price_cents": F.max(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ),
+        },
+    )
+    n = orders.count()
+    assert got["n_rows"] == n
+    assert got["null_prices"] == 0
+    assert got["max_price_cents"] > 0
+    assert spark.read.parquet(out).count() == n
+
+    with pytest.raises(ValueError, match="below min_rows"):
+        audited_write(
+            orders.filter(F.lit(False)), str(tmp_path / "empty"), min_rows=1
+        )
+
+
 def test_compact_parquet_reduces_file_count(spark, tmp_path):
     src = str(tmp_path / "fragmented")
     orders = load(spark, SF_SMOKE, "orders")

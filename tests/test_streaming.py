@@ -227,6 +227,43 @@ def test_session_window_streaming_smoke(spark, tmp_path, sf_dir):
     assert got <= batch
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    batch = {
+        tuple(r)
+        for r in stream_stream_interval_join(clicks, purchases).collect()
+    }
+    assert len(batch) > 0
+
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    out_dir = str(tmp_path / "ssj_out")
+    q = (
+        stream_stream_interval_join(s_clicks, s_purch)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    # inner stream-stream join emits matches as both sides arrive —
+    # with one availableNow pass the full batch result must appear
+    assert got == batch
+
+
 def test_merge_into_bucketed_state(spark, tmp_path):
     from omfietser_etl_spark.streaming.incremental import merge_into_bucketed_state
 
