@@ -1,0 +1,109 @@
+"""K-means clustering on DataFrames (no MLlib dependency).
+
+Pairs with `textops/similarity.py`'s IVF search: the codebook there
+is any centroid set; this module LEARNS one with Lloyd iterations —
+the standard corpus-organization / IVF-training step of an embedding
+pipeline. Like `dedup.connected_components`, it shows the iterative-
+algorithm shape on Spark: per-iteration work is ONE broadcast-joined
+map pass (assignment) plus ONE shuffle (centroid means); only the
+k×dim codebook — dimension-sized by construction — ever reaches the
+driver, exactly like IVF's broadcast codebook.
+
+Distances are exact left-fold double L2 (`zip_with` + `aggregate`),
+bit-identical to the DuckDB oracle's indexed fold, so assignment
+parity is gate-checkable (td8). Centroid MEANS are float sums whose
+value depends on accumulation order — fine inside the iteration
+(any fixed point is a valid k-means solution), which is why the
+oracle checks the deterministic assignment step, not the means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import dot_expr  # noqa: F401  (re-export for callers)
+
+
+def l2_expr(a: str, b: str) -> str:
+    """SQL for an exact left-fold squared-L2 distance of two float
+    arrays (same fold shape as dot_expr — engine-portable)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared L2, deterministic
+    tiebreak on centroid id. Broadcast codebook → map-side pass; the
+    corpus never shuffles for assignment."""
+    w = Window.partitionBy(id_col).orderBy("_d2", cid_col)
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", F.expr(l2_expr(vec_col, cvec_col)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", cvec_col)
+    )
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's algorithm: returns (assignments, per-iteration inertia).
+
+    Init is deterministic (the k lowest-id vectors — swap in k-means++
+    sampling at will; determinism beats seed-quality for reproducible
+    pipelines). Each iteration: broadcast-assign, then recompute
+    centroid means via posexplode → (cid, pos) average → rebuilt
+    arrays. The (k × dim)-sized codebook is collected per iteration —
+    the same dimension-sized driver traffic the IVF broadcast already
+    implies; fact vectors never leave executors.
+    """
+    spark = emb.sparkSession
+    emb = emb.select(id_col, vec_col).persist()
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    inertia: list[float] = []
+    assigned = None
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, centroids, id_col, vec_col, "cid", "cv")
+        it = assigned.agg(F.sum("_d2")).first()[0]
+        inertia.append(float(it))
+        means = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cid",
+                F.expr("transform(pm, s -> CAST(s.m AS FLOAT))").alias("cv"),
+            )
+        )
+        centroids = F.broadcast(spark.createDataFrame(means.collect(), means.schema))
+    return assigned.drop("_d2"), inertia
