@@ -79,6 +79,7 @@ def load(spark: SparkSession, sf_dir: str, table: str, fanout: bool = False):
     cheap no-op-shaped rebalance, never a correctness change.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     # The 32-column unified pipeline stages generate one >64 KB
     # whole-stage method that janino cannot compile; Spark then pays a
     # multi-second doomed compile attempt per execution before falling
@@ -89,6 +90,22 @@ def load(spark: SparkSession, sf_dir: str, table: str, fanout: bool = False):
     # load() path.
     spark.conf.set("spark.sql.codegen.maxFields", "25")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # Normalize ts to epoch-nanos LongType regardless of the
+        # parquet physical type. Testdata generations have shipped ts
+        # both as TIMESTAMP(NANOS) (read as long via nanosAsLong) and
+        # as timestamp[us] (read as TIMESTAMP_NTZ); downstream query
+        # code and every DuckDB oracle (epoch_ns(ts)) assume exact
+        # integer-nanos semantics, which this restores for either
+        # source. Session tz is UTC, so the NTZ→TS cast is identity.
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type.startswith("timestamp"):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long"),
+            )
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
