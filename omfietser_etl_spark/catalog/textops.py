@@ -275,6 +275,53 @@ SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
 """
 
 
+KMEANS_K = 8
+
+
+def td8_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid assignment step of k-means clustering
+    (textops/clustering.py::assign_clusters) with a deterministic
+    codebook — the k lowest-id vectors, exactly Lloyd's init.
+
+    Gate-checks the deterministic half of the algorithm: the centroid
+    MEANS of a full Lloyd run depend on float accumulation order (any
+    fixed point is valid), so the oracle verifies assignment, which is
+    an exact left-fold L2 both engines compute bit-identically (same
+    shape as td6/td7's dot fold). Lloyd convergence itself is covered
+    by tests/test_clustering.py.
+    """
+    from omfietser_etl_spark.textops.clustering import assign_clusters
+
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    out = assign_clusters(emb, centroids, "vec_id", "embedding", "cid", "cv")
+    return out.select("vec_id", "cid", F.round(F.col("_d2"), 6).alias("d2"))
+
+
+def _td8_l2(a: str, b: str) -> str:
+    # Same left-fold shape as dk_dot: bit-identical to Spark's
+    # aggregate(zip_with(...)) squared-L2 in clustering.l2_expr.
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"k -> ({a}[k]::DOUBLE - {b}[k]::DOUBLE) * ({a}[k]::DOUBLE - {b}[k]::DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+TD8_ORACLE = f"""
+WITH c AS (SELECT CAST(vec_id + 1 AS INTEGER) AS cid, embedding AS cv
+           FROM embeddings WHERE vec_id < {KMEANS_K}),
+a AS (SELECT e.vec_id, c.cid, {_td8_l2('e.embedding', 'c.cv')} AS d2,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_td8_l2('e.embedding', 'c.cv')} ASC, c.cid ASC) AS r
+      FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cid, round(d2, 6) AS d2 FROM a WHERE r = 1
+"""
+
+
 # ---------------------------------------------------------------- #
 # ta1-ta4 — text analysis
 # ---------------------------------------------------------------- #
@@ -523,6 +570,8 @@ SPECS = [
     QuerySpec("td5_embed_neardup", td5_embed_neardup, TD5_ORACLE, "embedding cosine near-dup"),
     QuerySpec("td6_ann_topk", td6_ann_topk, TD6_ORACLE, "brute-force cosine top-k"),
     QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
+    QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
+              "k-means nearest-centroid assignment"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),

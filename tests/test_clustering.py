@@ -1,0 +1,43 @@
+"""Lloyd k-means (textops/clustering.py) — the iterative half that the
+td8 gate query can't check (centroid means are accumulation-order
+dependent; any fixed point is a valid solution)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.textops.clustering import assign_clusters, lloyd_kmeans
+
+from .conftest import SF_SMOKE
+
+K = 4
+
+
+def test_lloyd_inertia_monotone(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    assigned, inertia = lloyd_kmeans(emb, k=K, n_iter=4)
+    # Lloyd never increases inertia: both the assignment step and the
+    # mean-update step are coordinate descents on the same objective.
+    assert len(inertia) == 4
+    for prev, cur in zip(inertia, inertia[1:]):
+        assert cur <= prev + 1e-9
+    # Every vector assigned to exactly one of the k clusters.
+    n = emb.count()
+    assert assigned.count() == n
+    cids = [r.cid for r in assigned.select("cid").distinct().collect()]
+    assert set(cids) <= set(range(1, K + 1))
+    assert assigned.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_assign_clusters_deterministic_tiebreak(spark):
+    # Two identical centroids → every vector ties; the lower cid wins.
+    emb = load(spark, SF_SMOKE, "embeddings").limit(50)
+    one = emb.limit(1).select(F.col("embedding").alias("cv"))
+    centroids = one.select(F.lit(1).alias("cid"), "cv").unionByName(
+        one.select(F.lit(2).alias("cid"), "cv")
+    )
+    out = assign_clusters(emb, centroids, "vec_id", "embedding", "cid", "cv")
+    assert out.select("cid").distinct().collect() == [
+        __import__("pyspark").sql.Row(cid=1)
+    ]
