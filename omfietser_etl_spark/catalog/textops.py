@@ -323,6 +323,75 @@ SELECT vec_id, cid, round(d2, 6) AS d2 FROM a WHERE r = 1
 
 
 # ---------------------------------------------------------------- #
+# td9/ta5 — decontamination + repetition (textops/decontam.py)
+# ---------------------------------------------------------------- #
+
+EVAL_SOURCE = "src9"  # held-out "benchmark" slice of documents
+
+
+def td9_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination check: per training doc, the share
+    of its distinct shingles that appear in the eval slice
+    (source = src9). Broadcast eval shingle set, map-side join —
+    the training corpus never shuffles for the check."""
+    from omfietser_etl_spark.textops.decontam import contamination_stats
+
+    docs = load(spark, sf, "documents")
+    return contamination_stats(
+        docs.filter(F.col("source") != EVAL_SOURCE),
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        "doc_id",
+        "text",
+    )
+
+
+TD9_ORACLE = (
+    _DOCS_CTE.replace(
+        "WITH d AS (SELECT doc_id AS doc, ",
+        "WITH d AS (SELECT doc_id AS doc, source, ",
+    ).replace(
+        "sh AS (SELECT doc, unnest(",
+        "sh AS (SELECT doc, source, unnest(",
+    )
+    + f"""
+, ev AS (SELECT DISTINCT s FROM sh WHERE source = '{EVAL_SOURCE}')
+, tr AS (SELECT doc, s FROM sh WHERE source <> '{EVAL_SOURCE}')
+, sz AS (SELECT doc, count(*) AS n_sh FROM tr GROUP BY doc)
+, ht AS (SELECT doc, count(*) AS n_hit FROM tr JOIN ev USING (s) GROUP BY doc)
+SELECT sz.doc, n_sh, coalesce(n_hit, 0) AS n_hit,
+       (10000 * coalesce(n_hit, 0)) // n_sh AS contam_bp,
+       CAST((10000 * coalesce(n_hit, 0)) // n_sh >= 2000 AS INTEGER)
+           AS is_contaminated
+FROM sz LEFT JOIN ht ON sz.doc = ht.doc
+"""
+)
+
+
+def ta5_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate / top 2-gram
+    fractions per doc, exact integers end to end."""
+    from omfietser_etl_spark.textops.decontam import ngram_repetition_stats
+
+    return ngram_repetition_stats(load(spark, sf, "documents"), "doc_id", "text")
+
+
+TA5_ORACLE = f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c='text')} AS t FROM documents),
+g AS (SELECT doc, unnest(CASE WHEN len(t) >= 2 THEN
+          [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+          ELSE [] END) AS g FROM d),
+pg AS (SELECT doc, g, count(*) AS cnt FROM g GROUP BY doc, g)
+SELECT doc,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       max(cnt) AS top_cnt,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt,
+       (10000 * CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT))
+           // CAST(sum(cnt) AS BIGINT) AS dup_bp
+FROM pg GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------- #
 # ta1-ta4 — text analysis
 # ---------------------------------------------------------------- #
 
@@ -572,6 +641,10 @@ SPECS = [
     QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
+    QuerySpec("td9_contamination", td9_contamination, TD9_ORACLE,
+              "benchmark decontamination check"),
+    QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
+              "repeated n-gram (Gopher) signals"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),

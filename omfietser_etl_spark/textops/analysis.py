@@ -46,6 +46,21 @@ def shingles(tokens_col: str, n: int = SHINGLE_N) -> Column:
     )
 
 
+def ngrams(tokens_col: str, n: int) -> Column:
+    """Word n-grams WITH multiplicity from a token-array column.
+
+    Unlike :func:`shingles` (distinct, for set-overlap dedup), this
+    keeps every occurrence — the repetition-analysis ops need the
+    counts (Gopher-style duplicate/top n-gram fractions).
+    """
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+
+
 def poly_hash(col: str) -> Column:
     """Exact-integer polynomial rolling hash of a string column.
 

@@ -1,0 +1,94 @@
+"""Corpus-level QC for training-data preparation: benchmark
+decontamination and intra-document repetition signals.
+
+Both are standard LLM-corpus operators (beyond the reference's
+surface; the brief's training-data mandate):
+
+- ``contamination_stats`` — the decontamination check every training
+  pipeline runs before a data release: for each training document,
+  the fraction of its distinct word n-grams that also appear in a
+  held-out benchmark/eval set. Scale shape: the eval side is a
+  benchmark (thousands of docs, not billions), so its distinct
+  shingle set is BROADCAST and the check is a map-side join over the
+  corpus — the corpus never shuffles. Swap the raw shingle string for
+  ``poly_hash(s)`` to shrink the broadcast at production scale; the
+  semantics don't change.
+- ``ngram_repetition_stats`` — Gopher-style repetition filters
+  (duplicate n-gram fraction, top n-gram fraction). One explode +
+  two hash aggregates, both keyed on doc — partial aggregation
+  map-side, no joins. All outputs are exact integers (counts and
+  floor basis points), so the DuckDB gate hashes them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import ngrams, tokens
+from .constants import SHINGLE_N
+from .dedup import doc_shingles
+
+#: default contamination flag threshold: ≥20% shingles hit → contaminated.
+CONTAM_THRESHOLD_BP = 2000
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    threshold_bp: int = CONTAM_THRESHOLD_BP,
+) -> DataFrame:
+    """Per-corpus-doc benchmark-overlap stats.
+
+    Returns (doc, n_sh, n_hit, contam_bp, is_contaminated): distinct
+    shingle count, how many of those appear anywhere in ``eval_df``,
+    the floor-basis-point ratio, and the threshold flag (int 0/1 for
+    engine-portable hashing). Docs shorter than one shingle are
+    excluded (no measurable overlap).
+    """
+    train_sh = doc_shingles(corpus, id_col, text_col, n)
+    eval_sh = doc_shingles(eval_df, id_col, text_col, n).select("s").distinct()
+    sizes = train_sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn("contam_bp", F.expr("(10000 * n_hit) div n_sh"))
+        .withColumn(
+            "is_contaminated",
+            (F.col("contam_bp") >= threshold_bp).cast("int"),
+        )
+    )
+
+
+def ngram_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-doc repeated n-gram signals (with multiplicity).
+
+    Returns (doc, n_grams, top_cnt, dup_cnt, dup_bp): total n-gram
+    occurrences, the most frequent n-gram's count, occurrences of
+    n-grams appearing more than once, and the duplicate fraction in
+    floor basis points. Docs shorter than one n-gram are excluded.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    grams = toks.select("doc", F.explode(ngrams("t", n)).alias("g"))
+    per_gram = grams.groupBy("doc", "g").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_cnt"
+            ),
+        )
+        .withColumn("dup_bp", F.expr("(10000 * dup_cnt) div n_grams"))
+    )
