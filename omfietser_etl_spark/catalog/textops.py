@@ -11,7 +11,7 @@ not an all-pairs shortcut — so LSH false negatives match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omfietser_etl_spark.session import load
@@ -319,6 +319,60 @@ a AS (SELECT e.vec_id, c.cid, {_td8_l2('e.embedding', 'c.cv')} AS d2,
                  ORDER BY {_td8_l2('e.embedding', 'c.cv')} ASC, c.cid ASC) AS r
       FROM embeddings e CROSS JOIN c)
 SELECT vec_id, cid, round(d2, 6) AS d2 FROM a WHERE r = 1
+"""
+
+
+def td10_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization (textops/similarity.py::quantize_int8):
+    per-vector symmetric scale, floor codes, CSV-encoded output for an
+    engine-portable gate hash. Shuffle-free elementwise map."""
+    return sim.quantize_int8(load(spark, sf, "embeddings"), "vec_id", "embedding")
+
+
+TD10_ORACLE = """
+WITH m AS (SELECT vec_id, embedding,
+           list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS ma
+           FROM embeddings)
+SELECT vec_id,
+       CAST(floor(ma * 1000000.0) AS BIGINT) AS scale_e6,
+       array_to_string(list_transform(
+           CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                     x -> CAST(floor(x::DOUBLE / ma * 127.0) AS INTEGER)) END,
+           v -> CAST(v AS VARCHAR)), ',') AS q_csv
+FROM m
+"""
+
+
+TV1_TOP_K = 100
+
+
+def tv1_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary building: top-k terms by total frequency with
+    document frequency — the tokenizer/vocab-induction precursor.
+
+    One explode + one (term)-keyed hash aggregate (tf and exact df
+    ride the same shuffle), then orderBy().limit() compiles to
+    TakeOrderedAndProject — no global sort. The rank window runs over
+    the ≤k surviving rows only (o1's pagination discipline)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    agg = toks.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    top = agg.orderBy(F.col("tf").desc(), F.col("term")).limit(TV1_TOP_K)
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    return top.select(F.row_number().over(w).alias("rank"), "term", "tf", "df_docs")
+
+
+TV1_ORACLE = f"""
+WITH d AS (SELECT doc_id, unnest({DK_TOKENS.format(c='text')}) AS term FROM documents),
+a AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+      FROM d GROUP BY term)
+SELECT row_number() OVER (ORDER BY tf DESC, term ASC) AS rank,
+       term, tf, df_docs
+FROM a ORDER BY tf DESC, term ASC LIMIT {TV1_TOP_K}
 """
 
 
@@ -643,6 +697,10 @@ SPECS = [
               "k-means nearest-centroid assignment"),
     QuerySpec("td9_contamination", td9_contamination, TD9_ORACLE,
               "benchmark decontamination check"),
+    QuerySpec("td10_quantize", td10_quantize, TD10_ORACLE,
+              "int8 embedding quantization"),
+    QuerySpec("tv1_top_terms", tv1_top_terms, TV1_ORACLE,
+              "corpus vocabulary (top-k terms)"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
               "repeated n-gram (Gopher) signals"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),

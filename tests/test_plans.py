@@ -94,3 +94,35 @@ def test_skew_report_is_top_k_not_global_sort(spark):
 
     plan = _plan(x7_skew_report(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_td9_eval_side_is_broadcast(spark):
+    # decontamination: the benchmark shingle set broadcasts; the
+    # training corpus must never shuffle for the overlap join
+    from omfietser_etl_spark.catalog.textops import td9_contamination
+
+    plan = _plan(td9_contamination(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_td8_codebook_is_broadcast(spark):
+    # k-means assignment: codebook broadcast nested-loop; corpus-side
+    # has no Exchange before the assignment join
+    from omfietser_etl_spark.catalog.textops import td8_kmeans_assign
+
+    plan = _plan(td8_kmeans_assign(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_td10_quantize_is_shuffle_free(spark):
+    from omfietser_etl_spark.catalog.textops import td10_quantize
+
+    plan = _plan(td10_quantize(spark, SF_SMOKE))
+    assert _exchanges(plan) == 0
+
+
+def test_tv1_top_terms_is_top_k_not_global_sort(spark):
+    from omfietser_etl_spark.catalog.textops import tv1_top_terms
+
+    plan = _plan(tv1_top_terms(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
