@@ -376,6 +376,43 @@ FROM a ORDER BY tf DESC, term ASC LIMIT {TV1_TOP_K}
 """
 
 
+def ca1_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source data card: the release-notes summary a corpus ships
+    with — volume, token mass, exact-dup rate, language mix.
+
+    ONE source-keyed hash aggregate; the distinct-text count is the
+    only extra shuffle (count distinct compiles to a two-phase
+    partial/expand aggregate). All outputs exact integers."""
+    docs = load(spark, sf, "documents")
+    lang_cnt = [
+        F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).alias(f"n_{lg}")
+        for lg in ("en", "de", "es", "fr", "zh")
+    ]
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(ws_token_count("text")).alias("sum_tokens"),
+        F.countDistinct(norm_text("text")).alias("n_distinct_texts"),
+        *lang_cnt,
+    )
+
+
+CA1_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+           AS BIGINT) AS sum_tokens,
+       count(DISTINCT {DK_NORM.format(c='text')}) AS n_distinct_texts,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------- #
 # td9/ta5 — decontamination + repetition (textops/decontam.py)
 # ---------------------------------------------------------------- #
@@ -701,6 +738,8 @@ SPECS = [
               "int8 embedding quantization"),
     QuerySpec("tv1_top_terms", tv1_top_terms, TV1_ORACLE,
               "corpus vocabulary (top-k terms)"),
+    QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
+              "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
               "repeated n-gram (Gopher) signals"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),

@@ -148,6 +148,38 @@ WHERE bucket < {_TS4_RATE_CASE}
 """
 
 
+# ---------------------------------------------------------------- #
+# ts5 — deterministic global shuffle for export
+# ---------------------------------------------------------------- #
+
+TS5_SHARDS = 8
+
+
+def ts5_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Every doc gets a (shard, pos) export address from independent
+    salted hashes — the reproducible global shuffle a training
+    dataloader reads instead of storage order. One shuffle keyed on
+    shard + intra-shard sort; no global sort."""
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    return sp.shuffle_order(docs, "doc", TS5_SHARDS).select(
+        "doc", "source", "shard", "pos"
+    )
+
+
+TS5_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id AS doc, source,
+         CAST({_dk_bucket('shuffle:shard', 'doc_id')} % {TS5_SHARDS} AS BIGINT) AS shard,
+         {_dk_bucket('shuffle:ord', 'doc_id')} AS ord
+  FROM documents)
+SELECT doc, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc) AS BIGINT) AS pos
+FROM a
+"""
+
+
 SPECS = [
     QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
               "deterministic hash sampling (retry-stable, monotone)"),
@@ -157,4 +189,6 @@ SPECS = [
               "concat-then-chunk packing plan per stream"),
     QuerySpec("ts4_stratified_sample", ts4_stratified_sample, TS4_ORACLE,
               "per-group-rate deterministic sampling (corpus rebalancing)"),
+    QuerySpec("ts5_shuffle_order", ts5_shuffle_order, TS5_ORACLE,
+              "deterministic global shuffle (shard + position)"),
 ]

@@ -186,3 +186,28 @@ def pack_sequences(
             ).alias("last_chunk"),
         )
     )
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str, n_shards: int = 8, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row
+    gets a (shard, pos) address from salted id hashes.
+
+    Dataloaders must NOT read storage order (it correlates with crawl
+    time/source), and a ``rand()`` shuffle changes under task retry.
+    Here shard and intra-shard order both derive from independent
+    salted hashes of the stable id, so the exported order is a pure
+    function of the data — reproducible across runs, engines, and
+    retries, and re-shuffling epochs is just a new salt.
+
+    Scale shape: ONE shuffle keyed on shard (at 100 TB use thousands
+    of shards so each sorts in memory), then an intra-shard sort —
+    exactly the ``repartition(shard).sortWithinPartitions(ord)``
+    write pattern; no global sort ever happens.
+    """
+    sh = df.withColumn(
+        "shard", F.pmod(hash_bucket(id_col, salt + ":shard"), F.lit(n_shards))
+    ).withColumn("_ord", hash_bucket(id_col, salt + ":ord"))
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return sh.withColumn("pos", F.row_number().over(w)).drop("_ord")
