@@ -19,7 +19,7 @@ from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops import sampling as sp
 
 from . import QuerySpec
-from .textops import dk_poly
+from .textops import DK_NORM, DK_TOKENS, dk_poly, dk_shingles
 
 #: sampling rate for ts1 (basis points of 10000).
 TS1_RATE_BP = 500
@@ -180,6 +180,78 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------- #
+# tp1 — the composed corpus-preparation pipeline
+# ---------------------------------------------------------------- #
+
+TP1_EVAL = "src9"
+TP1_MIN_TOK, TP1_MAX_TOK = 15, 90
+TP1_CONTAM_BP, TP1_DUP_BP = 2000, 1500
+
+
+def tp1_prepare_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus preparation (textops/pipeline.py): length
+    filter → exact dedup → decontamination vs the src9 benchmark
+    slice → repetition screen → split → export shuffle. Every stage
+    is one of the individually-gated operators; this gates their
+    composition."""
+    from omfietser_etl_spark.textops.pipeline import prepare_corpus
+
+    docs = load(spark, sf, "documents")
+    return prepare_corpus(
+        docs.filter(F.col("source") != TP1_EVAL),
+        docs.filter(F.col("source") == TP1_EVAL),
+        min_tok=TP1_MIN_TOK,
+        max_tok=TP1_MAX_TOK,
+        contam_threshold_bp=TP1_CONTAM_BP,
+        dup_bp_max=TP1_DUP_BP,
+    )
+
+
+TP1_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id AS doc, source, text,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS BIGINT) AS n_tok
+  FROM documents WHERE source <> '{TP1_EVAL}'),
+d1 AS (SELECT * FROM d0 WHERE n_tok >= {TP1_MIN_TOK} AND n_tok <= {TP1_MAX_TOK}),
+d2 AS (SELECT *, row_number() OVER (
+           PARTITION BY {DK_NORM.format(c='text')} ORDER BY doc) AS rn FROM d1),
+d3 AS (SELECT doc, source, text, n_tok FROM d2 WHERE rn = 1),
+tok AS (SELECT doc, {DK_TOKENS.format(c='text')} AS t FROM d3),
+sh AS (SELECT doc, unnest({dk_shingles('t')}) AS s FROM tok),
+etok AS (SELECT doc_id AS doc, {DK_TOKENS.format(c='text')} AS t
+         FROM documents WHERE source = '{TP1_EVAL}'),
+esh AS (SELECT DISTINCT unnest({dk_shingles('t')}) AS s FROM etok),
+sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+ht AS (SELECT doc, count(*) AS n_hit FROM sh JOIN esh USING (s) GROUP BY doc),
+cm AS (SELECT sz.doc, (10000 * coalesce(n_hit, 0)) // n_sh AS contam_bp
+       FROM sz LEFT JOIN ht ON sz.doc = ht.doc),
+d4 AS (SELECT d3.* FROM d3 LEFT JOIN cm ON d3.doc = cm.doc
+       WHERE coalesce(contam_bp, 0) < {TP1_CONTAM_BP}),
+g AS (SELECT doc, unnest(CASE WHEN len(t) >= 2 THEN
+          [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+          ELSE [] END) AS g
+      FROM (SELECT doc, {DK_TOKENS.format(c='text')} AS t FROM d4)),
+pg AS (SELECT doc, g, count(*) AS cnt FROM g GROUP BY doc, g),
+rp AS (SELECT doc, (10000 * sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END))
+                   // sum(cnt) AS dup_bp FROM pg GROUP BY doc),
+d5 AS (SELECT d4.doc, d4.source, d4.n_tok FROM d4 LEFT JOIN rp ON d4.doc = rp.doc
+       WHERE coalesce(dup_bp, 0) <= {TP1_DUP_BP}),
+a AS (SELECT doc, source, n_tok,
+        CASE WHEN {_dk_bucket('split', 'doc')} < 9000 THEN 'train'
+             WHEN {_dk_bucket('split', 'doc')} < 9500 THEN 'val'
+             ELSE 'test' END AS split,
+        CAST({_dk_bucket('split:shard', 'doc')} % 8 AS BIGINT) AS shard,
+        {_dk_bucket('shuffle:ord', 'doc')} AS ord
+      FROM d5)
+SELECT doc, source, n_tok, split, shard,
+       CAST(row_number() OVER (PARTITION BY split, shard ORDER BY ord, doc)
+           AS BIGINT) AS pos
+FROM a
+"""
+
+
 SPECS = [
     QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
               "deterministic hash sampling (retry-stable, monotone)"),
@@ -191,4 +263,6 @@ SPECS = [
               "per-group-rate deterministic sampling (corpus rebalancing)"),
     QuerySpec("ts5_shuffle_order", ts5_shuffle_order, TS5_ORACLE,
               "deterministic global shuffle (shard + position)"),
+    QuerySpec("tp1_prepare_corpus", tp1_prepare_corpus, TP1_ORACLE,
+              "composed corpus-preparation pipeline"),
 ]
