@@ -1,0 +1,93 @@
+"""Edge-case units for textops/decontam.py and textops/pipeline.py
+(the sf-data parity lives in test_oracle_parity: td9/ta5/tp1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.textops.decontam import (
+    contamination_stats,
+    ngram_repetition_stats,
+)
+from omfietser_etl_spark.textops.pipeline import prepare_corpus
+from omfietser_etl_spark.textops.sampling import shuffle_order
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_contamination_disjoint_and_identical(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a", "alpha beta gamma delta epsilon zeta"),
+            (2, "a", "one two three four five six seven"),
+        ],
+    )
+    ev = _docs(spark, [(9, "e", "alpha beta gamma delta epsilon zeta")])
+    out = {
+        r.doc: r
+        for r in contamination_stats(corpus, ev, "doc_id", "text").collect()
+    }
+    # doc 1 is the eval text verbatim: every shingle hits
+    assert out[1].contam_bp == 10000 and out[1].is_contaminated == 1
+    # doc 2 shares nothing
+    assert out[2].n_hit == 0 and out[2].contam_bp == 0
+
+
+def test_contamination_empty_eval_set(spark):
+    corpus = _docs(spark, [(1, "a", "alpha beta gamma delta epsilon zeta")])
+    ev = _docs(spark, []).filter(F.lit(False))
+    out = contamination_stats(corpus, ev, "doc_id", "text").collect()
+    assert out[0].n_hit == 0 and out[0].is_contaminated == 0
+
+
+def test_repetition_extremes(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "spam spam spam spam spam"),  # all 2-grams identical
+            (2, "a", "a b c d e f"),  # no repeats
+        ],
+    )
+    out = {r.doc: r for r in ngram_repetition_stats(docs, "doc_id", "text").collect()}
+    assert out[1].dup_bp == 10000 and out[1].top_cnt == out[1].n_grams
+    assert out[2].dup_bp == 0 and out[2].top_cnt == 1
+
+
+def test_shuffle_order_is_dense_and_deterministic(spark):
+    docs = _docs(
+        spark, [(i, "a", "x") for i in range(40)]
+    ).select(F.col("doc_id").alias("doc"))
+    a = shuffle_order(docs, "doc", n_shards=4)
+    b = shuffle_order(docs, "doc", n_shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # positions are dense 1..n within every shard
+    per = a.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert r.mn == 1 and r.mx == r.n
+
+
+def test_prepare_corpus_applies_every_screen(spark):
+    long_pad = " ".join(f"w{i}" for i in range(20))
+    leak = " ".join(f"q{i}" for i in range(20)) + " benchmark leak text body"
+    corpus = _docs(
+        spark,
+        [
+            (1, "a", long_pad + " unique body here"),  # survives
+            (2, "a", long_pad + " unique body here"),  # exact dup of 1
+            (3, "a", "too short"),                     # length screen
+            (4, "a", "rep " * 40),                     # repetition screen
+            (5, "a", leak),                            # contamination
+        ],
+    )
+    ev = _docs(spark, [(9, "e", leak)])
+    out = prepare_corpus(
+        corpus, ev, min_tok=10, max_tok=60, contam_threshold_bp=2000, dup_bp_max=1500
+    )
+    rows = out.collect()
+    assert [r.doc for r in rows] == [1]
+    assert rows[0].split in ("train", "val", "test") and rows[0].pos == 1
