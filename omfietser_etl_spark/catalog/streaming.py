@@ -299,6 +299,114 @@ WINDOW ws AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------- #
+# ev1 — event funnel (view → click → purchase)
+# ---------------------------------------------------------------- #
+
+def ev1_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel conversion: users with a view, then a click
+    strictly after their first view, then a purchase strictly after
+    that first qualifying click.
+
+    Three user-keyed min-aggregates chained by filters. Scale shape:
+    every stage aggregates and joins on the SAME key (user_id), so
+    Spark reuses the hash partitioning across stages — one logical
+    repartition by user pays for the whole funnel; no stage widens
+    the data (each carries user_id + one timestamp)."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+EV1_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > epoch_ns(v.t1)
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > epoch_ns(c.t2)
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+"""
+
+
+# ---------------------------------------------------------------- #
+# h2 — time-spine gap fill (resample with zero-fill)
+# ---------------------------------------------------------------- #
+
+def h2_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly resample with gap filling: a generated time spine
+    (min..max hour) × event types, left-joined to the hourly counts,
+    empty buckets zero-filled — the continuous-aggregate/hypertable
+    rollup shape, and the precondition for any interpolation.
+
+    The spine is generated from ONE tiny agg (two longs) and the
+    type dimension is a distinct over a low-cardinality column: both
+    broadcast. The facts aggregate once on (bucket, type) — the
+    spine join adds no fact shuffle."""
+    ev = load(spark, sf, "events")
+    hb = F.expr("ts div 3600000000000")
+    hourly = ev.groupBy(
+        hb.alias("hour_bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(hb).alias("lo"), F.max(hb).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("hour_bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(hourly), ["hour_bucket", "event_type"], "left")
+        .select(
+            "hour_bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("was_gap"),
+        )
+    )
+
+
+H2_ORACLE = """
+WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS hb, event_type FROM events),
+hourly AS (SELECT hb, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM e),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM b),
+types AS (SELECT DISTINCT event_type FROM e)
+SELECT s.hour_bucket, t.event_type,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_gap
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hb = s.hour_bucket AND h.event_type = t.event_type
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
@@ -311,4 +419,8 @@ SPECS = [
               "SCD2 type-2 interval history (gaps-and-islands, one shuffle)"),
     QuerySpec("s10_variant_extract", s10_variant_extract, S10_ORACLE,
               "VariantType semi-structured scan (parse once, navigate cheap)"),
+    QuerySpec("ev1_funnel", ev1_funnel, EV1_ORACLE,
+              "ordered event funnel (partition-reusing keyed aggs)"),
+    QuerySpec("h2_gapfill", h2_gapfill, H2_ORACLE,
+              "time-spine gap fill (hourly resample, zero-filled)"),
 ]
