@@ -36,6 +36,7 @@ def prepare_corpus(
     contam_threshold_bp: int = 2000,
     dup_bp_max: int = 1500,
     n_shards: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Run the full preparation chain; returns one row per surviving
     document with its export address:
@@ -43,7 +44,15 @@ def prepare_corpus(
 
     Documents too short to produce shingles/2-grams pass the contam /
     repetition screens by definition (nothing measurable to match).
+
+    ``materialize`` persists the corpus at the two fan-out points
+    (post-dedup and post-decontamination), where the frame feeds both
+    a stats computation AND the subsequent join — without it every
+    screen re-reads and re-dedups the corpus from the source (8 scans
+    observed; 3 with). On a real 100 TB run, swap the persists for
+    checkpoints to the lake between stages — same call sites.
     """
+    from pyspark import StorageLevel
     d = docs.select(
         F.col(id_col).alias("doc"), "source", F.col(text_col).alias("text")
     ).withColumn("n_tok", ws_token_count("text"))
@@ -56,6 +65,8 @@ def prepare_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if materialize:
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
 
     # decontamination: drop docs overlapping the benchmark set
     ev = eval_df.select(
@@ -67,6 +78,8 @@ def prepare_corpus(
     d = d.join(contam, "doc", "left").filter(
         F.coalesce(F.col("contam_bp"), F.lit(0)) < contam_threshold_bp
     ).drop("contam_bp")
+    if materialize:
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
 
     # repetition screen: drop high duplicate-2-gram docs
     rep = ngram_repetition_stats(d, "doc", "text").select("doc", "dup_bp")

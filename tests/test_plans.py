@@ -126,3 +126,13 @@ def test_tv1_top_terms_is_top_k_not_global_sort(spark):
 
     plan = _plan(tv1_top_terms(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tp1_reads_source_twice_only(spark):
+    # corpus + eval scans; every screen reuses the persisted frames.
+    # 8 source scans without the fan-out persists.
+    from omfietser_etl_spark.catalog.trainprep import tp1_prepare_corpus
+
+    plan = _plan(tp1_prepare_corpus(spark, SF_SMOKE))
+    assert plan.count("documents.parquet") <= 3
+    assert "InMemoryTableScan" in plan
