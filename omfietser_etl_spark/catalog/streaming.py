@@ -355,6 +355,49 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 """
 
 
+#: one week in epoch-nanos (cohort/retention bucketing).
+WEEK_NS = 604_800_000_000_000
+
+
+def ev2_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, distinct
+    active users per (cohort_week, weeks_since) cell.
+
+    Two user-keyed aggregates: the cohort assignment (min signup ts
+    per user) joins back to activity on user_id — the same
+    partitioning both times, so the join adds no exchange beyond the
+    aggs' own — then one (cohort, offset)-keyed count-distinct. The
+    matrix is small (weeks²) however large the fact side grows."""
+    ev = load(spark, sf, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(ts) div {WEEK_NS}").alias("cohort_week"))
+    )
+    act = ev.select("user_id", F.expr(f"ts div {WEEK_NS}").alias("act_week"))
+    return (
+        act.join(cohort, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.col("act_week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EV2_ORACLE = f"""
+WITH c AS (SELECT user_id, min(epoch_ns(ts)) // {WEEK_NS} AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT user_id, epoch_ns(ts) // {WEEK_NS} AS act_week FROM events)
+SELECT cohort_week, act_week - cohort_week AS weeks_since,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN c USING (user_id)
+WHERE act_week >= cohort_week
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- #
 # h2 — time-spine gap fill (resample with zero-fill)
 # ---------------------------------------------------------------- #
@@ -421,6 +464,8 @@ SPECS = [
               "VariantType semi-structured scan (parse once, navigate cheap)"),
     QuerySpec("ev1_funnel", ev1_funnel, EV1_ORACLE,
               "ordered event funnel (partition-reusing keyed aggs)"),
+    QuerySpec("ev2_retention", ev2_retention, EV2_ORACLE,
+              "weekly cohort retention matrix"),
     QuerySpec("h2_gapfill", h2_gapfill, H2_ORACLE,
               "time-spine gap fill (hourly resample, zero-filled)"),
 ]
