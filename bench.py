@@ -34,7 +34,7 @@ def main() -> None:
         .appName("omfietser-etl-spark-bench")
         # The builder launches the JVM, so driver memory set here takes
         # effect. The default 1g heap OOMs once the catalog's memoized/
-        # persisted frames accumulate across all 72 queries at sf0.1.
+        # persisted frames accumulate across the full catalog at sf0.1.
         .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
