@@ -398,6 +398,57 @@ GROUP BY 1, 2
 """
 
 
+#: one day in epoch-nanos.
+DAY_NS = 86_400_000_000_000
+
+
+def ev3_moving_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day moving totals per event type over daily rollups: a
+    RANGE-framed window (value-based bounds, not row counts) over the
+    pre-aggregated daily frame.
+
+    Scale shape: the expensive pass is ONE (day, type) hash agg over
+    the facts; the moving window then runs on the tiny rollup
+    (days × types rows) partitioned by type — the window never sees
+    fact rows. Sums are exact integer cents, so the frame arithmetic
+    is order-independent."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.expr(f"ts div {DAY_NS}").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        "cents",
+        F.sum("n").over(w).alias("n_7d"),
+        F.sum("cents").over(w).alias("cents_7d"),
+    )
+
+
+EV3_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ns(ts) // {DAY_NS} AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, n, cents,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------- #
 # h2 — time-spine gap fill (resample with zero-fill)
 # ---------------------------------------------------------------- #
@@ -466,6 +517,8 @@ SPECS = [
               "ordered event funnel (partition-reusing keyed aggs)"),
     QuerySpec("ev2_retention", ev2_retention, EV2_ORACLE,
               "weekly cohort retention matrix"),
+    QuerySpec("ev3_moving_sum", ev3_moving_sum, EV3_ORACLE,
+              "7-day RANGE-framed moving totals over daily rollup"),
     QuerySpec("h2_gapfill", h2_gapfill, H2_ORACLE,
               "time-spine gap fill (hourly resample, zero-filled)"),
 ]
