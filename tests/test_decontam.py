@@ -91,3 +91,64 @@ def test_prepare_corpus_applies_every_screen(spark):
     rows = out.collect()
     assert [r.doc for r in rows] == [1]
     assert rows[0].split in ("train", "val", "test") and rows[0].pos == 1
+
+
+def test_contamination_screen_in_streaming_foreachbatch(spark, tmp_path):
+    """The decontamination screen runs unchanged inside a Structured
+    Streaming foreachBatch: each micro-batch joins its shingles
+    against the (static, broadcast) benchmark set and only clean docs
+    reach the sink — the incremental-ingest shape of tp1's screen."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    leak = " ".join(f"q{i}" for i in range(12)) + " benchmark leak body"
+    rows = [
+        {"doc_id": 1, "source": "a", "text": "alpha beta gamma delta epsilon zeta eta"},
+        {"doc_id": 2, "source": "a", "text": leak},
+        {"doc_id": 3, "source": "a", "text": "one two three four five six seven"},
+    ]
+    with open(os.path.join(landing, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ev = _docs(spark, [(9, "e", leak)])
+
+    def screen(batch, batch_id):
+        stats = contamination_stats(batch, ev, "doc_id", "text")
+        clean = (
+            batch.join(
+                stats.filter(F.col("is_contaminated") == 1).select(
+                    F.col("doc").alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        )
+        clean.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(landing)
+        .writeStream.foreachBatch(screen)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]

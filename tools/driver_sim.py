@@ -1,0 +1,63 @@
+"""Driver-gate simulation: run every catalog query against its DuckDB
+oracle under a VANILLA SparkSession (no engine confs), exactly like
+the round driver does.
+
+Usage:
+    python tools/driver_sim.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and all queries. Exits non-zero on
+any failure. This is the runtime surface — `pytest tests/` mirrors it
+at sf0.001 with the engine session, but THIS is what the gate runs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from omfietser_etl_spark.parity import compare, duck_connect
+
+    t0 = time.time()
+    rows = len(e.entry(spark).collect())
+    print(f"entry: {rows} rows ({time.time() - t0:.1f}s)")
+
+    con = duck_connect(sf)
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, build in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            if name in oracles:
+                r = compare(name, build(spark, sf), oracles[name], con)
+                ok, detail, n = r.ok, r.detail, r.rows_spark
+            else:
+                n = build(spark, sf).count()
+                ok, detail = n >= 0, "rows-only"
+        except Exception as ex:  # noqa: BLE001 — gate must report, not die
+            ok, detail, n = False, str(ex)[:200], -1
+        status = "ok" if ok else f"FAIL {detail}"
+        print(f"{name}: {status} ({n} rows, {time.time() - t0:.1f}s)")
+        if not ok:
+            failures.append(name)
+    print(f"done: {len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
