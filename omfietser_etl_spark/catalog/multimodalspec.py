@@ -83,6 +83,71 @@ WHERE doc_id % 3 = 2
 """
 
 
+def mm4_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode under the gate: valid binary-PPM payloads are
+    synthesized in pure SQL (dims from doc_id, pixel bytes from sha256
+    hex), decoded by the numpy codec inside mapInPandas, and the
+    DuckDB oracle recomputes dims AND per-channel byte sums from the
+    same hex string with independent arithmetic — so a decoder that
+    misparses the header, misorders channels, or drops pixels fails
+    the hash."""
+    from omfietser_etl_spark.multimodal.media import decode_image
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    w = (F.col("doc_id") % 4 + 2).cast("int")
+    h = (F.col("doc_id") % 3 + 2).cast("int")
+    hdr = F.encode(
+        F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "),
+            h.cast("string"), F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    pix = F.unhex(F.expr(
+        "substring(concat(sha2(text, 256), sha2(concat(text, 'x'), 256)), "
+        "1, CAST((doc_id % 4 + 2) * (doc_id % 3 + 2) * 6 AS INT))"
+    ))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(hdr, pix).alias("data"),
+    )
+    out = decode_image(media)
+    n = (F.col("decoded_width") * F.col("decoded_height")).cast("double")
+    return out.select(
+        "media_id",
+        "decoded_width",
+        "decoded_height",
+        "mode",
+        F.round(F.col("mean_r") * n, 0).cast("long").alias("sum_r"),
+        F.round(F.col("mean_g") * n, 0).cast("long").alias("sum_g"),
+        F.round(F.col("mean_b") * n, 0).cast("long").alias("sum_b"),
+    )
+
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+
+MM4_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 4 + 2 AS INT) AS w,
+         CAST(doc_id % 3 + 2 AS INT) AS h,
+         sha256(text) || sha256(text || 'x') AS hx
+  FROM documents),
+v AS (
+  SELECT media_id, w, h,
+         list_transform(range(0, w * h * 3),
+             k -> 16 * {_HEXVAL.format(i='2*k + 1')} + {_HEXVAL.format(i='2*k + 2')}
+         ) AS b
+  FROM m)
+SELECT media_id, w AS decoded_width, h AS decoded_height, 'RGB' AS mode,
+  CAST(list_sum(list_transform(range(0, w * h), p -> b[3*p + 1])) AS BIGINT) AS sum_r,
+  CAST(list_sum(list_transform(range(0, w * h), p -> b[3*p + 2])) AS BIGINT) AS sum_g,
+  CAST(list_sum(list_transform(range(0, w * h), p -> b[3*p + 3])) AS BIGINT) AS sum_b
+FROM v
+"""
+
+
 SPECS = [
     QuerySpec("mm1_feature_extract", mm1_feature_extract, MM1_ORACLE,
               "multimodal mapInPandas feature extraction shape"),
@@ -90,4 +155,6 @@ SPECS = [
               "multimodal resize geometry"),
     QuerySpec("mm3_frame_sample", mm3_frame_sample, MM3_ORACLE,
               "multimodal video frame sampling"),
+    QuerySpec("mm4_decode_roundtrip", mm4_decode_roundtrip, MM4_ORACLE,
+              "REAL PPM decode vs independent hex-arithmetic oracle"),
 ]

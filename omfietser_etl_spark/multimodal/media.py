@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-Per the project brief, the decode step is STUBBED (image/audio codec
-libraries are not in this container): ``decode_image`` raises
-``NotImplementedError`` unless a deterministic fake decoder is
-requested. Everything Spark-side — schemas, batch iteration, UDF
-signatures, partition behavior, output shapes — is real and tested.
+The image decode path is REAL for the library-free formats — binary
+PPM (P6) and uncompressed 24-bit BMP — via the pure-numpy codecs in
+``multimodal/codecs.py`` (header parse, pixel reshape, per-channel
+stats, nearest-neighbor resample, PPM re-encode). Compressed formats
+(PNG/JPEG) and audio/video codecs need PIL/libvips/ffmpeg, absent
+from this container: those payloads come back mode='unsupported';
+swapping in PIL later only changes the decoder closure body.
+Everything Spark-side — schemas, batch iteration, UDF signatures,
+partition behavior, output shapes — is real and tested either way.
 
 Scale notes:
 - media bytes stay in the executors end-to-end (no collect); Arrow
@@ -114,23 +118,124 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode image bytes to (width, height, mode).
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded_width", T.IntegerType(), True),
+        T.StructField("decoded_height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
 
-    STUB: real decoding needs PIL/libvips, absent from this
-    container. ``fake=True`` returns the metadata columns as the
-    "decoded" dims (deterministic); ``fake=False`` raises."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips (not installed); "
-            "call with fake=True for the deterministic stub"
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode image bytes to (dims, mode, per-channel means).
+
+    REAL for the library-free formats — binary PPM (P6) and
+    uncompressed 24-bit BMP — via the pure-numpy codecs
+    (multimodal/codecs.py); anything else (PNG/JPEG need PIL/libvips,
+    absent from this container) comes back mode='unsupported' with
+    null dims. ``fake=True`` keeps the old metadata-echo stub.
+
+    Arrow-batched mapInPandas; the decoder closures come from a
+    runtime factory so they pickle by value (workers never import
+    this package).
+    """
+    if fake:
+        return media.filter(F.col("kind") == "image").select(
+            "media_id",
+            F.col("width").alias("decoded_width"),
+            F.col("height").alias("decoded_height"),
+            F.lit("RGB").alias("mode"),
         )
+    from .codecs import make_image_tools
+
+    decode, _to_array, _resize, _enc = make_image_tools()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "decoded_width": [], "decoded_height": [],
+                "mode": [], "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                d = decode(data)
+                out["media_id"].append(mid)
+                if d is None:
+                    out["decoded_width"].append(None)
+                    out["decoded_height"].append(None)
+                    out["mode"].append("unsupported")
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                else:
+                    out["decoded_width"].append(d["width"])
+                    out["decoded_height"].append(d["height"])
+                    out["mode"].append(d["mode"])
+                    out["mean_r"].append(d["mean_r"])
+                    out["mean_g"].append(d["mean_g"])
+                    out["mean_b"].append(d["mean_b"])
+            yield pd.DataFrame(out)
+
     return media.filter(F.col("kind") == "image").select(
-        "media_id",
-        F.col("width").alias("decoded_width"),
-        F.col("height").alias("decoded_height"),
-        F.lit("RGB").alias("mode"),
-    )
+        "media_id", "data"
+    ).mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("out_bytes", T.LongType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def decode_and_resize(media: DataFrame, max_side: int) -> DataFrame:
+    """Real decode → nearest-neighbor downscale → re-encode (PPM):
+    the full pixel path, not just geometry. Images that exceed
+    ``max_side`` on either dimension are scaled to fit (aspect
+    preserved, floor, min 1); smaller images pass through untouched.
+    Unsupported payloads yield null output columns."""
+    from .codecs import make_image_tools
+
+    _decode, to_array, resize, encode_ppm = make_image_tools()
+    cap = max_side
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "out_width": [], "out_height": [],
+                "out_bytes": [], "data": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                rows["media_id"].append(mid)
+                arr = to_array(data)
+                if arr is None:
+                    rows["out_width"].append(None)
+                    rows["out_height"].append(None)
+                    rows["out_bytes"].append(None)
+                    rows["data"].append(None)
+                    continue
+                h, w = arr.shape[:2]
+                scale = min(1.0, cap / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                out = resize(arr, ow, oh)
+                enc = encode_ppm(out)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_bytes"].append(len(enc))
+                rows["data"].append(enc)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "data"
+    ).mapInPandas(run, RESIZED_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int) -> DataFrame:

@@ -55,9 +55,12 @@ def test_extract_features_deterministic_and_batched(media):
     assert some.n_bytes > 0
 
 
-def test_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+def test_decode_flags_unsupported_payloads(media):
+    # synthesized media carries UTF-8 text, not image bytes: the real
+    # decoder must classify it unsupported, never crash or echo
+    out = decode_image(media).collect()
+    assert len(out) > 0
+    assert all(r.mode == "unsupported" and r.decoded_width is None for r in out)
     fake = decode_image(media, fake=True)
     r = fake.first()
     assert r.mode == "RGB" and r.decoded_width % 64 == 0
