@@ -148,6 +148,66 @@ FROM v
 """
 
 
+#: constant header of a mono/8 kHz/16-bit WAV with exactly 16 samples
+#: (32 PCM bytes) — everything variable lives in the sha256-derived
+#: PCM payload, so the header is one literal. Built from the same
+#: encoder the tests round-trip (multimodal/codecs.py::encode_wav).
+MM5_RATE = 8000
+MM5_N_SAMPLES = 16
+
+
+def _mm5_header_hex() -> str:
+    from omfietser_etl_spark.multimodal.codecs import make_audio_tools
+
+    _, encode_wav = make_audio_tools()
+    return encode_wav([0] * MM5_N_SAMPLES, MM5_RATE)[:44].hex()
+
+
+def mm5_audio_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV decode under the gate: PCM-16 payloads synthesized in
+    SQL (constant header + sha256-hex samples), decoded by the numpy
+    RIFF walker in mapInPandas; the oracle recomputes the signed-int16
+    energy/peak stats from the same hex with independent arithmetic."""
+    from omfietser_etl_spark.multimodal.media import decode_audio
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(
+            F.unhex(F.lit(_mm5_header_hex())),
+            F.unhex(F.sha2(F.col("text"), 256)),
+        ).alias("data"),
+    )
+    return decode_audio(media)
+
+
+_B = "(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+
+MM5_ORACLE = f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+s AS (
+  SELECT media_id,
+         list_transform(range(0, {MM5_N_SAMPLES}), k ->
+           CASE WHEN (16 * {_B.format(i='4*k + 3')} + {_B.format(i='4*k + 4')}) >= 128
+                THEN (16 * {_B.format(i='4*k + 1')} + {_B.format(i='4*k + 2')})
+                     + 256 * (16 * {_B.format(i='4*k + 3')} + {_B.format(i='4*k + 4')})
+                     - 65536
+                ELSE (16 * {_B.format(i='4*k + 1')} + {_B.format(i='4*k + 2')})
+                     + 256 * (16 * {_B.format(i='4*k + 3')} + {_B.format(i='4*k + 4')})
+           END) AS v
+  FROM m)
+SELECT media_id, 'pcm16' AS codec,
+       CAST(1 AS INT) AS n_channels,
+       CAST({MM5_RATE} AS INT) AS sample_rate,
+       CAST({MM5_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST({MM5_N_SAMPLES * 1000 // MM5_RATE} AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak
+FROM s
+"""
+
+
 SPECS = [
     QuerySpec("mm1_feature_extract", mm1_feature_extract, MM1_ORACLE,
               "multimodal mapInPandas feature extraction shape"),
@@ -157,4 +217,6 @@ SPECS = [
               "multimodal video frame sampling"),
     QuerySpec("mm4_decode_roundtrip", mm4_decode_roundtrip, MM4_ORACLE,
               "REAL PPM decode vs independent hex-arithmetic oracle"),
+    QuerySpec("mm5_audio_roundtrip", mm5_audio_roundtrip, MM5_ORACLE,
+              "REAL WAV PCM-16 decode vs independent oracle"),
 ]

@@ -123,3 +123,69 @@ def make_image_tools():
         return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
 
     return decode, to_array, resize, encode_ppm
+
+
+def make_audio_tools():
+    """Return (decode_wav, encode_wav) pure closures (by-value
+    pickling, same discipline as make_image_tools).
+
+    decode_wav(data) -> dict | None with keys
+        n_channels, sample_rate, n_samples, duration_ms,
+        sum_sq (exact int sum of squared samples), peak (max |s|)
+    Supports RIFF/WAVE, PCM (format 1), 16-bit. Compressed audio
+    (MP3/AAC/FLAC) needs real codec libs → None.
+    encode_wav(samples, sample_rate) -> mono 16-bit PCM WAV bytes.
+    """
+    import numpy as np
+
+    def decode_wav(data):
+        if not data:
+            return None
+        raw = bytes(data)
+        if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        pos, fmt, pcm = 12, None, None
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            body = raw[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                pcm = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or pcm is None or len(fmt) < 16:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or bits != 16 or n_channels < 1 or sample_rate <= 0:
+            return None
+        samples = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+        n = len(samples) // n_channels
+        return {
+            "n_channels": n_channels,
+            "sample_rate": sample_rate,
+            "n_samples": int(n),
+            "duration_ms": int(n * 1000 // sample_rate),
+            "sum_sq": int((samples.astype(np.int64) ** 2).sum()),
+            "peak": int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0,
+        }
+
+    def encode_wav(samples, sample_rate):
+        import numpy as np  # noqa: F811 — re-import inside closure scope
+
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+        hdr = (
+            b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (sample_rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(pcm).to_bytes(4, "little")
+        )
+        return hdr + pcm
+
+    return decode_wav, encode_wav

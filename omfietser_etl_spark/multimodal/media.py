@@ -185,6 +185,48 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     ).mapInPandas(run, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE PCM-16 (pure numpy, chunk walk
+    + int16 reinterpret): channels, rate, sample count, duration, and
+    exact integer energy/peak stats. Compressed audio (MP3/AAC/FLAC)
+    needs codec libs → codec='unsupported' with null stats. Same
+    by-value-closure mapInPandas discipline as decode_image."""
+    from .codecs import make_audio_tools
+
+    decode_wav, _enc = make_audio_tools()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                d = decode_wav(data)
+                rows["media_id"].append(mid)
+                rows["codec"].append("pcm16" if d else "unsupported")
+                for k in ("n_channels", "sample_rate", "n_samples",
+                          "duration_ms", "sum_sq", "peak"):
+                    rows[k].append(d[k] if d else None)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "data"
+    ).mapInPandas(run, AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

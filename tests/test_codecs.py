@@ -107,3 +107,26 @@ def test_spark_decode_and_resize_caps_long_side(spark):
     r2 = decode_and_resize(df, max_side=64).first()
     assert (r2.out_width, r2.out_height) == (16, 8)
     assert np.array_equal(to_array(bytes(r2.data)), arr)
+
+
+def test_wav_roundtrip_exact_stats(spark):
+    from omfietser_etl_spark.multimodal.codecs import make_audio_tools
+    from omfietser_etl_spark.multimodal.media import decode_audio
+
+    decode_wav, encode_wav = make_audio_tools()
+    samples = [0, 1, -1, 32767, -32768, 1000, -999, 5]
+    wav = encode_wav(samples, 8000)
+    d = decode_wav(wav)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] == len(samples)
+    assert d["sum_sq"] == sum(s * s for s in samples)
+    assert d["peak"] == 32768
+    assert decode_wav(b"ID3\x04mp3 payload") is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    df = _media_df(spark, [wav, b"not audio"]).withColumn(
+        "kind", F.lit("audio")
+    )
+    out = {r.media_id: r for r in decode_audio(df).collect()}
+    assert out[0].codec == "pcm16" and out[0].sum_sq == d["sum_sq"]
+    assert out[1].codec == "unsupported" and out[1].sum_sq is None
