@@ -482,6 +482,57 @@ FROM pg GROUP BY doc
 """
 
 
+def ta6_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup stripping gated end to end: deterministic HTML wrapping
+    (tags + entities + script/style/comment noise) is synthesized
+    around each document, then textops.analysis.strip_markup must
+    recover clean text. The oracle replays the SAME ordered regex
+    chain (shared MARKUP_STRIP_STEPS constants), so a reordered or
+    altered step fails the hash."""
+    from omfietser_etl_spark.textops.analysis import strip_markup
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<html><head><style>p {color: red}</style>'
+              '<script>var x = "1 < 2";</script></head><body><!-- c -->'
+              '<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit('</p><span>&amp; tail &lt;b&gt; &quot;q&quot; &#39;s&#39;'
+              '&nbsp;end</span></body></html>'),
+    )
+    wrapped = docs.select(F.col("doc_id").alias("doc"), html.alias("html"))
+    return wrapped.select(
+        "doc",
+        strip_markup("html").alias("clean_text"),
+        F.length("html").alias("n_raw_chars"),
+    )
+
+
+def _ta6_oracle() -> str:
+    from omfietser_etl_spark.textops.analysis import MARKUP_STRIP_STEPS
+
+    expr = "html"
+    for pat, rep in MARKUP_STRIP_STEPS:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''").replace('"', '"')
+        # 'g' = global (Spark is always-global); dotall comes from the
+        # embedded (?s) so both engines honor the same inline flag.
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    return f"""
+WITH w AS (
+  SELECT doc_id AS doc,
+    '<html><head><style>p {{color: red}}</style>'
+    || '<script>var x = "1 < 2";</script></head><body><!-- c -->'
+    || '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+    || '</p><span>&amp; tail &lt;b&gt; &quot;q&quot; &#39;s&#39;'
+    || '&nbsp;end</span></body></html>' AS html
+  FROM documents)
+SELECT doc, trim({expr}) AS clean_text, length(html) AS n_raw_chars FROM w
+"""
+
+
 # ---------------------------------------------------------------- #
 # ta1-ta4 — text analysis
 # ---------------------------------------------------------------- #
@@ -742,6 +793,8 @@ SPECS = [
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
               "repeated n-gram (Gopher) signals"),
+    QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
+              "HTML/markup boilerplate stripping"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),

@@ -46,6 +46,37 @@ def shingles(tokens_col: str, n: int = SHINGLE_N) -> Column:
     )
 
 
+#: ordered (pattern, replacement) chain for markup stripping — shared
+#: with the DuckDB oracle so both engines run the literal same regexes
+#: in the same order (RE2-compatible: no backrefs or lookaround).
+MARKUP_STRIP_STEPS = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),
+]
+
+
+def strip_markup(col: str) -> Column:
+    """HTML/markup boilerplate removal (the C4-style cleanup step
+    before any text analysis): drop script/style/comment blocks, strip
+    tags, decode the common entities, collapse whitespace. Pure
+    ordered regexp_replace chain in codegen — no parser, no UDF;
+    good-enough-for-corpus-cleaning by design (a full HTML5 parser is
+    a different tool)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in MARKUP_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
 def ngrams(tokens_col: str, n: int) -> Column:
     """Word n-grams WITH multiplicity from a token-array column.
 
