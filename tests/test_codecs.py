@@ -130,3 +130,41 @@ def test_wav_roundtrip_exact_stats(spark):
     out = {r.media_id: r for r in decode_audio(df).collect()}
     assert out[0].codec == "pcm16" and out[0].sum_sq == d["sum_sq"]
     assert out[1].codec == "unsupported" and out[1].sum_sq is None
+
+
+def test_strip_markup_matches_python_re_model(spark):
+    """The ordered regex chain must behave identically when compiled
+    by Java (Spark) and replayed by an independent engine — model it
+    with Python re over adversarial inputs."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from omfietser_etl_spark.textops.analysis import MARKUP_STRIP_STEPS, strip_markup
+
+    def model(s: str) -> str:
+        for pat, rep in MARKUP_STRIP_STEPS:
+            s = _re.sub(pat, rep, s)
+        return s.strip()
+
+    cases = [
+        "<p>plain</p>",
+        "<script>while(1){'<p>'}</script>keep",
+        "<style>a{}</style><STYLE>upper not matched</STYLE>",
+        "a &amp;&amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+        "<!-- <p>commented</p> -->after",
+        "un<closed tag",
+        "<div\nmultiline='y'\n>x</div>",
+        "< not a tag >",
+        "nested <b><i>tags</i></b> here",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)],
+        T.StructType(
+            [T.StructField("i", T.IntegerType()), T.StructField("s", T.StringType())]
+        ),
+    )
+    got = {r.i: r.out for r in df.select("i", strip_markup("s").alias("out")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), f"case {i}: {c!r}: {got[i]!r} != {model(c)!r}"
