@@ -208,6 +208,62 @@ FROM s
 """
 
 
+MM6_USPF = 40_000  # 25 fps
+
+
+def _mm6_template() -> tuple[str, str, str, str]:
+    """Hex template of the header-only AVI with zeroed w/h/frames and
+    the hex split points around those fields' LOW bytes (values stay
+    < 256 so the other three little-endian bytes are the template's
+    zeros). Layout fixed by codecs.encode_avi: avih body at byte 32 →
+    frames@48, width@64, height@68."""
+    from omfietser_etl_spark.multimodal.codecs import make_video_tools
+
+    _, encode_avi = make_video_tools()
+    tpl = encode_avi(0, 0, 0, MM6_USPF).hex()
+    return tpl[: 2 * 48], tpl[2 * 49 : 2 * 64], tpl[2 * 65 : 2 * 68], tpl[2 * 69 :]
+
+
+def mm6_video_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL AVI container probe under the gate: header-only AVI bytes
+    are assembled in SQL (constant hex template + per-doc dims/frames
+    patched in), the RIFF walker probes them in mapInPandas, and the
+    oracle predicts every field with independent arithmetic."""
+    from omfietser_etl_spark.multimodal.media import probe_video
+
+    seg0, seg1, seg2, seg3 = _mm6_template()
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def b(expr: str):  # low-byte hex of a value < 256
+        return F.lpad(F.lower(F.hex(F.expr(expr))), 2, "0")
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(
+            F.concat(
+                F.lit(seg0), b("CAST(doc_id % 30 + 1 AS INT)"),
+                F.lit(seg1), b("CAST(16 * (doc_id % 8 + 1) AS INT)"),
+                F.lit(seg2), b("CAST(16 * (doc_id % 6 + 1) AS INT)"),
+                F.lit(seg3),
+            )
+        ).alias("data"),
+    )
+    return probe_video(media)
+
+
+MM6_ORACLE = f"""
+SELECT doc_id AS media_id, 'avi' AS container,
+       CAST(1 AS INT) AS n_streams,
+       CAST(16 * (doc_id % 8 + 1) AS INT) AS width,
+       CAST(16 * (doc_id % 6 + 1) AS INT) AS height,
+       CAST(doc_id % 30 + 1 AS BIGINT) AS n_frames,
+       CAST({MM6_USPF} AS BIGINT) AS us_per_frame,
+       CAST((doc_id % 30 + 1) * {MM6_USPF} // 1000 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("mm1_feature_extract", mm1_feature_extract, MM1_ORACLE,
               "multimodal mapInPandas feature extraction shape"),
@@ -219,4 +275,6 @@ SPECS = [
               "REAL PPM decode vs independent hex-arithmetic oracle"),
     QuerySpec("mm5_audio_roundtrip", mm5_audio_roundtrip, MM5_ORACLE,
               "REAL WAV PCM-16 decode vs independent oracle"),
+    QuerySpec("mm6_video_probe", mm6_video_probe, MM6_ORACLE,
+              "REAL AVI container probe vs arithmetic oracle"),
 ]

@@ -189,3 +189,72 @@ def make_audio_tools():
         return hdr + pcm
 
     return decode_wav, encode_wav
+
+
+def make_video_tools():
+    """Return (probe_avi, encode_avi) pure closures (by-value
+    pickling, same discipline as the image/audio factories).
+
+    probe_avi(data) -> dict | None with keys
+        n_streams, width, height, n_frames, us_per_frame, duration_ms
+    Walks RIFF/'AVI ' nested LIST chunks to the 'avih' main header —
+    real container metadata, no frame decode (frame pixels need real
+    video codecs). encode_avi(w, h, n_frames, us_per_frame) builds the
+    minimal header-only AVI the tests and the mm6 gate round-trip.
+    """
+
+    def _find_avih(raw, pos, end):
+        while pos + 8 <= end:
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if cid == b"LIST":
+                found = _find_avih(raw, body_start + 4, body_start + size)
+                if found is not None:
+                    return found
+            elif cid == b"avih" and size >= 40:
+                return raw[body_start : body_start + size]
+            pos = body_start + size + (size & 1)
+        return None
+
+    def probe_avi(data):
+        if not data:
+            return None
+        raw = bytes(data)
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+            return None
+        avih = _find_avih(raw, 12, len(raw))
+        if avih is None:
+            return None
+        uspf = int.from_bytes(avih[0:4], "little")
+        n_frames = int.from_bytes(avih[16:20], "little")
+        n_streams = int.from_bytes(avih[24:28], "little")
+        width = int.from_bytes(avih[32:36], "little")
+        height = int.from_bytes(avih[36:40], "little")
+        return {
+            "n_streams": n_streams,
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+            "us_per_frame": uspf,
+            "duration_ms": n_frames * uspf // 1000,
+        }
+
+    def encode_avi(width, height, n_frames, us_per_frame):
+        avih = (
+            us_per_frame.to_bytes(4, "little")
+            + (0).to_bytes(12, "little")
+            + n_frames.to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + (1).to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + width.to_bytes(4, "little")
+            + height.to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        hdrl = b"hdrl" + b"avih" + len(avih).to_bytes(4, "little") + avih
+        lst = b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+        body = b"AVI " + lst
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    return probe_avi, encode_avi

@@ -227,6 +227,47 @@ def decode_audio(media: DataFrame) -> DataFrame:
     ).mapInPandas(run, AUDIO_SCHEMA)
 
 
+VIDEO_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("n_streams", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("us_per_frame", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def probe_video(media: DataFrame) -> DataFrame:
+    """REAL video container probe for RIFF/AVI (nested LIST walk to
+    the avih main header): stream count, dims, frame count, frame
+    interval, duration. Frame pixel decode needs real codecs →
+    non-AVI payloads report container='unsupported'."""
+    from .codecs import make_video_tools
+
+    probe_avi, _enc = make_video_tools()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_PROBE_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                d = probe_avi(data)
+                rows["media_id"].append(mid)
+                rows["container"].append("avi" if d else "unsupported")
+                for k in ("n_streams", "width", "height", "n_frames",
+                          "us_per_frame", "duration_ms"):
+                    rows[k].append(d[k] if d else None)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "data"
+    ).mapInPandas(run, VIDEO_PROBE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -168,3 +168,21 @@ def test_strip_markup_matches_python_re_model(spark):
     got = {r.i: r.out for r in df.select("i", strip_markup("s").alias("out")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == model(c), f"case {i}: {c!r}: {got[i]!r} != {model(c)!r}"
+
+
+def test_avi_probe_roundtrip(spark):
+    from omfietser_etl_spark.multimodal.codecs import make_video_tools
+    from omfietser_etl_spark.multimodal.media import probe_video
+
+    probe_avi, encode_avi = make_video_tools()
+    avi = encode_avi(320, 240, 75, 40_000)
+    d = probe_avi(avi)
+    assert (d["width"], d["height"], d["n_frames"]) == (320, 240, 75)
+    assert d["n_streams"] == 1 and d["duration_ms"] == 3000
+    assert probe_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert probe_avi(b"\x00\x00\x00\x18ftypmp42") is None  # mp4 → unsupported
+
+    df = _media_df(spark, [avi, b"not video"]).withColumn("kind", F.lit("video"))
+    out = {r.media_id: r for r in probe_video(df).collect()}
+    assert out[0].container == "avi" and out[0].n_frames == 75
+    assert out[1].container == "unsupported" and out[1].width is None
