@@ -1,19 +1,21 @@
-"""Pure-numpy image codecs: real decode for the formats that need no
-codec library — binary PPM (P6) and uncompressed 24-bit BMP — plus
-nearest-neighbor resize.
+"""Pure-numpy media codecs: real decode for the formats that need no
+codec library — binary PPM (P6) and uncompressed 24-bit BMP images
+(plus nearest-neighbor resize), RIFF/WAVE PCM-16 audio, and the
+RIFF/AVI video container header.
 
-This closes the "codec-absent" gap within the container's means: the
-decode path is REAL (header parse, pixel-buffer reshape, per-channel
-stats, resampling), not a metadata echo; compressed formats
-(PNG/JPEG) still need PIL/libvips and raise the documented
-NotImplementedError upstream. Swapping in PIL later only changes the
-body of the decoder closure.
+This closes the "codec-absent" gap within the container's means: each
+decode path is REAL (header parse, buffer reinterpret, exact stats /
+resampling), not a metadata echo. Compressed formats (PNG/JPEG,
+MP3/AAC, actual video frames) still need PIL/libvips/ffmpeg and
+surface as 'unsupported' rows upstream; swapping those libs in later
+only changes the closure bodies.
 
-Everything is exposed through :func:`make_image_tools`, a factory
-whose returned closures are RUNTIME-CREATED — cloudpickle serializes
-them by value, so Spark Python workers never need this package on
-their import path (the same discipline as the x2 inference loader and
-the td5 block kernel).
+Everything is exposed through factory functions
+(:func:`make_image_tools`, :func:`make_audio_tools`,
+:func:`make_video_tools`) whose returned closures are
+RUNTIME-CREATED — cloudpickle serializes them by value, so Spark
+Python workers never need this package on their import path (the same
+discipline as the x2 inference loader and the td5 block kernel).
 """
 
 from __future__ import annotations
