@@ -605,6 +605,76 @@ SELECT rn, o_orderkey, round(o_totalprice, 2) AS total FROM (
 """
 
 
+#: o9 cursor: the (o_totalprice, o_orderkey) of a known row — pages
+#: after it are fetched by tuple comparison, never by OFFSET.
+O9_CURSOR_PRICE = 100_000.0
+O9_PAGE = 15
+
+
+def o9_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scale-correct replacement for
+    o1's OFFSET shape (ref: postgres-adapter.ts:72-81 pages with
+    LIMIT/OFFSET; at 100 TB OFFSET k scans-and-discards k rows while
+    a keyset predicate prunes straight to the page).
+
+    The cursor is the (sort_key, unique_id) tuple of the last row of
+    the previous page; `(price, key) < cursor` (descending order) is
+    a pushable predicate, and the page itself is one
+    TakeOrderedAndProject — cost is O(page), independent of how deep
+    the user has paged."""
+    o = load(spark, sf, "orders")
+    after = (F.col("o_totalprice") < O9_CURSOR_PRICE) | (
+        (F.col("o_totalprice") == O9_CURSOR_PRICE)
+        & (F.col("o_orderkey") > 0)
+    )
+    page = (
+        o.filter(after)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(O9_PAGE)
+    )
+    return page.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+
+
+O9_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_totalprice < {O9_CURSOR_PRICE}
+   OR (o_totalprice = {O9_CURSOR_PRICE} AND o_orderkey > 0)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {O9_PAGE}
+"""
+
+
+def u5_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (completes the u-family: union u1,
+    distinct u2/u3, anti u4): customers in BOTH predicate sets, and
+    in the first but not the second, tagged and unioned. Both compile
+    to hash joins on the distinct keys — no sort, one shuffle each."""
+    c = load(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = a.intersect(b).withColumn("tag", F.lit("both"))
+    only_a = a.exceptAll(b).distinct().withColumn("tag", F.lit("only_building"))
+    return both.unionByName(only_a)
+
+
+U5_ORACLE = """
+SELECT c_custkey, 'both' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+UNION ALL
+SELECT c_custkey, 'only_building' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
 def o7_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k per group (ref: processors/base.ts:642-646 first-5
     examples per error type)."""
@@ -918,6 +988,10 @@ SPECS = [
     QuerySpec("o7_topk_per_group", o7_topk_per_group, O7_ORACLE, "O7 top-k per group"),
     QuerySpec("o4_argmax_per_group", o4_argmax_per_group, O4_ORACLE, "O4 argmax"),
     QuerySpec("u1_union_distinct", u1_union_distinct, U1_ORACLE, "U1/U2 union distinct"),
+    QuerySpec("o9_keyset_pagination", o9_keyset_pagination, O9_ORACLE,
+              "keyset pagination (cursor, O(page) cost)"),
+    QuerySpec("u5_intersect_except", u5_intersect_except, U5_ORACLE,
+              "INTERSECT / EXCEPT set operations"),
     QuerySpec("j8_range_join", j8_range_join, J8_ORACLE,
               "bin-blocked interval join (big×big range join)"),
     QuerySpec("a14_pivot", a14_pivot, A14_ORACLE,

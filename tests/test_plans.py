@@ -136,3 +136,13 @@ def test_tp1_reads_source_twice_only(spark):
     plan = _plan(tp1_prepare_corpus(spark, SF_SMOKE))
     assert plan.count("documents.parquet") <= 3
     assert "InMemoryTableScan" in plan
+
+
+def test_o9_keyset_page_is_top_k_with_pushed_cursor(spark):
+    # keyset pagination: cursor predicate reaches the scan, page is
+    # TakeOrderedAndProject — cost O(page) however deep the cursor
+    from omfietser_etl_spark.catalog.relational import o9_keyset_pagination
+
+    plan = _plan(o9_keyset_pagination(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:300]
