@@ -533,6 +533,56 @@ SELECT doc, trim({expr}) AS clean_text, length(html) AS n_raw_chars FROM w
 """
 
 
+TD11_MAX_OCC = 2
+
+
+def td11_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide line-level dedup (C4 boilerplate rule) gated end to
+    end: every document is wrapped in a shared navigation header and
+    a footer shared by one fifth of the corpus; the operator must drop
+    exactly the over-represented lines and reassemble the remaining
+    text in original order."""
+    from omfietser_etl_spark.textops.decontam import line_dedup
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SHARED NAVIGATION HEADER\n"),
+            F.col("text"),
+            F.lit("\nfooter block "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("t"),
+    )
+    return line_dedup(wrapped, "doc_id", "t", TD11_MAX_OCC)
+
+
+TD11_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS doc,
+         'SHARED NAVIGATION HEADER' || chr(10) || text || chr(10)
+         || 'footer block ' || CAST(doc_id % 5 AS VARCHAR) AS t
+  FROM documents),
+sp AS (SELECT doc, string_split(t, chr(10)) AS ls FROM d),
+l AS (SELECT doc, unnest(list_transform(range(0, len(ls)),
+          i -> struct_pack(pos := i, line := ls[i + 1]))) AS s FROM sp),
+l2 AS (SELECT doc, s.pos AS pos, s.line AS line FROM l),
+c AS (SELECT line, count(*) AS n_occ FROM l2 GROUP BY line),
+t2 AS (SELECT doc, pos, l2.line, (n_occ <= {TD11_MAX_OCC}) AS keep
+       FROM l2 JOIN c USING (line))
+SELECT doc,
+  coalesce(array_to_string(
+      list_transform(
+          list_sort(list(struct_pack(pos := pos, line := line))
+                    FILTER (WHERE keep)),
+          s -> s.line),
+      chr(10)), '') AS clean_text,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM t2 GROUP BY doc
+"""
+
+
 # ---------------------------------------------------------------- #
 # ta1-ta4 — text analysis
 # ---------------------------------------------------------------- #
@@ -795,6 +845,8 @@ SPECS = [
               "repeated n-gram (Gopher) signals"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
+    QuerySpec("td11_line_dedup", td11_line_dedup, TD11_ORACLE,
+              "corpus-wide line-level dedup (C4 boilerplate rule)"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),

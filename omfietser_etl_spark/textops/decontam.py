@@ -92,3 +92,48 @@ def ngram_repetition_stats(
         )
         .withColumn("dup_bp", F.expr("(10000 * dup_cnt) div n_grams"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4 rule: drop any line that
+    appears in too many documents — boilerplate headers, cookie
+    banners, navigation). Documents survive with their remaining
+    lines re-joined in original order.
+
+    Scale shape: ONE line-keyed hash agg builds the global occurrence
+    counts (map-side partial agg collapses repeats early), then one
+    shuffle join lines→counts and one doc-keyed agg to reassemble.
+    The line count table is data-sized — this is the one corpus op
+    that genuinely joins big×big, which is why the join key is the
+    line HASH-equality (Spark hashes the string key) and never a
+    similarity predicate.
+
+    Returns (doc, clean_text, n_kept, n_dropped).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(F.count("*").alias("n_occ"))
+    tagged = lines.join(counts, "line").withColumn(
+        "keep", F.col("n_occ") <= max_occurrences
+    )
+    return (
+        tagged.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN keep THEN struct(pos, line) END)), s -> s.line)"
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        )
+    )

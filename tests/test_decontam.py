@@ -152,3 +152,29 @@ def test_contamination_screen_in_streaming_foreachbatch(spark, tmp_path):
 
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 3]
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from omfietser_etl_spark.textops.decontam import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha\nmiddle one\nFOOTER"),
+            (2, "HEADER\nbeta\nFOOTER"),
+            (3, "HEADER\ngamma\nFOOTER"),
+            (4, "delta\nsolo doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in line_dedup(docs, "doc_id", "text", 2).collect()}
+    # HEADER/FOOTER appear 3x > 2 → dropped; unique lines keep order
+    assert out[1].clean_text == "alpha\nmiddle one"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 2
+    assert out[2].clean_text == "beta"
+    assert out[4].clean_text == "delta\nsolo doc" and out[4].n_dropped == 0
+    # a doc that is ALL boilerplate survives with empty text
+    docs2 = docs.union(
+        spark.createDataFrame([(5, "HEADER\nFOOTER")], "doc_id long, text string")
+    )
+    out2 = {r.doc: r for r in line_dedup(docs2, "doc_id", "text", 2).collect()}
+    assert out2[5].clean_text == "" and out2[5].n_kept == 0
