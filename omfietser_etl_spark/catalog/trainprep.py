@@ -181,6 +181,51 @@ FROM a
 
 
 # ---------------------------------------------------------------- #
+# ts6 — tokenization to ids through the induced vocabulary
+# ---------------------------------------------------------------- #
+
+
+def ts6_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Text→tensor step: every document's token stream mapped to
+    integer ids through the tv1-induced vocabulary (rank = id,
+    OOV → 0), ids emitted in original order. Broadcast vocab →
+    map-side join; one doc-keyed reassembly."""
+    from omfietser_etl_spark.textops.chunking import tokenize_to_ids
+
+    from .textops import tv1_top_terms
+
+    docs = load(spark, sf, "documents")
+    vocab = tv1_top_terms(spark, sf).select(
+        "term", F.col("rank").alias("id")
+    )
+    return tokenize_to_ids(docs, vocab)
+
+
+def _ts6_oracle() -> str:
+    from .textops import DK_TOKENS, TV1_TOP_K
+
+    dk = DK_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {dk} AS t FROM documents),
+allt AS (SELECT doc, unnest(t) AS term FROM d),
+agg AS (SELECT term, count(*) AS tf FROM allt GROUP BY term),
+v AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term ASC) AS id
+      FROM agg ORDER BY tf DESC, term ASC LIMIT {TV1_TOP_K}),
+l AS (SELECT doc, unnest(list_transform(range(0, len(t)),
+          i -> struct_pack(pos := i, term := t[i + 1]))) AS s FROM d),
+m AS (SELECT doc, s.pos AS pos, coalesce(v.id, 0) AS tid
+      FROM l LEFT JOIN v ON v.term = s.term)
+SELECT doc,
+  count(*) AS n_tokens,
+  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  array_to_string(list_transform(
+      list_sort(list(struct_pack(pos := pos, tid := tid))),
+      s -> CAST(s.tid AS VARCHAR)), ',') AS ids_csv
+FROM m GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------- #
 # tp1 — the composed corpus-preparation pipeline
 # ---------------------------------------------------------------- #
 
@@ -265,4 +310,6 @@ SPECS = [
               "deterministic global shuffle (shard + position)"),
     QuerySpec("tp1_prepare_corpus", tp1_prepare_corpus, TP1_ORACLE,
               "composed corpus-preparation pipeline"),
+    QuerySpec("ts6_tokenize", ts6_tokenize, _ts6_oracle(),
+              "tokenization to ids via induced vocabulary"),
 ]

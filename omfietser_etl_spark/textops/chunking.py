@@ -89,3 +89,44 @@ def scrub_pii(
         F.size(F.regexp_extract_all(c, F.lit(IPV4_RX), 0)).alias("n_ips"),
         scrub_expr(c).alias("scrubbed_text"),
     )
+
+
+def tokenize_to_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map each document's token stream to integer ids through a
+    vocabulary table — the text→tensor step between chunking and
+    sequence packing. ``vocab`` is (term, id) with ids ≥ 1;
+    out-of-vocabulary tokens map to 0 (the UNK convention).
+
+    Scale shape: the vocabulary is model-sized (10k-100k rows) →
+    BROADCAST; tokenization is then a map-side explode + broadcast
+    join + one doc-keyed ordered reassembly. The corpus shuffles once
+    (on doc for the reassembly — or zero times if the caller keeps
+    the exploded (doc, pos, id) form, which is what a real export
+    writes).
+
+    Returns (doc, n_tokens, n_oov, ids_csv) with ids in original
+    token order (CSV-encoded for engine-portable gate hashing).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    mapped = toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("tid")
+    )
+    return mapped.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tid))), "
+                "s -> CAST(s.tid AS STRING))"
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
