@@ -583,6 +583,57 @@ FROM t2 GROUP BY doc
 """
 
 
+TA7_LO_PCT, TA7_HI_PCT = 10, 99  # keep docs inside [p10, p99] of their language
+
+
+def ta7_relative_length_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive length screening: instead of one global token-count
+    threshold, each document is judged against ITS LANGUAGE's length
+    distribution — keep docs inside [p10, p99] per language
+    (nearest-rank, exact integer cutoffs, a15's discipline).
+
+    One sort-shuffle on the language key computes rank and count for
+    every doc; the keep decision is pure integer arithmetic on that
+    single window pass. Output marks rather than drops, so the same
+    query doubles as the screening report."""
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    d = docs.withColumn("n_tok", ws_token_count("text"))
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    keep = (
+        (F.col("rnk") * 100 > F.col("n_lang") * TA7_LO_PCT)
+        & (F.col("rnk") * 100 <= F.col("n_lang") * TA7_HI_PCT)
+    )
+    return ranked.select(
+        "doc_id", "lang", "n_tok", F.when(keep, 1).otherwise(0).alias("keep")
+    )
+
+
+TA7_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM d)
+SELECT doc_id, lang, n_tok,
+       CAST(CASE WHEN rnk * 100 > n_lang * {TA7_LO_PCT}
+                  AND rnk * 100 <= n_lang * {TA7_HI_PCT}
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------- #
 # ta1-ta4 — text analysis
 # ---------------------------------------------------------------- #
@@ -847,6 +898,8 @@ SPECS = [
               "HTML/markup boilerplate stripping"),
     QuerySpec("td11_line_dedup", td11_line_dedup, TD11_ORACLE,
               "corpus-wide line-level dedup (C4 boilerplate rule)"),
+    QuerySpec("ta7_relative_length_filter", ta7_relative_length_filter, TA7_ORACLE,
+              "per-language percentile length screening"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),
     QuerySpec("ta2_quality_score", ta2_quality_score, _ta2_oracle(), "quality scoring"),
     QuerySpec("ta3_lang_id", ta3_lang_id, _ta3_oracle(), "language ID heuristic"),
