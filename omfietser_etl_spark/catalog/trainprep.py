@@ -181,6 +181,47 @@ FROM a
 
 
 # ---------------------------------------------------------------- #
+# ts7 — quality-weighted (curriculum) sampling
+# ---------------------------------------------------------------- #
+
+TS7_RATES = {10: 10000, 9: 8000, 8: 6000, 7: 4000, 6: 2000}
+TS7_DEFAULT = 1000
+
+
+def ts7_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum sampling: keep probability scales with the ta2
+    quality score (banded by tens) — high-quality documents are kept
+    at 100%, low bands downsampled hard. Deterministic per-group hash
+    membership (stratified_sample), so re-runs, retries, and engines
+    agree bit-for-bit; still a pure map-side filter over the scored
+    frame."""
+    from .textops import ta2_quality_score
+
+    q = ta2_quality_score(spark, sf).select("doc", "score")
+    banded = q.withColumn("band", F.expr("score div 10"))
+    kept = sp.stratified_sample(banded, "doc", "band", TS7_RATES, TS7_DEFAULT)
+    return kept.select(
+        "doc", "score", "band", F.col("_bucket").alias("bucket")
+    )
+
+
+def _ts7_oracle() -> str:
+    from .textops import _ta2_oracle
+
+    rate_case = " ".join(
+        f"WHEN {band} THEN {bp}" for band, bp in TS7_RATES.items()
+    )
+    return f"""
+WITH q AS ({_ta2_oracle()}),
+b AS (SELECT doc, score, score // 10 AS band,
+             {_dk_bucket('strat', 'doc')} AS bucket
+      FROM q)
+SELECT doc, score, band, CAST(bucket AS BIGINT) AS bucket FROM b
+WHERE bucket < CASE band {rate_case} ELSE {TS7_DEFAULT} END
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -312,4 +353,6 @@ SPECS = [
               "composed corpus-preparation pipeline"),
     QuerySpec("ts6_tokenize", ts6_tokenize, _ts6_oracle(),
               "tokenization to ids via induced vocabulary"),
+    QuerySpec("ts7_weighted_sample", ts7_weighted_sample, _ts7_oracle(),
+              "quality-weighted curriculum sampling"),
 ]
