@@ -675,6 +675,77 @@ SELECT c_custkey, 'only_building' AS tag FROM (
 """
 
 
+def j10_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join as a reconciliation report (the two-snapshot
+    compare u4/st4 approximate with anti-joins; full outer shows
+    matched / left-only / right-only in ONE pass over both sides —
+    one shuffle each on the join key)."""
+    c = load(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.col("c_acctbal").alias("bal_a")
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_b")
+    )
+    j = a.join(b, "c_custkey", "full_outer")
+    return j.select(
+        "c_custkey",
+        F.when(F.col("bal_a").isNotNull() & F.col("bal_b").isNotNull(), "both")
+        .when(F.col("bal_a").isNotNull(), "left_only")
+        .otherwise("right_only")
+        .alias("presence"),
+        F.round(F.coalesce("bal_a", "bal_b") * 100, 0).cast("long").alias("bal_cents"),
+    )
+
+
+J10_ORACLE = """
+WITH a AS (SELECT c_custkey, c_acctbal AS bal_a FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT c_custkey, c_acctbal AS bal_b FROM customer
+      WHERE c_acctbal > 5000)
+SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN bal_a IS NOT NULL AND bal_b IS NOT NULL THEN 'both'
+            WHEN bal_a IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS presence,
+       CAST(round(coalesce(bal_a, bal_b) * 100, 0) AS BIGINT) AS bal_cents
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+"""
+
+
+def a18_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form rollup/cube
+    specialize): per-status totals, per-priority totals, and the
+    grand total in one pass — Spark expands the sets in a single
+    Expand + hash agg, not three scans. grouping() flags disambiguate
+    the aggregation NULLs from data NULLs."""
+    load(spark, sf, "orders").createOrReplaceTempView("a18_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '') AS status_key,
+               coalesce(o_orderpriority, '') AS priority_key,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS cnt,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM a18_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+A18_ORACLE = """
+SELECT coalesce(o_orderstatus, '') AS status_key,
+       coalesce(o_orderpriority, '') AS priority_key,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def o7_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k per group (ref: processors/base.ts:642-646 first-5
     examples per error type)."""
@@ -992,6 +1063,10 @@ SPECS = [
               "keyset pagination (cursor, O(page) cost)"),
     QuerySpec("u5_intersect_except", u5_intersect_except, U5_ORACLE,
               "INTERSECT / EXCEPT set operations"),
+    QuerySpec("j10_full_outer_reconcile", j10_full_outer_reconcile, J10_ORACLE,
+              "FULL OUTER reconciliation report"),
+    QuerySpec("a18_grouping_sets", a18_grouping_sets, A18_ORACLE,
+              "arbitrary GROUPING SETS in one Expand pass"),
     QuerySpec("j8_range_join", j8_range_join, J8_ORACLE,
               "bin-blocked interval join (big×big range join)"),
     QuerySpec("a14_pivot", a14_pivot, A14_ORACLE,
