@@ -107,3 +107,19 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink, snappy-compressed (format parity for consumers that
     read ORC; parquet stays the engine-native default)."""
     df.write.mode(mode).option("compression", "snappy").orc(path)
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across batches written under EVOLVING schemas —
+    the lake-level analog of the reference's schema_version columns
+    (postgres-adapter.ts:1004-1023): older files simply lack the newer
+    columns and surface them as nulls.
+
+    ``mergeSchema`` asks the reader to union every file footer's
+    schema instead of trusting the first one. That costs one footer
+    read per file at planning time — fine for a partitioned table,
+    wasteful for a 10⁶-file mess (compact first; see
+    sinks/clustered.py::compact_parquet). Column pruning and filter
+    pushdown still apply to the merged schema.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

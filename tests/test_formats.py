@@ -92,3 +92,24 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == n_out
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_evolved_parquet_merges_schema_versions(spark, tmp_path):
+    from omfietser_etl_spark.sources.files import read_evolved_parquet
+
+    path = str(tmp_path / "evolving")
+    # v1 writer: two columns
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.mode("append").parquet(path)
+    # v2 writer: adds a column (schema evolution)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, payload string, score double"
+    ).write.mode("append").parquet(path)
+
+    out = read_evolved_parquet(spark, path)
+    assert set(out.columns) == {"id", "payload", "score"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[3].score == 9.5
+    # pruning/pushdown still hold on the merged schema
+    assert read_evolved_parquet(spark, path).filter("score > 9").count() == 1
