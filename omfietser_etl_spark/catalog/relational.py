@@ -392,9 +392,9 @@ WITH j AS (
 SELECT j.c_mktsegment,
        CAST(floor(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) * 1.0
                   / count(*)) AS BIGINT) AS avg_price_cents,
-       sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS bucket_low,
-       sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS bucket_mid,
-       sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS bucket_high,
+       CAST(sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_low,
+       CAST(sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_mid,
+       CAST(sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_high,
        any_value(med.median_cents) AS median_cents
 FROM j JOIN med ON j.c_mktsegment = med.c_mktsegment
 GROUP BY j.c_mktsegment
@@ -435,8 +435,8 @@ def a7_event_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 A7_ORACLE = """
 SELECT event_type, count(*) AS total, count(DISTINCT user_id) AS n_users,
-       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
-       sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
+       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """

@@ -176,8 +176,8 @@ WITH parsed AS (
   SELECT 'missing_field' AS field, missing_field IS NOT NULL AS present FROM parsed
 )
 SELECT field,
-       sum(CASE WHEN present THEN 1 ELSE 0 END) AS present_cnt,
-       sum(CASE WHEN NOT present THEN 1 ELSE 0 END) AS missing_cnt
+       CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS present_cnt,
+       CAST(sum(CASE WHEN NOT present THEN 1 ELSE 0 END) AS BIGINT) AS missing_cnt
 FROM unpivoted GROUP BY field
 """
 

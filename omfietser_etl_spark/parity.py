@@ -31,19 +31,31 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            # round(6) multiplies by 1e6 internally — above ~2^53/1e6
-            # that round-trip corrupts exact integers (e.g. DuckDB
-            # HUGEINT sums surfaced as float64). Only round small
-            # magnitudes; large values are integral sums anyway.
-            v = df[c]
-            df[c] = v.where(v.abs() >= 1e9, v.round(6))
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
     return df
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class: int-vs-float is the driver-visible boundary
+    (DuckDB HUGEINT -> float64 vs Spark int64 hash-fails at the gate);
+    width differences (int32 vs int64) render identically and pass."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
 def _value_hash(df: pd.DataFrame) -> str:
+    """Dtype-STRICT hash mirroring the driver: a float64 1460.0 renders
+    '1460.0' and an int64 1460 renders '1460' — different hashes. The
+    old version canonicalized integral floats to ints, which masked the
+    HUGEINT->float64 oracle-dtype class for two straight rounds."""
     df = _normalize(df)
     if len(df) == 0:
         return "empty"
@@ -52,9 +64,8 @@ def _value_hash(df: pd.DataFrame) -> str:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "\\N"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return f"{v:.6f}".rstrip("0").rstrip(".")
+            v = round(v, 6) + 0.0  # +0.0 folds -0.0 into 0.0
+            return repr(v)
         return str(v)
 
     lines = sorted(",".join(cell(v) for v in row) for row in df.itertuples(index=False))
@@ -80,6 +91,14 @@ def compare(name: str, spark_df, oracle_sql: str, con) -> ParityResult:
         )
     if len(sp) != len(du):
         return ParityResult(name, False, len(sp), len(du), "row count mismatch")
+    for c in sorted(sp.columns):
+        ks, kd = _dtype_kind(sp[c].dtype), _dtype_kind(du[c].dtype)
+        if ks != kd and len(sp) > 0:
+            return ParityResult(
+                name, False, len(sp), len(du),
+                f"dtype-kind mismatch on {c}: spark {sp[c].dtype} ({ks}) "
+                f"vs oracle {du[c].dtype} ({kd})",
+            )
     hs, hd = _value_hash(sp), _value_hash(du)
     if hs != hd:
         return ParityResult(name, False, len(sp), len(du), _diff_hint(sp, du))

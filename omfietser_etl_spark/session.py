@@ -80,6 +80,11 @@ def load(spark: SparkSession, sf_dir: str, table: str, fanout: bool = False):
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    # The gate/driver runs a VANILLA SparkSession (host-local timezone),
+    # and the events NTZ->TIMESTAMP cast below interprets wall clock in
+    # the session tz. Pin UTC here (runtime-settable) so epoch-nanos
+    # extraction matches the DuckDB oracle's epoch_ns on any host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The 32-column unified pipeline stages generate one >64 KB
     # whole-stage method that janino cannot compile; Spark then pays a
     # multi-second doomed compile attempt per execution before falling

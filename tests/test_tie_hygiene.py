@@ -23,6 +23,32 @@ _BAD = re.compile(
 _EXEMPT = re.compile(r"CAST\s*\(\s*round", re.IGNORECASE)
 
 
+def test_no_hugeint_oracle_outputs():
+    """The round-1/round-2 gate-red class: DuckDB types integer `sum()`
+    (including sum(CASE WHEN ... THEN 1 ELSE 0 END)) as HUGEINT, which
+    pandas surfaces as float64 while Spark emits int64 — the driver's
+    dtype-strict hash then sees 1460.0 vs 1460. DESCRIBE plans the
+    oracle without executing it, so this checks ALL output column types
+    across the whole catalog. Fix = wrap in CAST(... AS BIGINT)."""
+    from omfietser_etl_spark.parity import duck_connect
+
+    con = duck_connect("/root/testdata/sf0.001")
+    offenders = []
+    for spec in all_specs():
+        if spec.oracle is None:
+            continue
+        for col_name, col_type, *_ in con.execute(
+            f"DESCRIBE {spec.oracle}"
+        ).fetchall():
+            if "HUGEINT" in col_type.upper():
+                offenders.append(f"{spec.name}.{col_name}: {col_type}")
+    assert not offenders, (
+        "HUGEINT oracle output (pandas renders it float64, hash-fails "
+        "vs Spark int64 — wrap in CAST(... AS BIGINT)):\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_no_rounded_double_aggregates_in_oracles():
     offenders = []
     for spec in all_specs():
