@@ -1,18 +1,25 @@
 """Benchmark runner: times every declared catalog query at one scale factor.
 
+Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+per-query MEDIAN — single-run numbers showed >=2x noise on a loaded
+host (d2 went 4.2s -> 9.0s between runs with no code change), which
+made regressions indistinguishable from load spikes.
+
 Env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[] core count (default 32)
+    SPARK_GRAFT_REPS    runs per query, median reported (default 3)
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": <sf>}
+     "queries": {"q1": sec, ...}, "sf": ..., "reps": N}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,11 +61,15 @@ def main() -> None:
     # plan, not session startup.
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     for name, build in qs.items():
-        t0 = time.perf_counter()
-        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -67,6 +78,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
     }
     print(json.dumps(line))
     # Round-over-round history (BENCH_HISTORY.jsonl is committed) so

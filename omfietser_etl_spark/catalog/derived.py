@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from omfietser_etl_spark.functions.prices import discount_metrics, price_per_unit
 from omfietser_etl_spark.functions.promotions import parse_promotion_mechanism
-from omfietser_etl_spark.functions.quantities import parse_quantity, standardize_quantity
+from omfietser_etl_spark.functions.quantities import (
+    parse_quantity,
+    with_standardized_quantity,
+)
 from omfietser_etl_spark.functions.text import (
     extract_numbers,
     format_price,
@@ -142,6 +145,12 @@ _D2_GOLD = [
 
 
 def d2_quantity_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """D2/D3 over the fact table via distinct-then-join: the ~150-alias
+    containment cascade is evaluated once per DISTINCT unit string
+    (O(100) rows) and broadcast-joined back, instead of per fact row —
+    the per-row residue is regex parse + four arithmetic ops. The fact
+    side never reshuffles; the lookup branch's second scan prunes to a
+    single parquet column."""
     part = load(spark, sf, "part", fanout=True)
     arr = F.array(*[F.lit(s) for s in UNIT_INPUTS])
     base = part.select(
@@ -149,13 +158,13 @@ def d2_quantity_standardize(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p_partkey") % len(UNIT_INPUTS)).alias("v"),
     ).withColumn("raw", F.element_at(arr, F.col("v").cast("int") + 1))
     q = parse_quantity(F.col("raw"))
-    std = standardize_quantity(q["amount"], q["unit"])
-    return base.select(
+    out = with_standardized_quantity(base, q["amount"], q["unit"], "_std")
+    return out.select(
         "p_partkey",
         "v",
-        std["normalized_amount"].alias("norm_amount"),
-        std["normalized_unit"].alias("norm_unit"),
-        std["conversion_factor"].alias("conv_factor"),
+        F.col("_std")["normalized_amount"].alias("norm_amount"),
+        F.col("_std")["normalized_unit"].alias("norm_unit"),
+        F.col("_std")["conversion_factor"].alias("conv_factor"),
     )
 
 

@@ -143,6 +143,43 @@ TD2_ORACLE = (
 
 
 # ---------------------------------------------------------------- #
+# td12 — Jaccard with the degenerate-shingle guard (document-
+# frequency cap). The scale-correct variant of td2: shingles in more
+# than max(3, ceil(1% of docs)) documents are boilerplate and would
+# emit O(k²) candidates each, so they are dropped before the
+# blocking self-join. At 100 TB this is what keeps the join
+# sub-quadratic on stopword-heavy corpora.
+# ---------------------------------------------------------------- #
+
+_GUARD_FRAC = 0.01
+_GUARD_MIN = 3
+
+
+def td12_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.jaccard_pairs(
+        load(spark, sf, "documents"), "doc_id", "text",
+        max_df_frac=_GUARD_FRAC, min_df_cap=_GUARD_MIN,
+    )
+
+
+# Same shape as TD2 but sh is pre-filtered by the hot-shingle anti-
+# join; sizes/intersections use the filtered shingle space (mirrors
+# dedup.jaccard_pairs exactly).
+TD12_ORACLE = (
+    _DOCS_CTE.replace("sh AS (", "sh0 AS (")
+    + f""", nd AS (SELECT count(DISTINCT doc) AS n_docs FROM sh0)
+, hot AS (SELECT s FROM sh0 GROUP BY s
+          HAVING count(*) > (SELECT greatest({_GUARD_MIN},
+                             CAST(ceil({_GUARD_FRAC} * n_docs) AS BIGINT))
+                             FROM nd))
+, sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot))
+, cand AS (SELECT a.doc AS doc_lo, b.doc AS doc_hi FROM sh a
+           JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)"""
+    + _JACCARD_TAIL
+)
+
+
+# ---------------------------------------------------------------- #
 # td3 — MinHash + LSH banding, exact-Jaccard verified
 # ---------------------------------------------------------------- #
 
@@ -567,7 +604,7 @@ sp AS (SELECT doc, string_split(t, chr(10)) AS ls FROM d),
 l AS (SELECT doc, unnest(list_transform(range(0, len(ls)),
           i -> struct_pack(pos := i, line := ls[i + 1]))) AS s FROM sp),
 l2 AS (SELECT doc, s.pos AS pos, s.line AS line FROM l),
-c AS (SELECT line, count(*) AS n_occ FROM l2 GROUP BY line),
+c AS (SELECT line, count(DISTINCT doc) AS n_occ FROM l2 GROUP BY line),
 t2 AS (SELECT doc, pos, l2.line, (n_occ <= {TD11_MAX_OCC}) AS keep
        FROM l2 JOIN c USING (line))
 SELECT doc,
@@ -877,6 +914,10 @@ FROM d
 SPECS = [
     QuerySpec("td1_exact_dedup", td1_exact_dedup, TD1_ORACLE, "exact dedup stats"),
     QuerySpec("td2_ngram_jaccard", td2_ngram_jaccard, TD2_ORACLE, "n-gram Jaccard near-dup"),
+    QuerySpec(
+        "td12_jaccard_guarded", td12_jaccard_guarded, TD12_ORACLE,
+        "Jaccard near-dup with degenerate-shingle DF guard",
+    ),
     QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
     QuerySpec("td4_simhash", td4_simhash, _td4_oracle(), "SimHash fingerprints"),
     QuerySpec("td5_embed_neardup", td5_embed_neardup, TD5_ORACLE, "embedding cosine near-dup"),

@@ -100,13 +100,26 @@ def normalize_unit(unit: Column) -> Column:
     return F.when(unit.isNull() | (unit == ""), F.lit("stuk")).otherwise(resolved)
 
 
-def standardize_quantity(amount: Column, unit: Column) -> Column:
-    """Returns struct(normalized_amount, normalized_unit,
-    conversion_factor) (ref: calculate-fields.ts:232-332).
+def resolve_unit(unit: Column) -> Column:
+    """Unit-string-only half of D2: struct(category, to_base, divisor,
+    std_unit). This carries the whole ~150-alias containment cascade —
+    everything in standardize_quantity that does NOT depend on the
+    amount — so it can be evaluated once per DISTINCT unit string and
+    broadcast-joined back (SURVEY §2.7 distinct-then-join; ref
+    precedent: the normalizer singleton cache normalizer.ts:87-92)."""
+    nu = normalize_unit(unit)
+    cat = F.coalesce(F.element_at(_category_map(), nu), F.lit("piece"))
+    return F.struct(
+        cat.alias("category"),
+        F.coalesce(F.element_at(_to_base_map(), nu), F.lit(1.0)).alias("to_base"),
+        F.element_at(_divisor_map(), cat).alias("divisor"),
+        F.element_at(_ref_unit_map(), cat).alias("std_unit"),
+    )
 
-    weight→kg, volume→l, length→m, area→m², piece→stuk; conversion
-    factor floored at 0.001 (piece: max(amount, 1)); invalid input ⇒
-    (1, 'stuk', 1)."""
+
+def standardize_resolved(amount: Column, unit: Column, res: Column) -> Column:
+    """Amount-dependent tail of D2 given a resolve_unit() struct: four
+    arithmetic ops and a branch — pure codegen, trivially cheap."""
     invalid = (
         amount.isNull()
         | F.isnan(amount)
@@ -114,17 +127,12 @@ def standardize_quantity(amount: Column, unit: Column) -> Column:
         | unit.isNull()
         | (unit == "")
     )
-    nu = normalize_unit(unit)
-    cat = F.coalesce(F.element_at(_category_map(), nu), F.lit("piece"))
-    to_base = F.coalesce(F.element_at(_to_base_map(), nu), F.lit(1.0))
-    divisor = F.element_at(_divisor_map(), cat)
-    measured = F.greatest(amount * to_base / divisor, F.lit(0.001))
+    measured = F.greatest(amount * res["to_base"] / res["divisor"], F.lit(0.001))
     piece = F.greatest(amount, F.lit(1.0))
-    conv = F.when(cat == "piece", piece).otherwise(measured)
-    std_unit = F.element_at(_ref_unit_map(), cat)
+    conv = F.when(res["category"] == "piece", piece).otherwise(measured)
     result = F.struct(
         conv.cast("double").alias("normalized_amount"),
-        std_unit.alias("normalized_unit"),
+        res["std_unit"].alias("normalized_unit"),
         conv.cast("double").alias("conversion_factor"),
     )
     default = F.struct(
@@ -133,6 +141,49 @@ def standardize_quantity(amount: Column, unit: Column) -> Column:
         F.lit(1.0).alias("conversion_factor"),
     )
     return F.when(invalid, default).otherwise(result)
+
+
+def standardize_quantity(amount: Column, unit: Column) -> Column:
+    """Returns struct(normalized_amount, normalized_unit,
+    conversion_factor) (ref: calculate-fields.ts:232-332).
+
+    weight→kg, volume→l, length→m, area→m², piece→stuk; conversion
+    factor floored at 0.001 (piece: max(amount, 1)); invalid input ⇒
+    (1, 'stuk', 1).
+
+    NOTE: this inline form evaluates the ~150-alias containment cascade
+    per ROW. For fact-scale frames use with_standardized_quantity(),
+    which evaluates it per DISTINCT unit string instead."""
+    return standardize_resolved(amount, unit, resolve_unit(unit))
+
+
+def with_standardized_quantity(
+    df, amount: Column, unit: Column, out_col: str
+):
+    """D2 via distinct-then-join: materialize the unit string, resolve
+    the alias cascade over its DISTINCT values (a tiny map-side-combine
+    hash agg — unit vocabularies are O(100) strings no matter the fact
+    count), broadcast-join the resolution back, and finish with the
+    cheap amount arithmetic. At 100 TB the fact table never reshuffles
+    and the per-row cost drops from a 150-struct array fold to four
+    arithmetic ops. Also shrinks the row-plan expression tree, keeping
+    codegen well under the 1 GiB-driver janino budget."""
+    key, res = f"__{out_col}_unit", f"__{out_col}_res"
+    keyed = df.withColumn(key, unit).withColumn(f"__{out_col}_amt", amount)
+    lookup = (
+        keyed.select(key)
+        .where(F.col(key).isNotNull())
+        .distinct()
+        .withColumn(res, resolve_unit(F.col(key)))
+    )
+    joined = keyed.join(F.broadcast(lookup), on=key, how="left")
+    out = joined.withColumn(
+        out_col,
+        standardize_resolved(
+            F.col(f"__{out_col}_amt"), F.col(key), F.col(res)
+        ),
+    )
+    return out.drop(key, res, f"__{out_col}_amt")
 
 
 def parse_quantity(text: Column) -> Column:

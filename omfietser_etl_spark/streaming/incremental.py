@@ -55,28 +55,114 @@ def with_content_hash(df: DataFrame, *cols: str) -> DataFrame:
     return df.withColumn("content_hash", content_hash(*[F.col(c) for c in cols]))
 
 
+# ------------------------------------------------------------------ #
+# Versioned parquet state store with an atomic manifest commit.
+#
+# Layout:  <state_dir>/_CURRENT            JSON manifest (the pointer)
+#          <state_dir>/v<N>/...            immutable version dirs
+#
+# The manifest maps each shop_type partition (or "" for unpartitioned
+# states) to the version dir holding its live data. A merge writes a
+# brand-new version dir, then commits by fsync+os.replace() of the
+# manifest — POSIX-atomic, so a crash at ANY point leaves readers on
+# the previous complete state (the reference's transactional
+# INSERT..ON CONFLICT guarantee, postgres-adapter.ts:637-788). Partial
+# version dirs from a crashed run are overwritten by the next merge
+# (same version number, mode=overwrite) and never referenced.
+# Single-writer per state_dir, like the job loop it models.
+# ------------------------------------------------------------------ #
+
+_MANIFEST = "_CURRENT"
+
+
+def _read_manifest(state_dir: str) -> dict | None:
+    import json
+
+    path = os.path.join(state_dir, _MANIFEST)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_manifest(state_dir: str, manifest: dict) -> None:
+    """Atomic pointer swap: write-fsync a temp file, os.replace() it
+    onto _CURRENT. Readers see the old manifest or the new one, never
+    a torn write."""
+    import json
+
+    tmp = os.path.join(state_dir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_dir, _MANIFEST))
+
+
+def _gc_versions(state_dir: str, manifest: dict) -> None:
+    """Best-effort removal of version dirs no longer referenced by the
+    committed manifest (superseded states + crashed-run residue)."""
+    import shutil
+
+    live = set(manifest["partitions"].values())
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name not in live:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the committed state (None if nothing committed yet).
+
+    Partitioned states are stitched from the per-partition version
+    pointers; each partition path is read directly (5 shops — the
+    stitch is a trivial union) with the partition column restored."""
+    m = _read_manifest(state_dir)
+    if m is None:
+        return None
+    parts = m["partitions"]
+    if set(parts) == {""}:
+        return spark.read.parquet(os.path.join(state_dir, parts[""]))
+    out = None
+    for shop, ver in sorted(parts.items()):
+        p = os.path.join(state_dir, ver, f"shop_type={shop}")
+        df = spark.read.parquet(p).withColumn("shop_type", F.lit(shop))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def _merge_parquet(
     batch: DataFrame,
     state_dir: str,
     keys: list[str],
     order_col: str,
 ) -> None:
-    """MERGE INTO state USING batch ON keys — parquet-backed.
+    """MERGE INTO state USING batch ON keys — parquet-backed, with a
+    crash-safe versioned commit (see module-section comment above).
 
     Latest row per key wins (ties → batch row). Only partitions
     (shop_type values) present in the batch are rewritten — the
-    pruning a Delta MERGE would get from partition filters.
+    pruning a Delta MERGE would get from partition filters; untouched
+    partitions keep their old version pointers, so the manifest swap
+    is the ONLY globally visible step.
     """
     spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    exists = os.path.isdir(state_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    manifest = _read_manifest(state_dir)
+    version = (manifest["version"] + 1) if manifest else 1
+    vdir = f"v{version}"
+
+    partitioned = "shop_type" in keys
+    shops = (
+        [r[0] for r in batch.select("shop_type").distinct().collect()]
+        if partitioned
+        else []
     )
+
     batch = batch.withColumn("_src", F.lit(1))
-    if exists:
-        state = spark.read.parquet(state_dir).withColumn("_src", F.lit(0))
-        if "shop_type" in keys:
-            shops = [r[0] for r in batch.select("shop_type").distinct().collect()]
+    state = read_state(spark, state_dir)
+    if state is not None:
+        state = state.withColumn("_src", F.lit(0))
+        if partitioned:
             state = state.filter(F.col("shop_type").isin(shops))
         merged = state.unionByName(batch, allowMissingColumns=True)
     else:
@@ -92,9 +178,17 @@ def _merge_parquet(
         .drop("_rn", "_src")
     )
     writer = latest.write.mode("overwrite")
-    if "shop_type" in keys:
+    if partitioned:
         writer = writer.partitionBy("shop_type")
-    writer.parquet(state_dir)
+    writer.parquet(os.path.join(state_dir, vdir))
+
+    old_parts = manifest["partitions"] if manifest else {}
+    new_parts = (
+        {**old_parts, **{s: vdir for s in shops}} if partitioned else {"": vdir}
+    )
+    new_manifest = {"version": version, "partitions": new_parts}
+    _commit_manifest(state_dir, new_manifest)
+    _gc_versions(state_dir, new_manifest)
 
 
 def skip_unchanged(batch: DataFrame, state_dir: str, keys: list[str]) -> DataFrame:
@@ -105,11 +199,10 @@ def skip_unchanged(batch: DataFrame, state_dir: str, keys: list[str]) -> DataFra
     before upsert.
     """
     spark = batch.sparkSession
-    if not (os.path.isdir(state_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(state_dir)
-    )):
+    state = read_state(spark, state_dir)
+    if state is None:
         return batch
-    state = spark.read.parquet(state_dir).select(*keys, "content_hash")
+    state = state.select(*keys, "content_hash")
     return batch.join(state, on=[*keys, "content_hash"], how="left_anti")
 
 

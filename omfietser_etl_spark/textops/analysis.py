@@ -55,11 +55,13 @@ MARKUP_STRIP_STEPS = [
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    # &amp; decodes LAST among entities so escaped entities don't
+    # double-decode ('&amp;lt;' must yield '&lt;', not '<').
+    (r"&amp;", "&"),
     (r"\s+", " "),
 ]
 

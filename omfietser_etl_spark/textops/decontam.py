@@ -101,9 +101,11 @@ def line_dedup(
     max_occurrences: int = 2,
 ) -> DataFrame:
     """Corpus-wide line-level dedup (the C4 rule: drop any line that
-    appears in too many documents — boilerplate headers, cookie
-    banners, navigation). Documents survive with their remaining
-    lines re-joined in original order.
+    appears in more than ``max_occurrences`` DISTINCT documents —
+    boilerplate headers, cookie banners, navigation). A line repeated
+    inside a single document is NOT boilerplate under this rule and
+    survives. Documents keep their remaining lines re-joined in
+    original order.
 
     Scale shape: ONE line-keyed hash agg builds the global occurrence
     counts (map-side partial agg collapses repeats early), then one
@@ -119,7 +121,7 @@ def line_dedup(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    counts = lines.groupBy("line").agg(F.count("*").alias("n_occ"))
+    counts = lines.groupBy("line").agg(F.countDistinct("doc").alias("n_occ"))
     tagged = lines.join(counts, "line").withColumn(
         "keep", F.col("n_occ") <= max_occurrences
     )

@@ -64,16 +64,44 @@ def jaccard_pairs(
     text_col: str,
     threshold: float = JACCARD_THRESHOLD,
     n: int = SHINGLE_N,
+    max_df_frac: float | None = None,
+    min_df_cap: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     Blocking join on the shingle: a pair is only generated if it
     shares ≥1 shingle, then |A∩B| comes from the join group count and
-    |A∪B| = |A|+|B|−|A∩B|. Sub-quadratic as long as shingles aren't
-    degenerate (stopword-only shingles should be filtered upstream at
-    real scale; here the vocab is synthetic).
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df_frac`` is the degenerate-shingle guard that keeps the
+    blocking join sub-quadratic on stopword-heavy corpora: shingles
+    whose document frequency exceeds ceil(max_df_frac · n_docs) are
+    dropped BEFORE the self-join (a shingle shared by k docs emits
+    O(k²) candidate rows — one near-universal shingle degenerates the
+    block join to all-pairs). The hot-shingle set is tiny by
+    construction, so it broadcasts and the drop is a map-side
+    anti-join; sizes and intersections are both computed over the
+    filtered shingle space, so Jaccard stays internally consistent
+    (boilerplate shingles simply stop counting as evidence).
+    ``min_df_cap`` floors the cutoff so tiny corpora don't drop
+    ordinary shared shingles.
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_df_frac is not None:
+        n_docs = sh.select(F.countDistinct("doc").alias("n_docs"))
+        cap = F.greatest(
+            F.lit(min_df_cap).cast("long"),
+            F.ceil(F.lit(max_df_frac) * F.col("n_docs")),
+        )
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df_cnt"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df_cnt") > cap)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

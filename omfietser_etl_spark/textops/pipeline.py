@@ -25,6 +25,24 @@ from .analysis import norm_text, ws_token_count
 from .decontam import contamination_stats, ngram_repetition_stats
 from .sampling import hash_bucket, mixture_split
 
+#: frames persisted by the most recent prepare_corpus() call. Without
+#: release, repeated invocations (the 104-query catalog runs this via
+#: tp1 plus reruns) accumulate cached partitions in the executors —
+#: the pressure that forced the 8g bench driver heap.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame persisted by earlier prepare_corpus calls.
+    Safe to call any time; later actions on previously returned frames
+    simply recompute."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
 
 def prepare_corpus(
     docs: DataFrame,
@@ -51,8 +69,14 @@ def prepare_corpus(
     screen re-reads and re-dedups the corpus from the source (8 scans
     observed; 3 with). On a real 100 TB run, swap the persists for
     checkpoints to the lake between stages — same call sites.
+
+    Each call releases the PREVIOUS call's persisted frames (see
+    release_caches), so repeated invocations don't accumulate cached
+    partitions; call release_caches() directly to free the last run's.
     """
     from pyspark import StorageLevel
+
+    release_caches()
     d = docs.select(
         F.col(id_col).alias("doc"), "source", F.col(text_col).alias("text")
     ).withColumn("n_tok", ws_token_count("text"))
@@ -67,6 +91,7 @@ def prepare_corpus(
     )
     if materialize:
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_CACHES.append(d)
 
     # decontamination: drop docs overlapping the benchmark set
     ev = eval_df.select(
@@ -80,6 +105,7 @@ def prepare_corpus(
     ).drop("contam_bp")
     if materialize:
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_CACHES.append(d)
 
     # repetition screen: drop high duplicate-2-gram docs
     rep = ngram_repetition_stats(d, "doc", "text").select("doc", "dup_bp")

@@ -12,6 +12,7 @@ from pyspark.sql import types as T
 
 from omfietser_etl_spark.streaming.incremental import (
     read_landing_stream,
+    read_state,
     session_window_stats,
     upsert_stream,
     windowed_event_counts,
@@ -66,7 +67,7 @@ def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
 
     got = {
         (r.shop_type, r.external_id): (r.title, r.current_price, r.scraped_at)
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     }
     assert got == {
         ("AH", "1"): ("Cola", 2.0, 100),
@@ -88,7 +89,7 @@ def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
 
     got = {
         (r.shop_type, r.external_id): (r.title, r.current_price, r.scraped_at)
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     }
     assert got == {
         ("AH", "1"): ("Cola", 1.5, 200),
@@ -96,6 +97,55 @@ def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
         ("JUMBO", "1"): ("Thee", 4.0, 100),
         ("PLUS", "9"): ("Koek", 1.0, 200),
     }
+
+    # Partition pruning held through the versioned commit: JUMBO was
+    # absent from batch 2, so its pointer still names the v1 dir.
+    import json
+
+    with open(os.path.join(state, "_CURRENT")) as f:
+        manifest = json.load(f)
+    assert manifest["partitions"]["JUMBO"] == "v1"
+    assert manifest["partitions"]["AH"] == "v2"
+
+
+def test_merge_crash_before_commit_preserves_state(spark, tmp_path):
+    """Kill-mid-merge: a merge that dies AFTER writing the new version
+    dir but BEFORE the manifest swap must leave readers on the old
+    complete state, and the next merge must succeed and converge."""
+    from omfietser_etl_spark.streaming.incremental import _merge_parquet
+
+    state = str(tmp_path / "state")
+    keys = ["shop_type", "external_id"]
+
+    b1 = spark.createDataFrame(
+        [("AH", "1", "Cola", 2.0, 100)],
+        "shop_type string, external_id string, title string, "
+        "current_price double, scraped_at long",
+    )
+    _merge_parquet(b1, state, keys, "scraped_at")
+
+    # Simulate the torn run: write the would-be v2 dir by hand (full
+    # data present on disk!) without touching the manifest.
+    b2 = spark.createDataFrame(
+        [("AH", "1", "Cola", 9.9, 200)],
+        "shop_type string, external_id string, title string, "
+        "current_price double, scraped_at long",
+    )
+    b2.write.mode("overwrite").partitionBy("shop_type").parquet(
+        os.path.join(state, "v2")
+    )
+
+    # Readers are untouched by the uncommitted dir.
+    got = {(r.shop_type, r.external_id): r.current_price
+           for r in read_state(spark, state).collect()}
+    assert got == {("AH", "1"): 2.0}
+
+    # The retried merge (at-least-once redelivery) reuses version 2,
+    # overwrites the residue, and commits atomically.
+    _merge_parquet(b2, state, keys, "scraped_at")
+    got = {(r.shop_type, r.external_id): (r.current_price, r.scraped_at)
+           for r in read_state(spark, state).collect()}
+    assert got == {("AH", "1"): (9.9, 200)}
 
 
 def test_content_hash_stable_and_sensitive(spark):

@@ -46,6 +46,40 @@ def test_jaccard_pairs_identical_docs(spark):
     assert [(r.doc_lo, r.doc_hi, r.jaccard) for r in rows] == [(1, 2, 1.0)]
 
 
+def test_jaccard_df_guard_bounds_candidates(spark):
+    """Stopword-heavy corpus: every doc shares one boilerplate shingle
+    ('click here to subscribe ...' banner), so the unguarded blocking
+    join degenerates to all-pairs O(N²). With the DF guard the hot
+    shingles drop before the self-join and only the genuinely similar
+    pair survives."""
+    banner = "click here to subscribe now"
+    docs = [(i, f"{banner} unique payload number {i} entirely") for i in range(20)]
+    # one real near-dup pair sharing distinctive content
+    docs.append((100, "rare marmot sighting in alpine meadow today"))
+    docs.append((101, "rare marmot sighting in alpine meadow today"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # Unguarded: the banner shingles block every doc with every other
+    # doc — candidate blow-up (the pre-threshold join is ~all-pairs).
+    sh = dd.doc_shingles(df, "doc_id", "text")
+    unguarded_cands = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+    assert unguarded_cands == 191  # all 20*19/2 banner pairs + the real one
+
+    # Guarded: banner shingles exceed max(3, ceil(20% of 22 docs)) = 5
+    # docs and are dropped; candidates collapse to the real pair.
+    guarded = dd.jaccard_pairs(
+        df, "doc_id", "text", threshold=0.8, max_df_frac=0.2, min_df_cap=3
+    )
+    rows = guarded.collect()
+    assert [(r.doc_lo, r.doc_hi, r.jaccard) for r in rows] == [(100, 101, 1.0)]
+
+
 def test_minhash_lsh_finds_identical_docs(spark):
     text = "one two three four five six seven eight nine ten"
     df = spark.createDataFrame(
