@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omfietser_etl_spark.config.categories import FINAL_CATEGORIES
-from omfietser_etl_spark.operators.inference import CONF_THRESHOLD_BP, infer_categories
+from omfietser_etl_spark.operators.inference import (
+    CONF_THRESHOLD_BP,
+    infer_categories,
+    infer_categories_nb,
+)
 from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops.constants import CHAR_SEED, MOD
 
@@ -47,11 +51,30 @@ FROM h
 """
 
 
+def x8_nb_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 with the REAL trained artifact (multinomial NB over hashed
+    char-3-grams, tools/train_category_model.py): genuinely non-SQL
+    model scoring, so this rides the rows-only check by design — the
+    exact gate on the operator plumbing is x2_online_inference, and
+    the model's own fit/determinism is pytest-covered
+    (tests/test_inference.py)."""
+    parts = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("title")
+    )
+    return infer_categories_nb(parts)
+
+
 SPECS = [
     QuerySpec(
         "x2_online_inference",
         x2_online_inference,
         _x2_oracle(),
         "X2 model-inference column + confidence threshold",
+    ),
+    QuerySpec(
+        "x8_nb_inference",
+        x8_nb_inference,
+        None,  # real model scoring is not SQL-expressible
+        "X2 with the real trained NB category model",
     ),
 ]

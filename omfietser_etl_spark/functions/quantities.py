@@ -84,19 +84,27 @@ def clean_unit(unit: Column) -> Column:
     return F.regexp_replace(c, r"\s+", " ")
 
 
-def normalize_unit(unit: Column) -> Column:
-    """Normalize a raw unit string to a standard code, default 'stuk'
-    (ref: calculate-fields.ts:341-403). Precedence: multipack item
-    unit → exact alias → first containing alias → pack-size → already
-    standard → 'stuk'."""
-    c = clean_unit(unit)
+def _normalize_cleaned(c: Column) -> Column:
+    """The alias cascade over an ALREADY-CLEANED unit string.
+    Precedence: multipack item unit → exact alias → first containing
+    alias → pack-size → already standard → 'stuk'. Coalesce is lazy,
+    so direct-map hits never touch the containment fold; when ``c``
+    is an expression tree (not a staged column), a fold miss
+    re-evaluates it per alias element — stage ``c`` as a real column
+    on fact-scale frames (with_standardized_quantity_staged)."""
     mp_unit = F.regexp_extract(c, _MULTIPACK_RX, 3)
     mp_hit = F.when(mp_unit != "", F.element_at(_alias_map(), mp_unit))
     direct = F.element_at(_alias_map(), c)
     contained = F.get(F.filter(_alias_array(), lambda s: c.contains(s["k"])), 0)["v"]
     packsize = F.when(c.rlike(_PACKSIZE_RX), F.lit("stuk"))
     already_std = F.when(c.isin(*STANDARD_UNITS), c)
-    resolved = F.coalesce(mp_hit, direct, contained, packsize, already_std, F.lit("stuk"))
+    return F.coalesce(mp_hit, direct, contained, packsize, already_std, F.lit("stuk"))
+
+
+def normalize_unit(unit: Column) -> Column:
+    """Normalize a raw unit string to a standard code, default 'stuk'
+    (ref: calculate-fields.ts:341-403)."""
+    resolved = _normalize_cleaned(clean_unit(unit))
     return F.when(unit.isNull() | (unit == ""), F.lit("stuk")).otherwise(resolved)
 
 
@@ -184,6 +192,42 @@ def with_standardized_quantity(
         ),
     )
     return out.drop(key, res, f"__{out_col}_amt")
+
+
+def with_standardized_quantity_staged(
+    df, amount: Column, unit: Column, out_col: str
+):
+    """Expression-only D2 with the worst case bounded: stage the
+    CLEANED unit string and the resolved code as real columns (each in
+    its own projection, so CollapseProject keeps the multi-use
+    non-cheap exprs staged), then finish with cheap map lookups and
+    arithmetic.
+
+    Versus with_standardized_quantity (the join form): no second pass
+    over the input lineage — use this inside composed pipelines whose
+    upstream (JSON parse + transform cascade) is expensive to
+    re-execute for the distinct-units branch. Versus the naive inline
+    form: a containment-fold miss evaluates `contains` against a
+    staged string column instead of re-evaluating the clean_unit regex
+    chain per alias element (~30× on miss-heavy data)."""
+    cl, nu, u, a = (f"__{out_col}_{s}" for s in ("cl", "nu", "u", "a"))
+    staged = df.withColumns({u: unit, a: amount})
+    staged = staged.withColumn(cl, clean_unit(F.col(u)))
+    code = F.when(
+        F.col(u).isNull() | (F.col(u) == ""), F.lit("stuk")
+    ).otherwise(_normalize_cleaned(F.col(cl)))
+    staged = staged.withColumn(nu, code)
+    cat = F.coalesce(F.element_at(_category_map(), F.col(nu)), F.lit("piece"))
+    res = F.struct(
+        cat.alias("category"),
+        F.coalesce(F.element_at(_to_base_map(), F.col(nu)), F.lit(1.0)).alias("to_base"),
+        F.element_at(_divisor_map(), cat).alias("divisor"),
+        F.element_at(_ref_unit_map(), cat).alias("std_unit"),
+    )
+    out = staged.withColumn(
+        out_col, standardize_resolved(F.col(a), F.col(u), res)
+    )
+    return out.drop(cl, nu, u, a)
 
 
 def parse_quantity(text: Column) -> Column:

@@ -19,6 +19,7 @@ but dependency-free and schema-explicit. The multimodal extractor
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -30,6 +31,33 @@ from ..textops.constants import CHAR_SEED, MOD
 
 # confidence is carried in exact basis points (see functions/exact.py)
 CONF_THRESHOLD_BP = 6500
+
+# ---- real NB category model (trained artifact) -------------------- #
+# Hashed-character-3-gram multinomial Naive Bayes, trained by
+# tools/train_category_model.py on the repo's own category knowledge
+# (alias patterns + canon names — the public equivalent of the
+# reference's precomputed BERT predictions, batch_categorize.py:27-41).
+NB_DIM = 4096
+NB_HASH_SEED = CHAR_SEED
+NB_HASH_MOD = MOD
+NB_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models", "category_nb.npz",
+)
+
+
+def nb_trigram_buckets(text: str, dim: int, seed: int, mod: int) -> list[int]:
+    """Hashed char-3-gram feature buckets of a lowercased, padded
+    string. Pure function shared by the trainer and the worker-side
+    model closure (re-implemented there by value)."""
+    s = f" {(text or '').lower()} "
+    out = []
+    for i in range(len(s) - 2):
+        h = seed
+        for ch in s[i : i + 3]:
+            h = (h * 31 + ord(ch)) % mod
+        out.append(h % dim)
+    return out
 
 
 def infer_column(
@@ -112,6 +140,79 @@ def make_demo_category_loader() -> Callable[[], Callable[[pd.DataFrame], pd.Data
 def demo_category_model_loader() -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Driver-side convenience: the demo model itself."""
     return make_demo_category_loader()()
+
+
+def make_nb_category_loader(
+    artifact_path: str | None = None,
+) -> Callable[[], Callable[[pd.DataFrame], pd.DataFrame]]:
+    """Loader for the REAL trained category model (multinomial NB over
+    hashed char-3-grams; artifact from tools/train_category_model.py).
+
+    The closure captures only the artifact PATH and hash constants —
+    pickled by value, workers need numpy/pandas but never this
+    package. Weights load once per worker (the infer_column contract);
+    scoring is one dense matmul per Arrow batch. On a real cluster
+    ship the .npz with ``spark.files`` and resolve via
+    ``SparkFiles.get``; in local mode the repo path is visible as-is.
+
+    Outputs per row: pred_label (argmax class), conf_bp (softmax
+    probability of the argmax in basis points, float64 rounded to
+    int64 — deterministic on identical IEEE inputs).
+    """
+    path = artifact_path or NB_ARTIFACT
+
+    def loader() -> Callable[[pd.DataFrame], pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        z = _np.load(path, allow_pickle=False)
+        W = z["log_prob"].astype(_np.float64)        # (C, D)
+        b = z["log_prior"].astype(_np.float64)       # (C,)
+        labels = [str(x) for x in z["labels"]]
+        dim = int(z["dim"][0])
+        seed = int(z["hash_seed"][0])
+        mod = int(z["hash_mod"][0])
+
+        def model(batch: _pd.DataFrame) -> _pd.DataFrame:
+            X = _np.zeros((len(batch), dim), dtype=_np.float64)
+            for r, title in enumerate(batch["title"]):
+                s = f" {(title or '').lower()} "
+                for i in range(len(s) - 2):
+                    h = seed
+                    for ch in s[i : i + 3]:
+                        h = (h * 31 + ord(ch)) % mod
+                    X[r, h % dim] += 1.0
+            scores = X @ W.T + b                     # (N, C)
+            pred = scores.argmax(axis=1)
+            m = scores.max(axis=1, keepdims=True)
+            p = _np.exp(scores - m)
+            conf = p[_np.arange(len(batch)), pred] / p.sum(axis=1)
+            return _pd.DataFrame(
+                {
+                    "pred_label": [labels[i] for i in pred],
+                    "conf_bp": _np.round(conf * 10000).astype(_np.int64),
+                }
+            )
+
+        return model
+
+    return loader
+
+
+def infer_categories_nb(df: DataFrame, title_col: str = "title") -> DataFrame:
+    """X2 with the real trained model: online NB inference + the
+    reference's confidence threshold (prediction.ts:74-87)."""
+    from pyspark.sql import functions as F
+
+    inferred = infer_column(
+        df.withColumnRenamed(title_col, "title") if title_col != "title" else df,
+        make_nb_category_loader(),
+        ["title"],
+        "pred_label string, conf_bp long",
+    )
+    return inferred.withColumn(
+        "accepted", F.col("conf_bp") >= CONF_THRESHOLD_BP
+    )
 
 
 def infer_categories(df: DataFrame, title_col: str = "title") -> DataFrame:

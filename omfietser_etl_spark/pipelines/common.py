@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.prices import discount_metrics, price_per_unit
 from ..functions.promotions import parse_promotion_mechanism, structured_discount
-from ..functions.quantities import normalize_unit, standardize_quantity
+from ..functions.quantities import normalize_unit, with_standardized_quantity_staged
 from ..schemas import UNIFIED_COLUMN_NAMES
 
 
@@ -96,11 +96,16 @@ def apply_calculate_fields(df: DataFrame) -> DataFrame:
     ).otherwise(
         parse_promotion_mechanism(mech, F.col("price_before_bonus"), F.col("current_price"))
     )
-    step1 = df.withColumns(
-        {
-            "_pp": F.when(applicable, parsed),
-            "_q": standardize_quantity(F.col("quantity_amount"), F.col("quantity_unit")),
-        }
+    # _q via the staged-column cascade: bounds the ~150-alias
+    # containment fold's worst case (an alias-map miss re-evaluates
+    # the cleaned-string regex chain per element in the naive inline
+    # form — measured ~100× slower on miss-heavy data) WITHOUT the
+    # join variant's second pass over the expensive upstream transform
+    # lineage. Catalog-side fact queries use the join form
+    # (with_standardized_quantity); composed pipelines use this one.
+    step1 = df.withColumns({"_pp": F.when(applicable, parsed)})
+    step1 = with_standardized_quantity_staged(
+        step1, F.col("quantity_amount"), F.col("quantity_unit"), "_q"
     )
 
     applicable2 = applicable  # same predicate, resolved against step1

@@ -14,12 +14,29 @@ shape for the same contract is:
 3. drop the staging table.
 
 That keeps executor parallelism for the data movement and leaves the
-conflict resolution where it is atomic and index-backed. No Postgres
-ships in this sandbox, so :func:`jdbc_upsert` is exercised through
-its SQL generator (:func:`upsert_merge_sql`) — the unit tests execute
-the generated statement against SQLite, whose ``ON CONFLICT`` grammar
-matches Postgres' — and the parquet MERGE emulation in
-`streaming/incremental.py:58,147` remains the sandbox execution path.
+conflict resolution where it is atomic and index-backed.
+
+Dialects. The merge statement is generated per DIALECT:
+
+- ``postgresql`` — ``INSERT ... ON CONFLICT (keys) DO UPDATE SET col
+  = EXCLUDED.col`` (the reference's exact grammar,
+  postgres-adapter.ts:177-185);
+- ``sqlite`` — same upsert grammar plus the ``WHERE true`` join-
+  ambiguity disambiguator SQLite's parser requires;
+- ``ansi`` — SQL:2003 ``MERGE INTO ... USING ... WHEN MATCHED THEN
+  UPDATE / WHEN NOT MATCHED THEN INSERT`` for engines without the
+  Postgres extension (SQL Server, Oracle, DB2; Postgres ≥15 also
+  accepts it).
+
+TEST-COVERAGE LIMITATION, stated honestly: no Postgres server ships
+in this sandbox. The generated ``sqlite`` statement is executed for
+real against SQLite (tests/test_jdbc_upsert.py) and the ``postgresql``
+variant differs from it only by the ``WHERE true`` token — but
+live-Postgres quirks (type coercion of EXCLUDED refs, trigger
+interactions, concurrent-writer behavior) are asserted nowhere. A
+live test exists and self-skips unless ``SPARK_GRAFT_PG_URL`` points
+at a reachable server. The parquet MERGE emulation in
+`streaming/incremental.py` remains the sandbox execution path.
 """
 
 from __future__ import annotations
@@ -27,6 +44,18 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+DIALECTS = ("postgresql", "sqlite", "ansi")
+
+
+def dialect_for_url(jdbc_url: str) -> str:
+    """Infer the merge dialect from a JDBC URL; unknown engines get
+    the conservative ANSI MERGE."""
+    if jdbc_url.startswith(("jdbc:postgresql:", "postgresql:", "postgres:")):
+        return "postgresql"
+    if jdbc_url.startswith("jdbc:sqlite:"):
+        return "sqlite"
+    return "ansi"
 
 # Conflict keys per reference table (init-processor-schema.sql:24-39;
 # postgres-adapter.ts:177,220,685).
@@ -63,19 +92,45 @@ class UpsertSpec:
         return self.staging_table or f"{self.table}__stage"
 
 
-def upsert_merge_sql(spec: UpsertSpec) -> str:
-    """The single set-based merge statement (step 2 above)."""
+def upsert_merge_sql(spec: UpsertSpec, dialect: str = "postgresql") -> str:
+    """The single set-based merge statement (step 2 above), in the
+    requested dialect (see module docstring)."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r}; one of {DIALECTS}")
     cols = ", ".join(_ident(c) for c in spec.columns)
     keys = ", ".join(_ident(c) for c in spec.conflict_cols)
+    staging = spec.resolved_staging()
+
+    if dialect == "ansi":
+        on = " AND ".join(
+            f"t.{_ident(c)} = s.{_ident(c)}" for c in spec.conflict_cols
+        )
+        sets = [
+            f"t.{_ident(c)} = s.{_ident(c)}" for c in spec.resolved_update_cols()
+        ]
+        if spec.touch_col:
+            sets.append(f"t.{_ident(spec.touch_col)} = CURRENT_TIMESTAMP")
+        ins_vals = ", ".join(f"s.{_ident(c)}" for c in spec.columns)
+        return (
+            f"MERGE INTO {spec.table} t\n"
+            f"USING {staging} s\n"
+            f"ON ({on})\n"
+            f"WHEN MATCHED THEN UPDATE SET\n  " + ",\n  ".join(sets) + "\n"
+            f"WHEN NOT MATCHED THEN INSERT ({cols})\n"
+            f"VALUES ({ins_vals})"
+        )
+
     sets = [f"{_ident(c)} = EXCLUDED.{_ident(c)}" for c in spec.resolved_update_cols()]
     if spec.touch_col:
         sets.append(f"{_ident(spec.touch_col)} = CURRENT_TIMESTAMP")
     set_sql = ",\n  ".join(sets)
+    # WHERE true disambiguates ON CONFLICT from a join for SQLite's
+    # parser; omitted on Postgres so the statement is byte-identical
+    # to the reference adapter's grammar.
+    where = " WHERE true" if dialect == "sqlite" else ""
     return (
         f"INSERT INTO {spec.table} ({cols})\n"
-        # WHERE true disambiguates ON CONFLICT from a join for
-        # SQLite's parser; harmless no-op on Postgres.
-        f"SELECT {cols} FROM {spec.resolved_staging()} WHERE true\n"
+        f"SELECT {cols} FROM {staging}{where}\n"
         f"ON CONFLICT ({keys})\n"
         f"DO UPDATE SET\n  {set_sql}"
     )
@@ -119,8 +174,10 @@ def jdbc_upsert(
     properties: dict[str, str] | None = None,
     touch_col: str | None = None,
     num_partitions: int | None = None,
+    dialect: str | None = None,
 ) -> str:
     """Staged bulk upsert (steps 1–3). Returns the merge SQL it ran.
+    ``dialect`` defaults to what :func:`dialect_for_url` infers.
 
     Dedupe the batch on the conflict key FIRST (latest-wins is the
     caller's policy — see ``streaming.incremental.latest_per_key``):
@@ -133,7 +190,7 @@ def jdbc_upsert(
     writer = df.repartition(num_partitions) if num_partitions else df
     writer.write.jdbc(jdbc_url, staging, mode="overwrite", properties=props)
 
-    merge = upsert_merge_sql(spec)
+    merge = upsert_merge_sql(spec, dialect or dialect_for_url(jdbc_url))
     # Run the merge + drop through one JVM JDBC connection (the Python
     # driver holds no DB driver of its own).
     spark = df.sparkSession

@@ -34,6 +34,59 @@ def test_infer_column_appends_model_outputs(spark):
     assert out.columns == ["pid", "title", "n_chars"]
 
 
+def test_nb_model_classifies_known_aliases(spark):
+    """The trained artifact must map the category knowledge it was
+    fitted on (and near variants) to the right classes, with high
+    confidence — this is the 'real model' bar the demo hash
+    categorizer never met."""
+    from omfietser_etl_spark.operators.inference import infer_categories_nb
+
+    df = _titles(
+        spark,
+        "verse groenten en fruit",
+        "koffie",
+        "chocolade koekjes",
+        "rode wijn",
+    )
+    rows = {r.title: (r.pred_label, r.conf_bp) for r in infer_categories_nb(df).collect()}
+    assert rows["verse groenten en fruit"][0] == "Aardappel, groente, fruit"
+    assert rows["koffie"][0] == "Koffie, thee"
+    assert rows["chocolade koekjes"][0] == "Snoep, chocolade, koek"
+    assert rows["rode wijn"][0] == "Wijn en bubbels"
+    assert all(conf > 0 for _, conf in rows.values())
+
+
+def test_nb_artifact_training_fit():
+    """Driver-side (no Spark): the artifact reproduces ≥95% of its
+    training labels — catches artifact/trainer drift."""
+    import numpy as np
+
+    from omfietser_etl_spark.config.categories import (
+        CATEGORY_ALIAS_PATTERNS,
+        FINAL_CATEGORIES,
+    )
+    from omfietser_etl_spark.operators.inference import (
+        NB_ARTIFACT,
+        NB_DIM,
+        NB_HASH_MOD,
+        NB_HASH_SEED,
+        nb_trigram_buckets,
+    )
+
+    z = np.load(NB_ARTIFACT, allow_pickle=False)
+    W, b = z["log_prob"], z["log_prior"]
+    labels = [str(x) for x in z["labels"]]
+    assert labels == list(FINAL_CATEGORIES)
+    pairs = list(CATEGORY_ALIAS_PATTERNS) + [(c.lower(), c) for c in FINAL_CATEGORIES]
+    hits = 0
+    for text, cat in pairs:
+        v = np.zeros(NB_DIM)
+        for bk in nb_trigram_buckets(text, NB_DIM, NB_HASH_SEED, NB_HASH_MOD):
+            v[bk] += 1
+        hits += labels[int(np.argmax(W @ v + b))] == cat
+    assert hits / len(pairs) >= 0.95
+
+
 def test_infer_column_batch_size_rechunks(spark):
     df = _titles(spark, *[f"t{i}" for i in range(10)]).coalesce(1)
     sizes = []

@@ -5,12 +5,16 @@ the reference's own adapter tests (postgres-adapter.test.ts:212,355).
 
 from __future__ import annotations
 
+import os
 import sqlite3
+
+import pytest
 
 from omfietser_etl_spark.sinks.jdbc import (
     PROCESSED_CONFLICT_KEYS,
     STAGING_CONFLICT_KEYS,
     UpsertSpec,
+    dialect_for_url,
     upsert_merge_sql,
     upsert_values_sql,
 )
@@ -47,6 +51,75 @@ def test_merge_sql_shape_matches_reference_contract():
     assert 'ON CONFLICT ("shop_type", "external_id", "schema_version")' in sql3
 
 
+def test_dialect_inference_and_variants():
+    assert dialect_for_url("jdbc:postgresql://h/db") == "postgresql"
+    assert dialect_for_url("jdbc:sqlite:/tmp/x.db") == "sqlite"
+    assert dialect_for_url("jdbc:sqlserver://h") == "ansi"
+
+    spec = _staging_spec()
+    pg = upsert_merge_sql(spec, "postgresql")
+    lite = upsert_merge_sql(spec, "sqlite")
+    # the two upsert-grammar dialects differ ONLY by SQLite's parser
+    # disambiguator — documents that the SQLite execution test covers
+    # the Postgres statement shape
+    assert lite == pg.replace(
+        "FROM staging_products__stage\n", "FROM staging_products__stage WHERE true\n"
+    )
+    assert "WHERE true" not in pg
+
+    ansi = upsert_merge_sql(spec, "ansi")
+    assert ansi.startswith("MERGE INTO staging_products t")
+    assert 'ON (t."shop_type" = s."shop_type" AND t."external_id" = s."external_id")' in ansi
+    assert "WHEN MATCHED THEN UPDATE SET" in ansi
+    assert "WHEN NOT MATCHED THEN INSERT" in ansi
+    # conflict keys never self-update in the matched branch
+    assert 't."shop_type" = s."shop_type",' not in ansi
+
+    with pytest.raises(ValueError):
+        upsert_merge_sql(spec, "mysql")
+
+
+def test_live_postgres_upsert():
+    """Executes the postgresql-dialect merge against a REAL server
+    when one is provided; otherwise skips loudly. This is the honest
+    boundary of the sandbox's JDBC coverage (no Postgres ships here):
+    set SPARK_GRAFT_PG_URL=postgresql://user:pw@host/db to run."""
+    url = os.environ.get("SPARK_GRAFT_PG_URL")
+    if not url:
+        pytest.skip("no live Postgres (set SPARK_GRAFT_PG_URL)")
+    psycopg2 = pytest.importorskip("psycopg2")
+    spec = _staging_spec()
+    con = psycopg2.connect(url)
+    try:
+        cur = con.cursor()
+        cols_ddl = ", ".join(f'"{c}" TEXT' for c in STAGING_COLS)
+        cur.execute("DROP TABLE IF EXISTS staging_products, staging_products__stage")
+        cur.execute(
+            f"CREATE TABLE staging_products ({cols_ddl}, processed_at TIMESTAMPTZ, "
+            'UNIQUE ("shop_type", "external_id"))'
+        )
+        cur.execute(f"CREATE TABLE staging_products__stage ({cols_ddl})")
+        cur.execute(
+            "INSERT INTO staging_products VALUES "
+            "('1','AH','x1','old','1.0','{}','h0', NULL)"
+        )
+        cur.execute(
+            "INSERT INTO staging_products__stage VALUES "
+            "('2','AH','x1','new-name','2.5','{}','h1'),"
+            "('3','AH','x2','brand-new','9.9','{}','h2')"
+        )
+        cur.execute(upsert_merge_sql(spec, "postgresql"))
+        cur.execute(
+            'SELECT "external_id", "name", processed_at FROM staging_products'
+        )
+        rows = {r[0]: r for r in cur.fetchall()}
+        assert rows["x1"][1] == "new-name" and rows["x1"][2] is not None
+        assert rows["x2"][1] == "brand-new"
+        con.rollback()
+    finally:
+        con.close()
+
+
 def test_values_sql_parameter_count():
     sql = upsert_values_sql(_staging_spec())
     assert "VALUES ($1, $2, $3, $4, $5, $6, $7)" in sql
@@ -72,7 +145,7 @@ def test_merge_sql_executes_upsert_semantics_on_sqlite():
             (3, "AH", "x2", "brand-new", 9.9, "{}", "h2"),  # fresh → insert
         ],
     )
-    con.execute(upsert_merge_sql(spec))
+    con.execute(upsert_merge_sql(spec, "sqlite"))
 
     rows = {
         r[0]: r
