@@ -199,6 +199,37 @@ def make_nb_category_loader(
     return loader
 
 
+def nb_predictions_table(df: DataFrame, title_col: str = "title") -> DataFrame:
+    """Build the reference-shaped predictions table
+    ``(title, category, confidence)`` from the real trained NB model,
+    ready for ``operators.category.normalize_categories(predictions=)``
+    — the in-engine equivalent of the reference's precomputed
+    ml_predictions.json keyed by exact title (prediction.ts:30-35,
+    batch_categorize.py:100+).
+
+    Distinct-then-infer: the model scores each DISTINCT title once
+    (titles repeat across scrapes/shops at scale), and the cascade's
+    broadcast join fans results back out."""
+    from pyspark.sql import functions as F
+
+    distinct = (
+        df.select(F.col(title_col).alias("title"))
+        .where(F.col("title").isNotNull() & (F.col("title") != ""))
+        .distinct()
+    )
+    inferred = infer_column(
+        distinct,
+        make_nb_category_loader(),
+        ["title"],
+        "pred_label string, conf_bp long",
+    )
+    return inferred.select(
+        "title",
+        F.col("pred_label").alias("category"),
+        (F.col("conf_bp") / 10000.0).alias("confidence"),
+    )
+
+
 def infer_categories_nb(df: DataFrame, title_col: str = "title") -> DataFrame:
     """X2 with the real trained model: online NB inference + the
     reference's confidence threshold (prediction.ts:74-87)."""

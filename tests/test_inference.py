@@ -56,6 +56,33 @@ def test_nb_model_classifies_known_aliases(spark):
     assert all(conf > 0 for _, conf in rows.values())
 
 
+def test_nb_predictions_table_feeds_category_cascade(spark):
+    """End-to-end reference parity: the trained model produces the
+    title-keyed predictions table (prediction.ts:30-35 shape) and the
+    cascade's ML step consumes it — an empty category resolves to the
+    model's class when confidence clears the 0.65 floor."""
+    from omfietser_etl_spark.operators.category import normalize_categories
+    from omfietser_etl_spark.operators.inference import nb_predictions_table
+
+    df = spark.createDataFrame(
+        [("", "AH", "verse koffie bonen"), ("", "AH", "rode wijn merlot")],
+        "main_category string, shop_type string, title string",
+    )
+    preds = nb_predictions_table(df)
+    got = {r.title: r.category for r in preds.collect()}
+    assert got["verse koffie bonen"] == "Koffie, thee"
+    assert got["rode wijn merlot"] == "Wijn en bubbels"
+
+    out = {
+        r["title"]: r["main_category"]
+        for r in normalize_categories(df, predictions=preds).collect()
+    }
+    # resolution depends on model confidence clearing the cascade
+    # floor; both titles sit squarely inside trained classes
+    assert out["verse koffie bonen"] == "Koffie, thee"
+    assert out["rode wijn merlot"] == "Wijn en bubbels"
+
+
 def test_nb_artifact_training_fit():
     """Driver-side (no Spark): the artifact reproduces ≥95% of its
     training labels — catches artifact/trainer drift."""
