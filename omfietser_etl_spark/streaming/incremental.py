@@ -355,6 +355,17 @@ def merge_into_bucketed_state(
     spark = batch.sparkSession
     key_cols = [F.col(k) for k in keys]
 
+    # Crash recovery for the rename-swap below: a die between
+    # "current → __prev" and "__next → current" leaves no live table
+    # but a complete __prev — restore it before merging (the batch
+    # that was mid-commit is redelivered by the at-least-once
+    # foreachBatch contract, so no data is lost either way).
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        f"{table}__prev"
+    ):
+        spark.sql(f"ALTER TABLE {table}__prev RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__prev")  # stale residue
+
     one_per_key = (
         batch.withColumn(
             "_rn",
@@ -394,9 +405,16 @@ def merge_into_bucketed_state(
         .format("parquet")
         .saveAsTable(f"{table}__next")
     )
-    # atomic-ish swap (metastore rename); Delta MERGE replaces this
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # Rename-swap (metastore renames; Delta MERGE replaces this). The
+    # current table is parked as __prev rather than dropped so every
+    # crash point is recoverable: before the first rename → old state
+    # live; between the renames → recovery at next call restores
+    # __prev; after the second → new state live, __prev is residue
+    # dropped on the next call's entry sweep.
+    if spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {table} RENAME TO {table}__prev")
     spark.sql(f"ALTER TABLE {table}__next RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__prev")
 
 
 def session_window_stats(

@@ -46,6 +46,25 @@ def test_dim_joins_are_broadcast(spark):
     assert nodes5.count("BroadcastHashJoin") >= 2
 
 
+def test_d2_unit_lookup_is_broadcast_and_fact_side_never_shuffles(spark):
+    """The distinct-then-join D2 plan: the unit-resolution lookup
+    broadcasts; the only Exchange feeds the tiny distinct-units
+    aggregate, never the fact side."""
+    import re
+
+    from omfietser_etl_spark.catalog.derived import d2_quantity_standardize
+
+    plan = _plan(d2_quantity_standardize(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+    # the ONLY hash-partitioned exchange is the tiny distinct-units
+    # aggregate; remaining exchanges are the CPU-fanout round-robins
+    # and the broadcast itself. A fact-side join shuffle would add a
+    # second hashpartitioning.
+    assert plan.count("hashpartitioning(") == 1
+
+
 def test_pagination_is_top_k_not_global_sort(spark):
     plan = _plan(o1_pagination(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan

@@ -344,6 +344,24 @@ def test_merge_into_bucketed_state(spark, tmp_path):
         ("JUMBO", "e1"): (10, 3.0),
     }
 
+    # Crash window: die between "current → __prev" and "__next →
+    # current" leaves no live table but a complete __prev. The next
+    # merge call must restore it and apply the (redelivered) batch.
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__prev")
+    assert not spark.catalog.tableExists(table)
+    b3 = spark.createDataFrame(
+        [("AH", "e1", 30, 7.7)],
+        "shop_type string, external_id string, scraped_at int, price double",
+    )
+    merge_into_bucketed_state(b3, table, ["shop_type", "external_id"], "scraped_at")
+    got = {
+        (r.shop_type, r.external_id): (r.scraped_at, r.price)
+        for r in spark.table(table).collect()
+    }
+    assert got[("AH", "e1")] == (30, 7.7)       # redelivered batch applied
+    assert got[("JUMBO", "e1")] == (10, 3.0)    # recovered pre-crash state
+    assert not spark.catalog.tableExists(f"{table}__prev")
+
     # Scale property: the state side of the merge join is read bucketed —
     # no Exchange between the state table scan and the join.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
