@@ -191,9 +191,17 @@ def split_errors(df: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFr
     """
     from pyspark import StorageLevel
 
+    from ..cacheutil import release_then_register
+
     flagged = df.withColumn("_err", business_rule_errors(df))
     if persist:
-        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        # registered so the NEXT split releases it — back-to-back
+        # pipeline invocations (the catalog runs six) otherwise stack
+        # persisted 32-column batches in executor memory
+        flagged = release_then_register(
+            "pipelines.split_errors",
+            flagged.persist(StorageLevel.MEMORY_AND_DISK),
+        )
     valid = flagged.filter(F.col("_err").isNull()).drop("_err")
     errors = flagged.filter(F.col("_err").isNotNull()).select(
         F.col("unified_id").alias("raw_product_id"),

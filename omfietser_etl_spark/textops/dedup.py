@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cacheutil import release_then_register
 from .analysis import norm_text, poly_hash, shingles, tokens
 from .constants import (
     BANDS,
@@ -101,7 +102,9 @@ def jaccard_pairs(
             .select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sh = sh.cache()
+    # fan-out intermediate: registered so the NEXT invocation releases
+    # it (back-to-back catalog runs must not accumulate cache)
+    sh = release_then_register("dedup.jaccard_pairs", sh.cache())
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -175,7 +178,9 @@ def minhash_lsh_pairs(
     The scale path: signatures (1 shuffle) → band buckets (1 shuffle)
     → candidate verification joins restricted to the candidate set.
     """
-    sh = doc_shingles(df, id_col, text_col).cache()
+    sh = release_then_register(
+        "dedup.minhash_lsh_pairs", doc_shingles(df, id_col, text_col).cache()
+    )
     sig = minhash_signatures(df, id_col, text_col)
     cand = lsh_candidate_pairs(sig)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
@@ -270,6 +275,9 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    from ..cacheutil import release
+
+    release("dedup.connected_components")  # previous invocation's labels
     edges = (
         pairs.select(F.col(lo_col).alias("a"), F.col(hi_col).alias("b"))
         .unionByName(
@@ -304,4 +312,9 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    # the final labels frame backs the returned lazy result — it stays
+    # persisted until the next invocation releases it
+    from ..cacheutil import register
+
+    register("dedup.connected_components", labels)
     return labels.select("node", F.col("label").alias("component"))

@@ -21,27 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cacheutil import register, release
 from .analysis import norm_text, ws_token_count
 from .decontam import contamination_stats, ngram_repetition_stats
 from .sampling import hash_bucket, mixture_split
 
-#: frames persisted by the most recent prepare_corpus() call. Without
-#: release, repeated invocations (the 104-query catalog runs this via
-#: tp1 plus reruns) accumulate cached partitions in the executors —
-#: the pressure that forced the 8g bench driver heap.
-_LIVE_CACHES: list[DataFrame] = []
+_SCOPE = "textops.prepare_corpus"
 
 
 def release_caches() -> None:
-    """Unpersist every frame persisted by earlier prepare_corpus calls.
-    Safe to call any time; later actions on previously returned frames
-    simply recompute."""
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
+    """Unpersist every frame persisted by earlier prepare_corpus calls
+    (see cacheutil — each new call does this automatically)."""
+    release(_SCOPE)
 
 
 def prepare_corpus(
@@ -90,8 +81,7 @@ def prepare_corpus(
         .drop("_rn")
     )
     if materialize:
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
-        _LIVE_CACHES.append(d)
+        d = register(_SCOPE, d.persist(StorageLevel.MEMORY_AND_DISK))
 
     # decontamination: drop docs overlapping the benchmark set
     ev = eval_df.select(
@@ -104,8 +94,7 @@ def prepare_corpus(
         F.coalesce(F.col("contam_bp"), F.lit(0)) < contam_threshold_bp
     ).drop("contam_bp")
     if materialize:
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
-        _LIVE_CACHES.append(d)
+        d = register(_SCOPE, d.persist(StorageLevel.MEMORY_AND_DISK))
 
     # repetition screen: drop high duplicate-2-gram docs
     rep = ngram_repetition_stats(d, "doc", "text").select("doc", "dup_bp")
