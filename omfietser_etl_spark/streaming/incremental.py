@@ -118,6 +118,13 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     stitch is a trivial union) with the partition column restored."""
     m = _read_manifest(state_dir)
     if m is None:
+        # legacy layout (pre-versioned store): bare parquet under the
+        # state dir — read it directly so existing stores keep working;
+        # the next merge rewrites them into the versioned layout.
+        if os.path.isdir(state_dir) and any(
+            not f.startswith(("_", ".", "v")) for f in os.listdir(state_dir)
+        ):
+            return spark.read.parquet(state_dir)
         return None
     parts = m["partitions"]
     if set(parts) == {""}:

@@ -65,6 +65,20 @@ def test_d2_unit_lookup_is_broadcast_and_fact_side_never_shuffles(spark):
     assert plan.count("hashpartitioning(") == 1
 
 
+def test_td12_hot_shingle_drop_is_broadcast_anti_join(spark):
+    """The degenerate-shingle guard must be a broadcast anti-join (the
+    hot set is tiny by construction) — a shuffled anti-join would put
+    the full shingle table through an extra exchange."""
+    from omfietser_etl_spark.catalog.textops import td12_jaccard_guarded
+
+    plan = _plan(td12_jaccard_guarded(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    bhj_anti = [
+        seg for seg in plan.split("BroadcastHashJoin")[1:] if "LeftAnti" in seg[:200]
+    ]
+    assert bhj_anti, "hot-shingle anti-join is not broadcast:\n" + plan[:2000]
+
+
 def test_pagination_is_top_k_not_global_sort(spark):
     plan = _plan(o1_pagination(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan

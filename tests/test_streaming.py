@@ -108,6 +108,32 @@ def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
     assert manifest["partitions"]["AH"] == "v2"
 
 
+def test_read_state_migrates_legacy_layout(spark, tmp_path):
+    """A state dir written by the pre-versioned store (bare parquet,
+    no manifest) must read as-is and be rewritten into the versioned
+    layout by the next merge."""
+    from omfietser_etl_spark.streaming.incremental import _merge_parquet
+
+    state = str(tmp_path / "state")
+    legacy = spark.createDataFrame(
+        [("AH", "1", 2.0, 100)],
+        "shop_type string, external_id string, current_price double, scraped_at long",
+    )
+    legacy.write.partitionBy("shop_type").parquet(state)  # old layout
+
+    got = {(r.shop_type, r.external_id) for r in read_state(spark, state).collect()}
+    assert got == {("AH", "1")}
+
+    batch = spark.createDataFrame(
+        [("AH", "2", 3.0, 200)],
+        "shop_type string, external_id string, current_price double, scraped_at long",
+    )
+    _merge_parquet(batch, state, ["shop_type", "external_id"], "scraped_at")
+    got = {(r.shop_type, r.external_id) for r in read_state(spark, state).collect()}
+    assert got == {("AH", "1"), ("AH", "2")}
+    assert os.path.isfile(os.path.join(state, "_CURRENT"))
+
+
 def test_merge_crash_before_commit_preserves_state(spark, tmp_path):
     """Kill-mid-merge: a merge that dies AFTER writing the new version
     dir but BEFORE the manifest swap must leave readers on the old

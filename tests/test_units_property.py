@@ -94,19 +94,36 @@ def units(draw) -> str:
 @settings(max_examples=6, deadline=None)
 @given(st.lists(units(), min_size=40, max_size=40), st.data())
 def test_standardize_matches_model(spark, us, data):
+    """All THREE evaluation forms — inline expression, staged-column
+    cascade, and distinct-then-join — must agree with the independent
+    Python model on the same rows (the perf variants are plan
+    rewrites, never semantic ones)."""
+    from omfietser_etl_spark.functions.quantities import (
+        with_standardized_quantity,
+        with_standardized_quantity_staged,
+    )
+
     quarters = data.draw(
         st.lists(st.integers(0, 2000), min_size=len(us), max_size=len(us))
     )
     rows = [(u, q / 4.0) for u, q in zip(us, quarters)]
     df = spark.createDataFrame(rows, "unit string, amount double")
-    out = (
-        df.withColumn("s", standardize_quantity(F.col("amount"), F.col("unit")))
-        .select("unit", "amount", "s.*")
-        .collect()
-    )
-    for r in out:
-        want = model_standardize(r["amount"], r["unit"])
-        have = (r["normalized_amount"], r["normalized_unit"], r["conversion_factor"])
-        assert have[1] == want[1], (r["unit"], r["amount"], have, want)
-        assert abs(have[0] - want[0]) < 1e-9, (r["unit"], r["amount"], have, want)
-        assert abs(have[2] - want[2]) < 1e-9, (r["unit"], r["amount"], have, want)
+    variants = {
+        "inline": df.withColumn(
+            "s", standardize_quantity(F.col("amount"), F.col("unit"))
+        ),
+        "staged": with_standardized_quantity_staged(
+            df, F.col("amount"), F.col("unit"), "s"
+        ),
+        "join": with_standardized_quantity(
+            df, F.col("amount"), F.col("unit"), "s"
+        ),
+    }
+    for name, frame in variants.items():
+        out = frame.select("unit", "amount", "s.*").collect()
+        for r in out:
+            want = model_standardize(r["amount"], r["unit"])
+            have = (r["normalized_amount"], r["normalized_unit"], r["conversion_factor"])
+            assert have[1] == want[1], (name, r["unit"], r["amount"], have, want)
+            assert abs(have[0] - want[0]) < 1e-9, (name, r["unit"], r["amount"], have, want)
+            assert abs(have[2] - want[2]) < 1e-9, (name, r["unit"], r["amount"], have, want)
