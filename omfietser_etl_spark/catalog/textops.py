@@ -359,6 +359,39 @@ SELECT vec_id, cid, round(d2, 6) AS d2 FROM a WHERE r = 1
 """
 
 
+def td13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs
+    (textops/clustering.py::semantic_dedup_pairs): nearest-centroid
+    assignment (td8's deterministic codebook) blocks the cosine pair
+    generation to within-cluster only — the scale path between td5's
+    exact all-pairs baseline and td7's IVF search."""
+    from omfietser_etl_spark.textops.clustering import semantic_dedup_pairs
+
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    return semantic_dedup_pairs(emb, centroids, NEARDUP_TAU)
+
+
+TD13_ORACLE = f"""
+WITH c AS (SELECT CAST(vec_id + 1 AS INTEGER) AS cid, embedding AS cv
+           FROM embeddings WHERE vec_id < {KMEANS_K}),
+a AS (SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_td8_l2('e.embedding', 'c.cv')} ASC, c.cid ASC) AS r
+      FROM embeddings e CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM a WHERE r = 1)
+SELECT x.vec_id AS vec_lo, y.vec_id AS vec_hi, x.cid,
+       round({dk_dot('ex.embedding', 'ey.embedding')}, 4) AS sim
+FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+JOIN embeddings ex ON ex.vec_id = x.vec_id
+JOIN embeddings ey ON ey.vec_id = y.vec_id
+WHERE round({dk_dot('ex.embedding', 'ey.embedding')}, 4) >= {NEARDUP_TAU}
+"""
+
+
 def td10_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 embedding quantization (textops/similarity.py::quantize_int8):
     per-vector symmetric scale, floor codes, CSV-encoded output for an
@@ -925,6 +958,8 @@ SPECS = [
     QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
+    QuerySpec("td13_semantic_dedup", td13_semantic_dedup, TD13_ORACLE,
+              "SemDeDup cluster-blocked cosine near-dup pairs"),
     QuerySpec("td9_contamination", td9_contamination, TD9_ORACLE,
               "benchmark decontamination check"),
     QuerySpec("td10_quantize", td10_quantize, TD10_ORACLE,

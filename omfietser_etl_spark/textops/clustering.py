@@ -57,6 +57,42 @@ def assign_clusters(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public): assign every embedding to its
+    nearest centroid (broadcast codebook, map-side pass), then emit
+    cosine-≥-tau pairs ONLY within a cluster.
+
+    Scale shape: the cluster id is the blocking key — the one shuffle
+    is cid-keyed, and the quadratic term is bounded by the largest
+    cluster, never the corpus (vs td5's exact all-pairs baseline).
+    Cross-cluster near-dups are the accepted recall loss; tighten it
+    by raising k (smaller clusters) or multi-probing (assign to top-p
+    centroids, dedup pairs). Embeddings are pre-normalized → cosine
+    is the exact dot fold, bit-identical to the DuckDB oracle.
+    """
+    asg = assign_clusters(emb, centroids, id_col, vec_col)
+    a = asg.select(
+        F.col(id_col).alias("vec_lo"), "cid", F.col(vec_col).alias("_va")
+    )
+    b = asg.select(
+        F.col(id_col).alias("vec_hi"), "cid", F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, "cid").filter(F.col("vec_lo") < F.col("vec_hi"))
+    return (
+        pairs.withColumn("sim", F.round(F.expr(dot_expr("_va", "_vb")), 4))
+        .filter(F.col("sim") >= tau)
+        .select("vec_lo", "vec_hi", "cid", "sim")
+    )
+
+
 def lloyd_kmeans(
     emb: DataFrame,
     k: int,

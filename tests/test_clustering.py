@@ -41,3 +41,29 @@ def test_assign_clusters_deterministic_tiebreak(spark):
     assert out.select("cid").distinct().collect() == [
         __import__("pyspark").sql.Row(cid=1)
     ]
+
+
+def test_semantic_dedup_is_subset_of_exact_pairs(spark):
+    """SemDeDup recall property: every cluster-blocked pair is a true
+    near-dup (precision 1 vs the exact all-pairs baseline at the same
+    tau) — the blocking only ever LOSES cross-cluster pairs, never
+    invents one."""
+    from omfietser_etl_spark.textops.clustering import semantic_dedup_pairs
+    from omfietser_etl_spark.textops.similarity import cosine_neardup_pairs
+
+    tau = 0.45
+    emb = load(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    blocked = {
+        (r.vec_lo, r.vec_hi)
+        for r in semantic_dedup_pairs(emb, centroids, tau).collect()
+    }
+    exact = {
+        (r.id_lo, r.id_hi)
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", tau).collect()
+    }
+    assert blocked <= exact
+    assert len(blocked) > 0
