@@ -57,12 +57,36 @@ def assign_clusters(
     )
 
 
+def assign_clusters_multiprobe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """Top-``probes`` nearest-centroid assignment (one row per
+    (vector, probe)): the multi-probe generalization of
+    assign_clusters — same broadcast codebook map pass, the window
+    keeps ranks 1..p instead of 1."""
+    w = Window.partitionBy(id_col).orderBy("_d2", cid_col)
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", F.expr(l2_expr(vec_col, cvec_col)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= probes)
+        .drop("_r", cvec_col)
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     centroids: DataFrame,
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -74,20 +98,31 @@ def semantic_dedup_pairs(
     is cid-keyed, and the quadratic term is bounded by the largest
     cluster, never the corpus (vs td5's exact all-pairs baseline).
     Cross-cluster near-dups are the accepted recall loss; tighten it
-    by raising k (smaller clusters) or multi-probing (assign to top-p
-    centroids, dedup pairs). Embeddings are pre-normalized → cosine
-    is the exact dot fold, bit-identical to the DuckDB oracle.
+    by raising k (smaller clusters) or ``probes`` > 1 (each vector
+    joins its top-p clusters — near-boundary pairs meet in a shared
+    probe cluster; duplicate meetings collapse via min-cid + distinct
+    before the dot product, so each surviving pair is scored once).
+    Embeddings are pre-normalized → cosine is the exact dot fold,
+    bit-identical to the DuckDB oracle.
     """
-    asg = assign_clusters(emb, centroids, id_col, vec_col)
-    a = asg.select(
-        F.col(id_col).alias("vec_lo"), "cid", F.col(vec_col).alias("_va")
+    if probes <= 1:
+        asg = assign_clusters(emb, centroids, id_col, vec_col)
+    else:
+        asg = assign_clusters_multiprobe(emb, centroids, probes, id_col, vec_col)
+    a = asg.select(F.col(id_col).alias("vec_lo"), "cid")
+    b = asg.select(F.col(id_col).alias("vec_hi"), "cid")
+    met = (
+        a.join(b, "cid")
+        .filter(F.col("vec_lo") < F.col("vec_hi"))
+        .groupBy("vec_lo", "vec_hi")
+        .agg(F.min("cid").alias("cid"))
     )
-    b = asg.select(
-        F.col(id_col).alias("vec_hi"), "cid", F.col(vec_col).alias("_vb")
-    )
-    pairs = a.join(b, "cid").filter(F.col("vec_lo") < F.col("vec_hi"))
+    va = emb.select(F.col(id_col).alias("vec_lo"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("vec_hi"), F.col(vec_col).alias("_vb"))
     return (
-        pairs.withColumn("sim", F.round(F.expr(dot_expr("_va", "_vb")), 4))
+        met.join(va, "vec_lo")
+        .join(vb, "vec_hi")
+        .withColumn("sim", F.round(F.expr(dot_expr("_va", "_vb")), 4))
         .filter(F.col("sim") >= tau)
         .select("vec_lo", "vec_hi", "cid", "sim")
     )

@@ -67,3 +67,11 @@ def test_semantic_dedup_is_subset_of_exact_pairs(spark):
     }
     assert blocked <= exact
     assert len(blocked) > 0
+
+    # Multi-probe recovers cross-cluster pairs: recall is monotone in
+    # probes, still never inventing a pair (precision stays 1).
+    probed = {
+        (r.vec_lo, r.vec_hi)
+        for r in semantic_dedup_pairs(emb, centroids, tau, probes=3).collect()
+    }
+    assert blocked <= probed <= exact
