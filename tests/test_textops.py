@@ -80,6 +80,24 @@ def test_jaccard_df_guard_bounds_candidates(spark):
     assert [(r.doc_lo, r.doc_hi, r.jaccard) for r in rows] == [(100, 101, 1.0)]
 
 
+def test_repeated_dedup_runs_do_not_accumulate_cache(spark):
+    """Regression for the persisted-intermediate leak: back-to-back
+    pair-producer invocations (the catalog gate's shape) must not
+    stack cached shingle tables — each call releases the previous
+    one's frames via the cacheutil registry."""
+    df = spark.createDataFrame(
+        [(i, f"some shared words plus unique token {i} here") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    for _ in range(4):
+        dd.jaccard_pairs(df, "doc_id", "text").count()
+        dd.minhash_lsh_pairs(df, "doc_id", "text").count()
+    live = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    # at most the LAST invocation of each producer may still hold its
+    # cache; 4 rounds x 2 producers would leave 8+ without the fix
+    assert len(live) <= 2, [str(x) for x in live]
+
+
 def test_minhash_lsh_finds_identical_docs(spark):
     text = "one two three four five six seven eight nine ten"
     df = spark.createDataFrame(
