@@ -653,6 +653,82 @@ FROM t2 GROUP BY doc
 """
 
 
+TD14_K = 8
+
+
+def td14_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup (ExactSubstr, Lee et al. 2021) gated end
+    to end: a quarter of the corpus shares a 12-token slogan prefix
+    and a seventh shares a 10-token footer, so the operator must cut
+    exactly those cross-document runs (plus any natural >=8-token
+    verbatim overlap) and reassemble the survivors in order."""
+    from omfietser_etl_spark.textops.dedup import substring_dedup
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("shared slogan run that repeats verbatim across many "
+                      "documents in this corpus "),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" common footer block appended to every seventh "
+                      "document here"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return substring_dedup(wrapped, "doc_id", "t", k=TD14_K)
+
+
+TD14_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS doc,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'shared slogan run that repeats verbatim across many documents in this corpus '
+              ELSE '' END
+         || text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' common footer block appended to every seventh document here'
+                 ELSE '' END AS t
+  FROM documents),
+base AS (SELECT doc, string_split(t, ' ') AS toks FROM d),
+b2 AS (SELECT doc, toks, len(toks) AS n_tokens FROM base),
+g AS (SELECT doc, unnest(range(0, n_tokens - {TD14_K} + 1)) AS pos, toks FROM b2),
+grams AS (SELECT doc, pos,
+                 array_to_string(list_slice(toks, pos + 1, pos + {TD14_K}), ' ') AS gram
+          FROM g),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc) >= 2),
+marked AS (SELECT doc, pos FROM grams JOIN dup USING (gram)),
+covered AS (SELECT DISTINCT doc, tpos FROM
+            (SELECT doc, unnest(range(pos, pos + {TD14_K})) AS tpos FROM marked)),
+runs AS (SELECT doc, tpos,
+                tpos - row_number() OVER (PARTITION BY doc ORDER BY tpos) AS grp
+         FROM covered),
+cstat AS (SELECT doc, count(*) AS dup_token_cnt, count(DISTINCT grp) AS dup_span_cnt
+          FROM runs GROUP BY doc),
+tokpos AS (SELECT doc, unnest(list_transform(range(0, len(toks)),
+               i -> struct_pack(tpos := i, tok := toks[i + 1]))) AS s FROM b2),
+tp AS (SELECT doc, s.tpos AS tpos, s.tok AS tok FROM tokpos),
+kept AS (SELECT doc, tpos, tok FROM tp
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+                           WHERE c.doc = tp.doc AND c.tpos = tp.tpos)),
+cl AS (SELECT doc, array_to_string(
+           list_transform(list_sort(list(struct_pack(tpos := tpos, tok := tok))),
+                          s -> s.tok), ' ') AS clean_text
+       FROM kept GROUP BY doc)
+SELECT b2.doc,
+       coalesce(cl.clean_text, '') AS clean_text,
+       CAST(b2.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(cstat.dup_token_cnt, 0) AS BIGINT) AS dup_token_cnt,
+       CAST(coalesce(cstat.dup_span_cnt, 0) AS BIGINT) AS dup_span_cnt
+FROM b2 LEFT JOIN cl ON b2.doc = cl.doc LEFT JOIN cstat ON b2.doc = cstat.doc
+"""
+
+
 TA7_LO_PCT, TA7_HI_PCT = 10, 99  # keep docs inside [p10, p99] of their language
 
 
@@ -974,6 +1050,8 @@ SPECS = [
               "HTML/markup boilerplate stripping"),
     QuerySpec("td11_line_dedup", td11_line_dedup, TD11_ORACLE,
               "corpus-wide line-level dedup (C4 boilerplate rule)"),
+    QuerySpec("td14_substring_dedup", td14_substring_dedup, TD14_ORACLE,
+              "exact substring dedup (ExactSubstr k-gram spans)"),
     QuerySpec("ta7_relative_length_filter", ta7_relative_length_filter, TA7_ORACLE,
               "per-language percentile length screening"),
     QuerySpec("ta1_token_stats", ta1_token_stats, TA1_ORACLE, "token counting"),

@@ -318,3 +318,90 @@ def connected_components(
 
     register("dedup.connected_components", labels)
     return labels.select("node", F.col("label").alias("component"))
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring dedup: remove every run of >= ``k`` whitespace
+    tokens that appears verbatim in >= ``min_docs`` distinct documents
+    (the ExactSubstr rule of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021 — suffix-array semantics
+    re-expressed as a distributed k-gram join; extends the
+    reference's normalized-title dedupe `src/utils/dedupe.ts:100-124`
+    from whole-field to intra-document spans).
+
+    Scale shape (no suffix array, no all-pairs):
+    1. one explode to (doc, pos, k-gram) — map-side only;
+    2. one hash-agg on the gram for global document frequency
+       (map-side combine collapses within-partition repeats);
+    3. an equi-join of grams against the (small) duplicated-gram set —
+       at 100 TB you'd join on ``xxhash64(gram)`` to cut shuffle
+       bytes; the gate build joins the raw string so the DuckDB
+       oracle replays bit-for-bit;
+    4. covered token positions union via explode+distinct, runs via
+       the pos - row_number() islands trick — both doc-keyed, so
+       AQE-coalesced doc-hash shuffles;
+    5. surviving tokens reassemble in order with a doc-keyed agg.
+
+    Returns (doc, clean_text, n_tokens, dup_token_cnt, dup_span_cnt).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+
+    # sequence(0, n-k) DESCENDS when n < k — guard to an empty array.
+    starts = F.when(
+        F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = toks.select(
+        "doc", F.explode(starts).alias("pos"), "toks"
+    ).select(
+        "doc", "pos", F.array_join(F.slice("toks", F.col("pos") + 1, k), " ").alias("gram")
+    )
+
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram").select("doc", "pos")
+    covered = marked.select(
+        "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos")
+    ).distinct()
+
+    w = Window.partitionBy("doc").orderBy("tpos")
+    runs = covered.withColumn("grp", F.col("tpos") - F.row_number().over(w))
+    cov_stats = runs.groupBy("doc").agg(
+        F.count("*").alias("dup_token_cnt"),
+        F.countDistinct("grp").alias("dup_span_cnt"),
+    )
+
+    tokpos = toks.select("doc", F.posexplode("toks").alias("tpos", "tok"))
+    kept = tokpos.join(covered, ["doc", "tpos"], "left_anti")
+    clean = kept.groupBy("doc").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(tpos, tok))), s -> s.tok)"),
+            " ",
+        ).alias("clean_text")
+    )
+
+    base = toks.select("doc", F.col("n_tokens").cast("long").alias("n_tokens"))
+    return (
+        base.join(clean, "doc", "left")
+        .join(cov_stats, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce("dup_token_cnt", F.lit(0)).cast("long").alias("dup_token_cnt"),
+            F.coalesce("dup_span_cnt", F.lit(0)).cast("long").alias("dup_span_cnt"),
+        )
+    )

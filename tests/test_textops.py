@@ -89,13 +89,36 @@ def test_repeated_dedup_runs_do_not_accumulate_cache(spark):
         [(i, f"some shared words plus unique token {i} here") for i in range(12)],
         ["doc_id", "text"],
     )
+    baseline = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     for _ in range(4):
         dd.jaccard_pairs(df, "doc_id", "text").count()
         dd.minhash_lsh_pairs(df, "doc_id", "text").count()
     live = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     # at most the LAST invocation of each producer may still hold its
-    # cache; 4 rounds x 2 producers would leave 8+ without the fix
-    assert len(live) <= 2, [str(x) for x in live]
+    # cache; 4 rounds x 2 producers would leave 8+ without the fix.
+    # Delta vs baseline: other tests in the shared session may hold
+    # their own registered caches — those are not this test's leak.
+    assert len(live) - baseline <= 2, [str(x) for x in live]
+
+
+def test_substring_dedup_cuts_cross_doc_runs(spark):
+    shared = "a b c d e f g h"  # exactly k=8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail one"),
+            (2, f"other words {shared} differing end"),
+            (3, "totally unique content with no duplicated run at all"),
+            (4, "tiny doc"),  # shorter than k — no grams, must survive
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in dd.substring_dedup(df, "doc_id", "text", k=8).collect()}
+    assert out[1].clean_text == "intro one tail one"
+    assert (out[1].dup_token_cnt, out[1].dup_span_cnt) == (8, 1)
+    assert out[2].clean_text == "other words differing end"
+    assert out[3].clean_text == "totally unique content with no duplicated run at all"
+    assert out[3].dup_token_cnt == 0 and out[3].dup_span_cnt == 0
+    assert out[4].clean_text == "tiny doc" and out[4].n_tokens == 2
 
 
 def test_minhash_lsh_finds_identical_docs(spark):
