@@ -962,6 +962,52 @@ SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
 
 
 # ---------------------------------------------------------------- #
+# td15 — fuzzy dedup END-TO-END: MinHash-LSH pairs → connected
+#        components → canonical-doc election → keep/drop decision
+#        for EVERY document (the full corpus-dedup pipeline a
+#        training-data run executes, not just the pair list)
+# ---------------------------------------------------------------- #
+
+def td15_fuzzy_dedup_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus fuzzy dedup, decision per document: docs sharing an LSH
+    component keep only the min-id canonical; singletons keep
+    themselves. Two shuffles beyond the component computation (one
+    left join docs→labels, one window over component). At 100 TB the
+    docs→labels join is skew-safe (component labels are
+    near-uniform) and the window partitions by component, whose
+    cardinality ≈ distinct clusters."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    pairs = dd.minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text")
+    comp = dd.connected_components(pairs)
+    full = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    return full.select(
+        "doc",
+        "component",
+        F.count("*").over(w).alias("comp_size"),
+        (F.col("doc") == F.min("doc").over(w)).alias("is_kept"),
+    )
+
+
+def _td15_oracle() -> str:
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id AS doc, coalesce(c.component, doc_id) AS component
+  FROM documents LEFT JOIN ({_dd4_oracle()}) c ON doc_id = c.node)
+SELECT doc, component,
+       count(*) OVER (PARTITION BY component) AS comp_size,
+       (doc = min(doc) OVER (PARTITION BY component)) AS is_kept
+FROM alldocs
+"""
+
+
+# ---------------------------------------------------------------- #
 # tc1/tc2 — chunking + PII scrub (training-data prep)
 # ---------------------------------------------------------------- #
 
@@ -1060,6 +1106,8 @@ SPECS = [
     QuerySpec("ta4_fingerprint", ta4_fingerprint, TA4_ORACLE, "doc fingerprint hash"),
     QuerySpec("dd4_neardup_components", dd4_neardup_components, _dd4_oracle(),
               "near-dup connected components"),
+    QuerySpec("td15_fuzzy_dedup_e2e", td15_fuzzy_dedup_e2e, _td15_oracle(),
+              "fuzzy dedup end-to-end (LSH → components → keep/drop)"),
     QuerySpec("tc1_doc_chunking", tc1_doc_chunking, TC1_ORACLE,
               "token-window chunking with overlap"),
     QuerySpec("tc2_pii_scrub", tc2_pii_scrub, TC2_ORACLE, "PII scrubbing + counts"),
