@@ -222,6 +222,55 @@ WHERE bucket < CASE band {rate_case} ELSE {TS7_DEFAULT} END
 
 
 # ---------------------------------------------------------------- #
+# ts8 — temperature (α=0.5) multilingual rebalancing
+# ---------------------------------------------------------------- #
+
+TS8_BUDGET_BP = 5000  # target corpus budget: 50% of the documents
+
+
+def ts8_temperature_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """XLM-R/mT5-style temperature sampling over the skewed language
+    mix (en is ~44% of the corpus): per-language keep-rates derived
+    from the data as q_l ∝ √p_l for a 50% budget, realized by the
+    deterministic hash sampler. All-rate arithmetic is exact BIGINT
+    (isqrt fixed-point), so both engines derive identical rates."""
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "lang"
+    )
+    return sp.temperature_rebalance(docs, "doc", "lang", TS8_BUDGET_BP)
+
+
+def _ts8_oracle() -> str:
+    scale = sp.TEMP_W_SCALE
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+f0 AS (SELECT lang, n_docs, n_docs * {scale} AS x,
+              CAST(floor(sqrt(CAST(n_docs * {scale} AS DOUBLE))) AS BIGINT) AS f
+       FROM c),
+w AS (SELECT lang, n_docs,
+             CASE WHEN (f + 1) * (f + 1) <= x THEN f + 1
+                  WHEN f * f > x THEN f - 1
+                  ELSE f END AS w
+      FROM f0),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS s
+      FROM w),
+r AS (SELECT lang, n_docs,
+             least(10000,
+                   (10000 * ((t.n * {TS8_BUDGET_BP}) // 10000) * w)
+                   // (n_docs * t.s)) AS rate_bp
+      FROM w, t),
+k AS (SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE {_dk_bucket('temp', 'd.doc_id')} < r.rate_bp
+      GROUP BY d.lang)
+SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON r.lang = k.lang
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -355,4 +404,6 @@ SPECS = [
               "tokenization to ids via induced vocabulary"),
     QuerySpec("ts7_weighted_sample", ts7_weighted_sample, _ts7_oracle(),
               "quality-weighted curriculum sampling"),
+    QuerySpec("ts8_temperature_rebalance", ts8_temperature_rebalance, _ts8_oracle(),
+              "temperature (α=0.5) multilingual rebalancing"),
 ]

@@ -142,6 +142,88 @@ def stratified_sample(
     )
 
 
+def isqrt_col(x: Column) -> Column:
+    """Exact integer sqrt of a non-negative BIGINT column.
+
+    ``floor(sqrt(double(x)))`` alone is within ±1 of the true value
+    (sqrt is correctly rounded, but the double conversion of x may
+    not be); the two CASE corrections make the result exact integer
+    arithmetic — identical across engines regardless of libm.
+    """
+    f = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((f + 1) * (f + 1) <= x, f + 1)
+        .when(f * f > x, f - 1)
+        .otherwise(f)
+    )
+
+
+#: fixed-point scale for temperature weights: isqrt(n * 10^6) ≈
+#: sqrt(n) * 1000 exactly, keeping the whole rate computation in
+#: BIGINTs (no cross-engine double-rounding of pow()).
+TEMP_W_SCALE = 1_000_000
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget_frac_bp: int = 5000,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing at α = 0.5 (the XLM-R /
+    mT5 multilingual sampling rule): group l is sampled with
+    probability q_l ∝ p_l^α, realized as a per-group deterministic
+    hash keep-rate for a token budget of ``budget_frac_bp``/10000 of
+    the corpus. Over-represented groups are downsampled hard, the
+    long tail is kept nearly whole.
+
+    α is fixed at 0.5 because sqrt is the one fractional power
+    computable EXACTLY in portable integer arithmetic (isqrt_col);
+    pow(x, 0.3) differs between engines in the last ulp and a floor()
+    on top of it flips rates. rate_l = B·q_l/n_l with
+    q_l = √n_l / Σ√n_m, all in scaled BIGINTs; groups whose raw rate
+    exceeds 100% are capped (UNIMAX would redistribute the excess
+    iteratively — noted, not implemented).
+
+    Scale shape: one tiny group-count agg, rates derived on that
+    k-row frame, broadcast back, then a pure map-side hash filter —
+    the 100 TB corpus is never shuffled. Overflow note: the rate
+    numerator is 10^4·B·w_l ≤ 10^7·N^1.5; BIGINT-safe to ~N = 10^7
+    groups-corpus, beyond that stage the product as DECIMAL(38,0).
+
+    Returns one row per group:
+    (``group_col``, n_docs, rate_bp, n_kept).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    rated = (
+        counts.withColumn("_w", isqrt_col(F.col("n_docs") * TEMP_W_SCALE))
+        .withColumn("_s", F.sum("_w").over(wall))
+        .withColumn("_n", F.sum("n_docs").over(wall))
+        .withColumn("_b", F.expr(f"(_n * {budget_frac_bp}) div 10000"))
+        .withColumn("_num", F.lit(10000).cast("long") * F.col("_b") * F.col("_w"))
+        .withColumn("_den", F.col("n_docs") * F.col("_s"))
+        .withColumn("rate_bp", F.least(F.lit(10000).cast("long"), F.expr("_num div _den")))
+        .select(group_col, "n_docs", "rate_bp")
+    )
+    tagged = df.select(F.col(id_col).alias("_id"), group_col).join(
+        F.broadcast(rated), group_col
+    )
+    kept = tagged.filter(hash_bucket("_id", salt) < F.col("rate_bp")).groupBy(
+        group_col
+    ).agg(F.count("*").alias("n_kept"))
+    return (
+        rated.join(kept, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

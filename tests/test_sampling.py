@@ -12,9 +12,11 @@ from omfietser_etl_spark.operators.sessions import session_stats, sessionize
 from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops.sampling import (
     hash_sample,
+    isqrt_col,
     mixture_split,
     pack_sequences,
     stratified_sample,
+    temperature_rebalance,
 )
 
 from .conftest import SF_SMOKE
@@ -24,6 +26,34 @@ def _docs(spark):
     return load(spark, SF_SMOKE, "documents").select(
         F.col("doc_id").alias("doc"), "source", "text"
     )
+
+
+def test_isqrt_col_exact_on_boundaries(spark):
+    vals = [0, 1, 2, 3, 4, 99, 100, 101, (1 << 40) - 1, 1 << 40, (10**6) ** 2]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r.x: r.r for r in df.select("x", isqrt_col(F.col("x")).alias("r")).collect()}
+    import math
+
+    for v in vals:
+        assert out[v] == math.isqrt(v), v
+
+
+def test_temperature_rebalance_downsamples_the_head(spark):
+    docs = load(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("doc"), "lang"
+    )
+    rows = temperature_rebalance(docs, "doc", "lang", 5000).collect()
+    by_rate = sorted(rows, key=lambda r: r.n_docs)
+    # α=0.5 sampling: bigger groups get strictly lower keep-rates
+    rates = [r.rate_bp for r in by_rate]
+    assert rates == sorted(rates, reverse=True)
+    assert all(0 < r.rate_bp <= 10000 for r in rows)
+    # realized total ≈ the 50% budget (hash sampling is unbiased)
+    n, kept = sum(r.n_docs for r in rows), sum(r.n_kept for r in rows)
+    assert abs(kept / n - 0.5) < 0.1
+    # deterministic: same inputs, same decisions
+    again = temperature_rebalance(docs, "doc", "lang", 5000).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
 def test_hash_sample_is_monotone_and_deterministic(spark):
