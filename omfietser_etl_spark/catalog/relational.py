@@ -1032,6 +1032,71 @@ FROM base
 """
 
 
+def a19_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): the a14 crosstab back to long form — the
+    inverse reshaping a report consumer needs before re-aggregating.
+    Spark's native `unpivot` compiles to one Expand node over the
+    tiny pivoted frame (no shuffle beyond a14's own aggregation)."""
+    p = a14_pivot(spark, sf)
+    return p.unpivot(
+        ["o_orderpriority"], ["cnt_f", "cnt_o", "cnt_p"], "status_col", "cnt"
+    )
+
+
+A19_ORACLE = f"""
+WITH p AS ({A14_ORACLE})
+SELECT o_orderpriority, status_col, cnt
+FROM p UNPIVOT (cnt FOR status_col IN (cnt_f, cnt_o, cnt_p))
+"""
+
+
+def a20_window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking/distribution/offset window functions in one pass:
+    ntile quartiles, percent_rank, cume_dist, lag/lead neighbors and
+    delta — all over ONE window specification, so Catalyst plans a
+    single sort-shuffle on (status) and evaluates every function in
+    the same Window operator (one pass over each partition).
+
+    Cross-engine hash safety: the order key is exact integer cents
+    with a unique tiebreak, and percent_rank/cume_dist are ratios of
+    exact small integers — IEEE double division is correctly rounded
+    in both engines, so raw doubles hash identically."""
+    o = load(spark, sf, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("price_cents", "o_orderkey")
+    return b.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag("price_cents").over(w).alias("prev_cents"),
+        F.lead("price_cents").over(w).alias("next_cents"),
+        (F.col("price_cents") - F.lag("price_cents").over(w)).alias("delta_cents"),
+    )
+
+
+A20_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders)
+SELECT o_orderkey, o_orderstatus, price_cents,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       lag(price_cents) OVER w AS prev_cents,
+       lead(price_cents) OVER w AS next_cents,
+       price_cents - lag(price_cents) OVER w AS delta_cents
+FROM b WINDOW w AS (PARTITION BY o_orderstatus ORDER BY price_cents, o_orderkey)
+"""
+
+
 SPECS = [
     QuerySpec("s1_scan_pushdown", s1_scan_pushdown, S1_ORACLE, "S1/S3 filtered scan"),
     QuerySpec("s5_point_lookup", s5_point_lookup, S5_ORACLE, "S5 point lookup"),
@@ -1071,6 +1136,10 @@ SPECS = [
               "bin-blocked interval join (big×big range join)"),
     QuerySpec("a14_pivot", a14_pivot, A14_ORACLE,
               "pivot/crosstab with explicit value domain"),
+    QuerySpec("a19_unpivot", a19_unpivot, A19_ORACLE,
+              "UNPIVOT/melt wide crosstab to long form"),
+    QuerySpec("a20_window_suite", a20_window_suite, A20_ORACLE,
+              "ntile/percent_rank/cume_dist/lag/lead in one window pass"),
     QuerySpec("a15_percentile_bands", a15_percentile_bands, A15_ORACLE,
               "exact nearest-rank percentiles, one sort-shuffle"),
     QuerySpec("a16_profile", a16_profile, A16_ORACLE,
