@@ -1,0 +1,70 @@
+"""Training-shard export sink: manifest integrity, shard order,
+determinism (sinks/export.py)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.sinks.export import (
+    read_manifest,
+    read_training_shard,
+    write_training_shards,
+)
+from omfietser_etl_spark.textops.analysis import ws_token_count
+
+from .conftest import SF_SMOKE
+
+N_SHARDS = 4
+
+
+def _docs(spark):
+    return load(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("doc"),
+        "text",
+        ws_token_count("text").alias("n_tok"),
+    )
+
+
+def test_export_manifest_matches_data(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "export")
+    manifest = write_training_shards(
+        docs, out, "doc", N_SHARDS, token_count_col="n_tok"
+    )
+
+    assert manifest == read_manifest(out)
+    assert set(manifest["shards"]) == {str(i) for i in range(N_SHARDS)}
+    assert manifest["total_rows"] == docs.count()
+    assert manifest["total_tokens"] == docs.agg(F.sum("n_tok")).first()[0]
+
+    # every shard dir holds ONE file whose row count matches the manifest
+    for s in range(N_SHARDS):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, files
+        got = read_training_shard(spark, out, s)
+        assert got.count() == manifest["shards"][str(s)]["rows"]
+        # position-ordered and gap-free: the dataloader contract
+        poses = [r.pos for r in got.select("pos").collect()]
+        assert poses == list(range(1, len(poses) + 1))
+
+
+def test_export_is_deterministic(spark, tmp_path):
+    docs = _docs(spark)
+    m1 = write_training_shards(docs, str(tmp_path / "a"), "doc", N_SHARDS)
+    m2 = write_training_shards(docs, str(tmp_path / "b"), "doc", N_SHARDS)
+    assert m1 == m2
+    # a different salt is a different epoch: same totals, new order
+    m3 = write_training_shards(docs, str(tmp_path / "c"), "doc", N_SHARDS, salt="ep2")
+    assert m3["total_rows"] == m1["total_rows"]
+    docs_a = {r.doc for r in read_training_shard(spark, str(tmp_path / "a"), 0).collect()}
+    docs_c = {r.doc for r in read_training_shard(spark, str(tmp_path / "c"), 0).collect()}
+    assert docs_a != docs_c  # shard membership moved with the salt
+
+
+def test_read_manifest_ignores_incomplete(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_manifest(str(tmp_path / "nope"))
