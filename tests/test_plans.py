@@ -179,3 +179,41 @@ def test_o9_keyset_page_is_top_k_with_pushed_cursor(spark):
     plan = _plan(o9_keyset_pagination(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:300]
+
+
+def test_td14_gram_join_is_equi_never_nested_loop(spark):
+    """Substring dedup's duplicated-gram lookup and coverage anti-join
+    must stay hash/sort equi-joins — a nested-loop there is O(N²) on
+    the gram table at corpus scale."""
+    from omfietser_etl_spark.catalog.textops import td14_substring_dedup
+
+    plan = _plan(td14_substring_dedup(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts8_rate_join_is_broadcast_and_corpus_never_shuffles(spark):
+    """Temperature rebalancing: the k-row rate table broadcasts; the
+    only exchanges are the tiny group-count/summary aggregations —
+    the corpus side reaches its filter without a shuffle."""
+    import re
+
+    from omfietser_etl_spark.catalog.trainprep import ts8_temperature_rebalance
+
+    plan = _plan(ts8_temperature_rebalance(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+
+
+def test_a20_window_suite_is_one_pass(spark):
+    """All six window functions share one window spec → exactly one
+    Window operator over exactly one sort-shuffle."""
+    import re
+
+    from omfietser_etl_spark.catalog.relational import a20_window_suite
+
+    plan = _plan(a20_window_suite(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("Window") == 1
+    assert _exchanges(plan) == 1
