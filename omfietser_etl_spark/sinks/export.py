@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..textops.sampling import shuffle_order
+from ..textops.sampling import hash_bucket, shuffle_order
 
 MANIFEST_NAME = "_MANIFEST.json"
 
@@ -62,10 +62,17 @@ def write_training_shards(
     aggs = [F.count("*").alias("rows")]
     if token_count_col is not None:
         aggs.append(F.sum(F.col(token_count_col)).cast("long").alias("tokens"))
-    per_shard = ordered.groupBy("shard").agg(*aggs).collect()  # k rows
+    # manifest counts need only the (pure hash) shard assignment, not
+    # the positional window — a map-side-combined agg pass, no sort
+    assign = df.select(
+        F.pmod(hash_bucket(id_col, salt + ":shard"), F.lit(n_shards)).alias("shard"),
+        *( [F.col(token_count_col)] if token_count_col is not None else [] ),
+    )
+    per_shard = assign.groupBy("shard").agg(*aggs).collect()  # k rows
 
-    shards = {}
-    for r in sorted(per_shard, key=lambda r: r["shard"]):
+    empty = {"rows": 0, **({"tokens": 0} if token_count_col is not None else {})}
+    shards = {str(s): dict(empty) for s in range(n_shards)}
+    for r in per_shard:
         entry = {"rows": r["rows"]}
         if token_count_col is not None:
             entry["tokens"] = r["tokens"]
