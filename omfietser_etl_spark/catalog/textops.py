@@ -446,6 +446,56 @@ FROM a ORDER BY tf DESC, term ASC LIMIT {TV1_TOP_K}
 """
 
 
+TV2_TOP_N = 5
+
+
+def tv2_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinctive terms: TF-IDF-style ranking of each
+    source's vocabulary against the whole corpus — the data-card
+    "what is this slice about" signal, and the keyword primitive
+    retrieval pipelines build on.
+
+    The score is exact integer arithmetic (tf·10⁶ div global df)
+    rather than a float idf log: cross-engine log() is not correctly
+    rounded, and ordering by tf/df is ordering by log-idf within a
+    fixed corpus anyway. Scale shape: one (source, term) agg + one
+    (term) agg riding similar shuffles, an equi-join on term, and a
+    per-source top-n window over the (vocab-sized) scored frame.
+    """
+    docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    per_src = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    global_df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df_docs"))
+    scored = per_src.join(global_df, "term").withColumn(
+        "score_bp", F.expr("(tf * 1000000) div df_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_bp").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TV2_TOP_N)
+        .select("source", F.col("rank").cast("long").alias("rank"),
+                "term", "tf", "df_docs", "score_bp")
+    )
+
+
+TV2_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, unnest({DK_TOKENS.format(c='text')}) AS term
+           FROM documents),
+ps AS (SELECT source, term, count(*) AS tf FROM d GROUP BY source, term),
+g AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM d GROUP BY term),
+s AS (SELECT source, ps.term AS term, tf, df_docs,
+             (tf * 1000000) // df_docs AS score_bp
+      FROM ps JOIN g ON ps.term = g.term)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df_docs, score_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score_bp DESC, term ASC) AS rank
+  FROM s)
+WHERE rank <= {TV2_TOP_N}
+"""
+
+
 def ca1_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source data card: the release-notes summary a corpus ships
     with — volume, token mass, exact-dup rate, language mix.
@@ -1088,6 +1138,8 @@ SPECS = [
               "int8 embedding quantization"),
     QuerySpec("tv1_top_terms", tv1_top_terms, TV1_ORACLE,
               "corpus vocabulary (top-k terms)"),
+    QuerySpec("tv2_tfidf_terms", tv2_tfidf_terms, TV2_ORACLE,
+              "per-source TF-IDF distinctive terms (exact-integer score)"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

@@ -271,6 +271,37 @@ FROM r LEFT JOIN k ON r.lang = k.lang
 
 
 # ---------------------------------------------------------------- #
+# ts9 — deterministic fixed-size per-group sample (eval carving)
+# ---------------------------------------------------------------- #
+
+TS9_N = 20
+
+
+def ts9_fixed_size_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-n-per-language eval carving: rate-based sampling can't
+    guarantee per-group counts, the hash-rank reservoir can. Same
+    deterministic membership discipline as ts1/ts4 (salted mixed id
+    hash), one window shuffle on the group key."""
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "lang"
+    )
+    return sp.fixed_size_sample(docs, "doc", "lang", TS9_N).select(
+        "doc", "lang", F.col("pick_rank").cast("long").alias("pick_rank")
+    )
+
+
+TS9_ORACLE = f"""
+SELECT doc, lang, CAST(pick_rank AS BIGINT) AS pick_rank FROM (
+  SELECT doc_id AS doc, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_dk_bucket('fixed', 'doc_id')}, doc_id)
+           AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {TS9_N}
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -406,4 +437,6 @@ SPECS = [
               "quality-weighted curriculum sampling"),
     QuerySpec("ts8_temperature_rebalance", ts8_temperature_rebalance, _ts8_oracle(),
               "temperature (α=0.5) multilingual rebalancing"),
+    QuerySpec("ts9_fixed_size_sample", ts9_fixed_size_sample, TS9_ORACLE,
+              "deterministic exactly-n-per-group sample (eval carving)"),
 ]

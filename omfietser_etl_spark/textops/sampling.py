@@ -142,6 +142,37 @@ def stratified_sample(
     )
 
 
+def fixed_size_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    salt: str = "fixed",
+) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample: each group keeps
+    exactly ``min(n_per_group, |group|)`` rows — the eval-set /
+    per-class-budget case where a RATE (stratified_sample) can't
+    guarantee the count. Rows rank by the salted mixed id hash (id
+    tiebreak), so membership is a pure function of the data: stable
+    under retries, engines, and re-runs, and monotone in n (the n=100
+    sample contains the n=50 sample — nested eval sets for ablations).
+
+    Scale shape: one window shuffle on the group key. For extreme
+    groups (billions of rows, tiny n) pre-filter with a generous
+    rate-based hash_sample first so the sort input per group is
+    bounded, then rank — same membership, bounded memory.
+
+    Returns the input columns + ``pick_rank`` (1-based within group).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= n_per_group)
+    )
+
+
 def isqrt_col(x: Column) -> Column:
     """Exact integer sqrt of a non-negative BIGINT column.
 

@@ -11,6 +11,7 @@ from omfietser_etl_spark.operators.joins import interval_join
 from omfietser_etl_spark.operators.sessions import session_stats, sessionize
 from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops.sampling import (
+    fixed_size_sample,
     hash_sample,
     isqrt_col,
     mixture_split,
@@ -54,6 +55,19 @@ def test_temperature_rebalance_downsamples_the_head(spark):
     # deterministic: same inputs, same decisions
     again = temperature_rebalance(docs, "doc", "lang", 5000).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_fixed_size_sample_exact_counts_and_nesting(spark):
+    docs = load(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("doc"), "lang"
+    )
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s10 = fixed_size_sample(docs, "doc", "lang", 10)
+    got = {r.lang: r.n for r in s10.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {lg: min(10, n) for lg, n in sizes.items()}
+    # nested: the n=10 sample is contained in the n=15 sample
+    s15 = {(r.doc, r.lang) for r in fixed_size_sample(docs, "doc", "lang", 15).collect()}
+    assert {(r.doc, r.lang) for r in s10.collect()} <= s15
 
 
 def test_hash_sample_is_monotone_and_deterministic(spark):
