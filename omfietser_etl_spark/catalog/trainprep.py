@@ -302,6 +302,54 @@ WHERE pick_rank <= {TS9_N}
 
 
 # ---------------------------------------------------------------- #
+# ts10 — UNIMAX budget allocation (uniform-with-caps water-filling)
+# ---------------------------------------------------------------- #
+
+TS10_BUDGET_BP = 8000  # 80% budget so the caps genuinely bind
+
+
+def ts10_unimax_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """UNIMAX allocation over the language mix: at an 80% budget the
+    four low-resource languages are fully taken (capped) and the en
+    head receives exactly the remaining budget — both regimes of the
+    water-filling are exercised. Exact BIGINT arithmetic throughout;
+    realize with fixed_size_sample(n_per_group=alloc_docs)."""
+    docs = load(spark, sf, "documents").select("lang")
+    return sp.unimax_allocation(docs, "lang", TS10_BUDGET_BP)
+
+
+TS10_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+r AS (SELECT lang, n_docs,
+        CAST(sum(n_docs) OVER () AS BIGINT) AS n,
+        CAST(count(*) OVER () AS BIGINT) AS k,
+        CAST(coalesce(sum(n_docs) OVER (ORDER BY n_docs, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pfx,
+        CAST(row_number() OVER (ORDER BY n_docs, lang) - 1 AS BIGINT) AS i
+      FROM c),
+f AS (SELECT *, (n * {TS10_BUDGET_BP}) // 10000 AS b,
+        (pfx + n_docs * (k - i) <= (n * {TS10_BUDGET_BP}) // 10000) AS is_capped
+      FROM r),
+l AS (SELECT *,
+        CAST(sum(CASE WHEN is_capped THEN n_docs ELSE 0 END) OVER () AS BIGINT)
+          AS taken,
+        CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m
+      FROM f),
+a AS (SELECT lang, n_docs, is_capped,
+        CASE WHEN is_capped THEN n_docs
+             ELSE least(n_docs,
+                        CASE WHEN m < k THEN (b - taken) // (k - m) ELSE 0 END)
+        END AS alloc
+      FROM l)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, is_capped,
+       CAST(alloc AS BIGINT) AS alloc_docs,
+       CAST((alloc * 10000) // n_docs AS BIGINT) AS rate_bp
+FROM a
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -439,4 +487,6 @@ SPECS = [
               "temperature (α=0.5) multilingual rebalancing"),
     QuerySpec("ts9_fixed_size_sample", ts9_fixed_size_sample, TS9_ORACLE,
               "deterministic exactly-n-per-group sample (eval carving)"),
+    QuerySpec("ts10_unimax_budget", ts10_unimax_budget, TS10_ORACLE,
+              "UNIMAX budget allocation (uniform-with-caps water-filling)"),
 ]

@@ -255,6 +255,75 @@ def temperature_rebalance(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget_frac_bp: int = 8000,
+) -> DataFrame:
+    """UNIMAX-style budget allocation (Chung et al. 2023): spread a
+    document budget UNIFORMLY across groups, capping each group at
+    its full corpus and redistributing the excess — the successor to
+    temperature sampling that never over-asks a low-resource group.
+
+    The iterative redistribution has an exact water-filling closed
+    form, computed here with window functions in pure BIGINT
+    arithmetic: sort groups by size ascending; group i is fully taken
+    iff prefix_i + n_i·(k−i) ≤ B (monotone, so it's a per-row
+    predicate); the remaining budget spreads evenly as the water
+    level T = (B − prefix_m) div (k − m) over the m..k groups. Total
+    allocation lands in (B − k, B] — the div remainder (< k−m docs)
+    is deliberately not smeared to keep every number exact.
+
+    All work happens on the k-row group-count frame (one tiny agg +
+    windows); realize the allocation with ``fixed_size_sample(...,
+    n_per_group=alloc)`` per group — a pure map-side+window pass over
+    the corpus.
+
+    Returns (``group_col``, n_docs, is_capped, alloc_docs, rate_bp).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w_ord = Window.orderBy("n_docs", group_col)
+    w_all = Window.partitionBy()
+    ranked = (
+        counts.withColumn("_n", F.sum("n_docs").over(w_all))
+        .withColumn("_k", F.count("*").over(w_all))
+        .withColumn("_b", F.expr(f"(_n * {budget_frac_bp}) div 10000"))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("n_docs").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_i", F.row_number().over(w_ord) - 1)
+        .withColumn("is_capped", F.expr("_prefix + n_docs * (_k - _i) <= _b"))
+    )
+    level = ranked.withColumn(
+        "_taken_full", F.sum(F.when(F.col("is_capped"), F.col("n_docs")).otherwise(0)).over(w_all)
+    ).withColumn(
+        "_m", F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).over(w_all)
+    ).withColumn(
+        "_t",
+        F.when(
+            F.col("_m") < F.col("_k"),
+            F.expr("(_b - _taken_full) div (_k - _m)"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return level.select(
+        group_col,
+        "n_docs",
+        "is_capped",
+        F.when(F.col("is_capped"), F.col("n_docs"))
+        .otherwise(F.least("n_docs", "_t"))
+        .cast("long")
+        .alias("alloc_docs"),
+    ).withColumn(
+        "rate_bp", F.expr("(alloc_docs * 10000) div n_docs")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -18,6 +18,7 @@ from omfietser_etl_spark.textops.sampling import (
     pack_sequences,
     stratified_sample,
     temperature_rebalance,
+    unimax_allocation,
 )
 
 from .conftest import SF_SMOKE
@@ -55,6 +56,32 @@ def test_temperature_rebalance_downsamples_the_head(spark):
     # deterministic: same inputs, same decisions
     again = temperature_rebalance(docs, "doc", "lang", 5000).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def _unimax(spark, sizes, bp):
+    rows = [(g,) for g, n in sizes.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, ["grp"])
+    return {r.grp: r for r in unimax_allocation(df, "grp", bp).collect()}
+
+
+def test_unimax_water_filling_invariants(spark):
+    sizes = {"a": 5, "b": 20, "c": 100, "d": 7}
+    total = sum(sizes.values())  # 132
+    for bp in (1000, 5000, 8000, 9999):
+        out = _unimax(spark, sizes, bp)
+        budget = total * bp // 10000
+        allocs = {g: out[g].alloc_docs for g in sizes}
+        # never over-asks a group, never exceeds the budget, and the
+        # div remainder loses strictly fewer docs than #groups
+        assert all(0 <= allocs[g] <= sizes[g] for g in sizes)
+        assert budget - len(sizes) < sum(allocs.values()) <= budget
+        # capped groups are fully taken; uncapped share one water level
+        levels = {allocs[g] for g in sizes if not out[g].is_capped}
+        assert all(allocs[g] == sizes[g] for g in sizes if out[g].is_capped)
+        assert len(levels) <= 1
+    # full budget: everything capped at its own size
+    out = _unimax(spark, sizes, 10000)
+    assert {g: out[g].alloc_docs for g in sizes} == sizes
 
 
 def test_fixed_size_sample_exact_counts_and_nesting(spark):
