@@ -326,6 +326,7 @@ def substring_dedup(
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact substring dedup: remove every run of >= ``k`` whitespace
     tokens that appears verbatim in >= ``min_docs`` distinct documents
@@ -340,9 +341,13 @@ def substring_dedup(
     2. one hash-agg on the gram for global document frequency
        (map-side combine collapses within-partition repeats);
     3. an equi-join of grams against the (small) duplicated-gram set —
-       at 100 TB you'd join on ``xxhash64(gram)`` to cut shuffle
-       bytes; the gate build joins the raw string so the DuckDB
-       oracle replays bit-for-bit;
+       ``hash_grams=True`` is the 100 TB path: the shuffle/agg key is
+       ``xxhash64(gram)`` (8 bytes) instead of the k-token string
+       (~50-100 bytes), cutting shuffle volume ~10×; a 64-bit
+       collision would need ~2³² distinct grams in one corpus
+       (birthday bound) and at worst over-masks one span. The gate
+       build joins the raw string so the DuckDB oracle replays
+       bit-for-bit;
     4. covered token positions union via explode+distinct, runs via
        the pos - row_number() islands trick — both doc-keyed, so
        AQE-coalesced doc-hash shuffles;
@@ -360,11 +365,11 @@ def substring_dedup(
     starts = F.when(
         F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
     ).otherwise(F.expr("array()").cast("array<int>"))
+    gram_str = F.array_join(F.slice("toks", F.col("pos") + 1, k), " ")
+    gram_key = F.xxhash64(gram_str) if hash_grams else gram_str
     grams = toks.select(
         "doc", F.explode(starts).alias("pos"), "toks"
-    ).select(
-        "doc", "pos", F.array_join(F.slice("toks", F.col("pos") + 1, k), " ").alias("gram")
-    )
+    ).select("doc", "pos", gram_key.alias("gram"))
 
     dup = (
         grams.groupBy("gram")

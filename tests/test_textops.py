@@ -5,10 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops import dedup as dd
 from omfietser_etl_spark.textops import similarity as sim
 from omfietser_etl_spark.textops.analysis import lang_id, poly_hash, tokens
 from omfietser_etl_spark.textops.constants import CHAR_SEED, MOD
+
+from .conftest import SF_SMOKE
 
 
 def test_poly_hash_matches_python(spark):
@@ -119,6 +122,13 @@ def test_substring_dedup_cuts_cross_doc_runs(spark):
     assert out[3].clean_text == "totally unique content with no duplicated run at all"
     assert out[3].dup_token_cnt == 0 and out[3].dup_span_cnt == 0
     assert out[4].clean_text == "tiny doc" and out[4].n_tokens == 2
+
+
+def test_substring_dedup_hashed_gram_path_is_equivalent(spark):
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plain = dd.substring_dedup(docs, "doc_id", "text", k=5).collect()
+    hashed = dd.substring_dedup(docs, "doc_id", "text", k=5, hash_grams=True).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, hashed))
 
 
 def test_minhash_lsh_finds_identical_docs(spark):
