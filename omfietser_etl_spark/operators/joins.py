@@ -93,3 +93,36 @@ def salted_join(
         "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
     )
     return salted_big.join(salted_small, [*on, "_salt"], how).drop("_salt")
+
+
+def enable_runtime_bloom_filters(
+    spark,
+    application_side_scan_threshold: str = "0",
+    creation_side_threshold: str = "100MB",
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning for
+    big×big shuffle joins the planner cannot broadcast.
+
+    When one side of a SortMergeJoin carries a selective filter,
+    Catalyst builds a bloom filter over that side's join keys at
+    runtime and injects ``might_contain(...)`` into the OTHER side's
+    scan — rows that cannot match are dropped before the shuffle,
+    which is the dominant cost of a fact×fact join at 100 TB (the
+    dynamic-filter analogue of static partition pruning; same idea
+    Trino/Photon apply). Spark gates the rewrite behind size
+    thresholds tuned for clusters; the defaults here open it up for
+    the local gate so the plan shape is testable —
+    ``test_plans.py::test_runtime_bloom_filter_prunes_fact_scan``
+    locks the injection.
+
+    Runtime-settable confs only (safe on a live session).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )

@@ -217,3 +217,31 @@ def test_a20_window_suite_is_one_pass(spark):
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert nodes.count("Window") == 1
     assert _exchanges(plan) == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Big×big joins that cannot broadcast still avoid shuffling
+    unmatchable rows: with runtime bloom filters enabled, the
+    selective side's keys become a might_contain() predicate on the
+    fact scan. Locks the conf recipe in operators/joins.py."""
+    from pyspark.sql import functions as F
+
+    from omfietser_etl_spark.operators.joins import enable_runtime_bloom_filters
+    from omfietser_etl_spark.session import load
+
+    enable_runtime_bloom_filters(spark)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        li = load(spark, SF_SMOKE, "lineitem")
+        o = load(spark, SF_SMOKE, "orders").filter(F.col("o_orderstatus") == "P")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
