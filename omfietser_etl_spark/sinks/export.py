@@ -12,10 +12,18 @@ Scale shape: `shuffle_order` is one shuffle keyed on shard + an
 intra-shard sort (no global sort); the write is
 `repartition(shard) → sortWithinPartitions → partitionBy(shard)` so
 every shard directory holds position-ordered rows. The manifest agg
-is shard-cardinality-sized. The manifest commit is write-tmp +
-fsync + atomic rename — readers either see the previous complete
-export or the new one (same `_CURRENT` discipline as the parquet
-state store in `streaming/incremental.py`).
+reads back the files just written (shard-cardinality-sized result),
+so it describes the actual bytes on disk — never a recomputation of
+the input lineage that could silently diverge from them.
+
+Atomicity: every export lands in a fresh ``v_<n>`` subdirectory and
+a root-level ``_CURRENT`` pointer flips to it with write-tmp + fsync
++ atomic rename (the parquet state store discipline in
+`streaming/incremental.py`). Concurrent readers resolving through
+``_CURRENT`` see either the previous complete export or the new one;
+a version directory without a committed pointer is invisible. The
+previous version is retained for in-flight readers; older ones are
+pruned.
 
 Mirrors the reference's completion-flag epilogue
 (`src/api/services/job-manager.ts:278-348` writes progress/complete
@@ -26,13 +34,43 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..textops.sampling import hash_bucket, shuffle_order
+from ..textops.sampling import shuffle_order
 
 MANIFEST_NAME = "_MANIFEST.json"
+CURRENT_NAME = "_CURRENT"
+_VERSION_RE = re.compile(r"^v_(\d{8})$")
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _versions(path: str) -> list[int]:
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1)) for n in names if (m := _VERSION_RE.match(n))
+    )
+
+
+def _current_dir(path: str) -> str:
+    """Resolve the committed version dir; FileNotFoundError if no
+    export was ever committed (a dangling version dir never counts)."""
+    with open(os.path.join(path, CURRENT_NAME)) as f:
+        return os.path.join(path, f.read().strip())
 
 
 def write_training_shards(
@@ -42,33 +80,38 @@ def write_training_shards(
     n_shards: int = 8,
     salt: str = "shuffle",
     token_count_col: str | None = None,
+    keep_versions: int = 2,
 ) -> dict:
-    """Export ``df`` as ``n_shards`` position-ordered shard dirs +
-    an atomically-committed manifest. Returns the manifest dict.
+    """Export ``df`` as ``n_shards`` position-ordered shard dirs under
+    a fresh version subdirectory, then atomically flip ``_CURRENT``.
+    Returns the manifest dict.
 
     ``token_count_col``: optional precomputed per-row token count —
     included per shard so the dataloader can budget tokens, not just
     rows, without reading data.
     """
+    spark = df.sparkSession
+    version = (_versions(path) or [0])[-1] + 1
+    vname = f"v_{version:08d}"
+    vdir = os.path.join(path, vname)
+
     ordered = shuffle_order(df, id_col, n_shards, salt)
     (
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .parquet(vdir)
     )
 
+    # Manifest counts come from the files just written — the manifest
+    # must describe what the loader will read, not what the input
+    # lineage would produce if recomputed (nondeterministic upstream
+    # stages / changed source files would silently diverge).
     aggs = [F.count("*").alias("rows")]
     if token_count_col is not None:
         aggs.append(F.sum(F.col(token_count_col)).cast("long").alias("tokens"))
-    # manifest counts need only the (pure hash) shard assignment, not
-    # the positional window — a map-side-combined agg pass, no sort
-    assign = df.select(
-        F.pmod(hash_bucket(id_col, salt + ":shard"), F.lit(n_shards)).alias("shard"),
-        *( [F.col(token_count_col)] if token_count_col is not None else [] ),
-    )
-    per_shard = assign.groupBy("shard").agg(*aggs).collect()  # k rows
+    per_shard = spark.read.parquet(vdir).groupBy("shard").agg(*aggs).collect()
 
     empty = {"rows": 0, **({"tokens": 0} if token_count_col is not None else {})}
     shards = {str(s): dict(empty) for s in range(n_shards)}
@@ -79,6 +122,7 @@ def write_training_shards(
         shards[str(r["shard"])] = entry
     manifest = {
         "format": "parquet",
+        "version": version,
         "n_shards": n_shards,
         "salt": salt,
         "id_col": id_col,
@@ -88,29 +132,32 @@ def write_training_shards(
     if token_count_col is not None:
         manifest["total_tokens"] = sum(e["tokens"] for e in shards.values())
 
-    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    _atomic_write(os.path.join(vdir, MANIFEST_NAME), json.dumps(manifest, sort_keys=True))
+    _atomic_write(os.path.join(path, CURRENT_NAME), vname)
+
+    # Retention: current + (keep_versions - 1) predecessors survive so
+    # readers mid-flight on the previous export finish cleanly.
+    for old in _versions(path)[: -max(1, keep_versions)]:
+        shutil.rmtree(os.path.join(path, f"v_{old:08d}"), ignore_errors=True)
     return manifest
 
 
 def read_manifest(path: str) -> dict:
-    """Load a committed export manifest; raises FileNotFoundError for
-    an absent/incomplete export (the .tmp never counts)."""
-    with open(os.path.join(path, MANIFEST_NAME)) as f:
+    """Load the committed export manifest; raises FileNotFoundError
+    for an absent/uncommitted export (version dirs the ``_CURRENT``
+    pointer never flipped to do not count)."""
+    with open(os.path.join(_current_dir(path), MANIFEST_NAME)) as f:
         return json.load(f)
 
 
 def read_training_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
-    """One shard, position-ordered — what a dataloader worker reads.
+    """One shard of the committed export, position-ordered — what a
+    dataloader worker reads.
 
     The shard dir holds a single sorted file (the export coalesced per
     shard), so parquet row order IS position order; the sort here is a
     cheap in-memory guard in case a future writer splits files.
     """
-    return spark.read.parquet(os.path.join(path, f"shard={shard}")).sortWithinPartitions(
-        "pos"
-    )
+    return spark.read.parquet(
+        os.path.join(_current_dir(path), f"shard={shard}")
+    ).sortWithinPartitions("pos")

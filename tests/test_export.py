@@ -43,7 +43,7 @@ def test_export_manifest_matches_data(spark, tmp_path):
 
     # every shard dir holds ONE file whose row count matches the manifest
     for s in range(N_SHARDS):
-        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        files = glob.glob(f"{out}/v_00000001/shard={s}/*.parquet")
         assert len(files) == 1, files
         got = read_training_shard(spark, out, s)
         assert got.count() == manifest["shards"][str(s)]["rows"]
@@ -68,3 +68,31 @@ def test_export_is_deterministic(spark, tmp_path):
 def test_read_manifest_ignores_incomplete(tmp_path):
     with pytest.raises(FileNotFoundError):
         read_manifest(str(tmp_path / "nope"))
+    # a version dir without a committed _CURRENT pointer is invisible
+    (tmp_path / "dangling" / "v_00000001").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError):
+        read_manifest(str(tmp_path / "dangling"))
+
+
+def test_reexport_versions_and_flips_pointer(spark, tmp_path):
+    """Re-exporting to the same path never deletes the export a
+    concurrent reader is resolving: each write lands in a fresh v_<n>
+    dir and _CURRENT flips atomically after the manifest commits."""
+    docs = _docs(spark)
+    out = str(tmp_path / "export")
+    m1 = write_training_shards(docs, out, "doc", N_SHARDS)
+    assert m1["version"] == 1
+    assert (tmp_path / "export" / "_CURRENT").read_text() == "v_00000001"
+
+    m2 = write_training_shards(docs, out, "doc", N_SHARDS, salt="ep2")
+    assert m2["version"] == 2
+    assert (tmp_path / "export" / "_CURRENT").read_text() == "v_00000002"
+    # previous version retained for in-flight readers (keep_versions=2)
+    assert (tmp_path / "export" / "v_00000001" / "_MANIFEST.json").exists()
+    assert read_manifest(out) == m2
+
+    m3 = write_training_shards(docs, out, "doc", N_SHARDS, salt="ep3")
+    assert m3["version"] == 3
+    # oldest pruned, previous kept
+    assert not (tmp_path / "export" / "v_00000001").exists()
+    assert (tmp_path / "export" / "v_00000002").exists()
