@@ -219,23 +219,30 @@ def temperature_rebalance(
 
     Scale shape: one tiny group-count agg, rates derived on that
     k-row frame, broadcast back, then a pure map-side hash filter —
-    the 100 TB corpus is never shuffled. Overflow note: the rate
-    numerator is 10^4·B·w_l ≤ 10^7·N^1.5; BIGINT-safe to ~N = 10^7
-    groups-corpus, beyond that stage the product as DECIMAL(38,0).
+    the 100 TB corpus is never shuffled. Overflow: the rate numerator
+    10^4·B·w_l grows as 10^7·N^1.5 (past BIGINT around N = 4·10^7
+    corpus rows, where non-ANSI Spark would silently wrap to wrong or
+    negative rates), so the numerator/denominator are staged as
+    DECIMAL(38,0) — exact to N ≈ 10^20, and free: the product runs on
+    the k-row rate frame only.
 
     Returns one row per group:
     (``group_col``, n_docs, rate_bp, n_kept).
     """
     counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
     wall = Window.partitionBy()
+    dec = "decimal(38,0)"
     rated = (
         counts.withColumn("_w", isqrt_col(F.col("n_docs") * TEMP_W_SCALE))
         .withColumn("_s", F.sum("_w").over(wall))
         .withColumn("_n", F.sum("n_docs").over(wall))
         .withColumn("_b", F.expr(f"(_n * {budget_frac_bp}) div 10000"))
-        .withColumn("_num", F.lit(10000).cast("long") * F.col("_b") * F.col("_w"))
-        .withColumn("_den", F.col("n_docs") * F.col("_s"))
-        .withColumn("rate_bp", F.least(F.lit(10000).cast("long"), F.expr("_num div _den")))
+        .withColumn("_num", F.lit(10000).cast(dec) * F.col("_b") * F.col("_w"))
+        .withColumn("_den", F.col("n_docs").cast(dec) * F.col("_s"))
+        .withColumn(
+            "rate_bp",
+            F.least(F.lit(10000).cast("long"), F.expr("CAST(_num div _den AS BIGINT)")),
+        )
         .select(group_col, "n_docs", "rate_bp")
     )
     tagged = df.select(F.col(id_col).alias("_id"), group_col).join(

@@ -229,8 +229,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     from omfietser_etl_spark.operators.joins import enable_runtime_bloom_filters
     from omfietser_etl_spark.session import load
 
+    mutated = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    ]
+    saved = {c: spark.conf.get(c, None) for c in mutated}
     enable_runtime_bloom_filters(spark)
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     try:
         li = load(spark, SF_SMOKE, "lineitem")
@@ -243,5 +249,10 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         plan = _plan(j)
         assert "might_contain" in plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+        # restore every mutated conf to its pre-test value so other
+        # plan-shape tests in the shared session stay order-independent
+        for conf, val in saved.items():
+            if val is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, val)
