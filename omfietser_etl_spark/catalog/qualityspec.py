@@ -25,12 +25,13 @@ def _jumbo_unified(spark: SparkSession, sf: str) -> DataFrame:
     """Shared input for q2/x3: build (and persist, via split_errors)
     the jumbo unified frame once per (session, sf) — the second
     consumer reuses the materialized batch instead of re-running the
-    whole cascade. Stale entries (other sessions/SFs) are unpersisted
-    on rollover so long-lived sessions don't accumulate cached
-    batches."""
+    whole cascade. Any stale entry — another session OR the same
+    session at a different sf — is unpersisted on rollover, so a
+    long-lived session sweeping scale factors holds at most one
+    cached batch."""
     key = (id(spark), sf)
     if key not in _UNIFIED_MEMO:
-        for old_key in [k for k in _UNIFIED_MEMO if k[0] != id(spark)]:
+        for old_key in [k for k in _UNIFIED_MEMO if k != key]:
             try:
                 _UNIFIED_MEMO.pop(old_key).unpersist()
             except Exception:  # noqa: BLE001 — stale session already gone

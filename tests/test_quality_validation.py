@@ -108,3 +108,21 @@ def test_issue_severity_escalation(spark):
     esc = issue_severity_escalation(issues(_df(spark, *rows))).collect()
     got = {r.rule: r.escalated_severity for r in esc}
     assert got["valid_price"] == "medium"
+
+
+def test_unified_memo_evicts_same_session_sf_rollover(spark):
+    """A long-lived session sweeping scale factors must hold at most
+    ONE memoized unified frame: the q2/x3 memo evicts same-session
+    entries for a different sf, not just other-session entries."""
+    from omfietser_etl_spark.catalog.qualityspec import _UNIFIED_MEMO, _jumbo_unified
+
+    from .conftest import SF_SMOKE
+
+    _jumbo_unified(spark, SF_SMOKE)
+    # same data through a distinct sf-dir key = an sf rollover
+    rolled = SF_SMOKE.rstrip("/") + "/"
+    _jumbo_unified(spark, rolled)
+    assert list(_UNIFIED_MEMO) == [(id(spark), rolled)]
+    # and the memo hit path still works after the rollover
+    _jumbo_unified(spark, rolled)
+    assert len(_UNIFIED_MEMO) == 1
