@@ -57,6 +57,7 @@ def cosine_neardup_pairs(
     vec_col: str,
     threshold: float,
     block_rows: int = 4096,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embeddings pre-normalized →
     cosine = dot). Exact baseline; LSH/IVF are the recall<1 scale path.
@@ -76,18 +77,30 @@ def cosine_neardup_pairs(
     same double additions in the same order as the sequential left fold
     — numpy's pairwise/BLAS summation would not. The 4dp rounding and
     the threshold compare stay Spark-side on the raw double.
+
+    ``n_hint`` is the (approximate) corpus row count used to size the
+    blocking so no task's sim matrix exceeds block_rows². Pass it when
+    known (a count the caller already has, table stats); when omitted
+    the block count falls back to the parallelism floor alone — no
+    extra count() job, i.e. no full extra pass over the embedding
+    table — which fans out correctly but lets per-task matrices grow
+    past block_rows on corpora much larger than ~block_rows·√(4·par)
+    rows. Output pairs are identical for ANY block count; only task
+    granularity changes.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    n = src.count()
     par = spark.sparkContext.defaultParallelism
-    # B(B+1)/2 tasks ≥ ~2×cores, and blocks never exceed block_rows
-    # (bounds both the replication factor and each task's sim matrix).
+    # B(B+1)/2 tasks ≥ ~2×cores, and (given n) blocks never exceed
+    # block_rows (bounds both the replication factor and each task's
+    # sim matrix).
     b_par = max(1, int((4 * par) ** 0.5))
-    n_blocks = max(1, -(-n // block_rows), b_par)
+    n_blocks = max(1, b_par) if n_hint is None else max(
+        1, -(-n_hint // block_rows), b_par
+    )
     # Pre-round guard: keep any raw dot that could still round up past
     # the threshold (round-half-up at 4dp moves a value < 5.0001e-5).
     guard = threshold - 1e-4
