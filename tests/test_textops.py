@@ -255,3 +255,32 @@ def test_connected_components_transitive(spark):
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     # {1,2,3,4} collapse via chains; {7,9} separate
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_jaccard_hashed_shingle_path_is_equivalent(spark):
+    """hash_shingles=True shuffles 8-byte xxhash64 keys instead of
+    n-token strings; output pairs must be identical (collisions need
+    ~2^32 distinct shingles)."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plain = dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    hashed = dd.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, hash_shingles=True
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, hashed))
+    # the guard path hashes the same keys it counts/drops
+    g_plain = dd.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_df_frac=0.3
+    ).collect()
+    g_hashed = dd.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_df_frac=0.3, hash_shingles=True
+    ).collect()
+    assert sorted(map(tuple, g_plain)) == sorted(map(tuple, g_hashed))
+
+
+def test_minhash_lsh_hashed_shingle_path_is_equivalent(spark):
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plain = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    hashed = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, hash_shingles=True
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, hashed))
