@@ -350,6 +350,64 @@ FROM a
 
 
 # ---------------------------------------------------------------- #
+# ts11 — UNIMAX realization: allocation → concrete membership
+# ---------------------------------------------------------------- #
+
+
+def ts11_unimax_realized(spark: SparkSession, sf: str) -> DataFrame:
+    """The ts10 water-filling allocation materialized as an actual
+    corpus sample: per-language budgets realized by hash-rank
+    membership (allocated_sample). Gates that allocation AND
+    realization agree end-to-end — the k-row alloc frame broadcasts,
+    the corpus pays one window shuffle on the group key."""
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "lang"
+    )
+    alloc = sp.unimax_allocation(docs, "lang", TS10_BUDGET_BP).select(
+        "lang", "alloc_docs"
+    )
+    return sp.allocated_sample(docs, "doc", "lang", alloc).select(
+        "doc", "lang", F.col("pick_rank").cast("long").alias("pick_rank")
+    )
+
+
+TS11_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+r AS (SELECT lang, n_docs,
+        CAST(sum(n_docs) OVER () AS BIGINT) AS n,
+        CAST(count(*) OVER () AS BIGINT) AS k,
+        CAST(coalesce(sum(n_docs) OVER (ORDER BY n_docs, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pfx,
+        CAST(row_number() OVER (ORDER BY n_docs, lang) - 1 AS BIGINT) AS i
+      FROM c),
+f AS (SELECT *, (n * {TS10_BUDGET_BP}) // 10000 AS b,
+        (pfx + n_docs * (k - i) <= (n * {TS10_BUDGET_BP}) // 10000) AS is_capped
+      FROM r),
+l AS (SELECT *,
+        CAST(sum(CASE WHEN is_capped THEN n_docs ELSE 0 END) OVER () AS BIGINT)
+          AS taken,
+        CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m
+      FROM f),
+a AS (SELECT lang,
+        CASE WHEN is_capped THEN n_docs
+             ELSE least(n_docs,
+                        CASE WHEN m < k THEN (b - taken) // (k - m) ELSE 0 END)
+        END AS alloc
+      FROM l),
+ranked AS (
+  SELECT doc_id AS doc, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_dk_bucket('fixed', 'doc_id')}, doc_id)
+           AS pick_rank
+  FROM documents)
+SELECT doc, ranked.lang, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked JOIN a ON ranked.lang = a.lang
+WHERE pick_rank <= a.alloc
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -489,4 +547,6 @@ SPECS = [
               "deterministic exactly-n-per-group sample (eval carving)"),
     QuerySpec("ts10_unimax_budget", ts10_unimax_budget, TS10_ORACLE,
               "UNIMAX budget allocation (uniform-with-caps water-filling)"),
+    QuerySpec("ts11_unimax_realized", ts11_unimax_realized, TS11_ORACLE,
+              "UNIMAX allocation realized as hash-rank corpus membership"),
 ]

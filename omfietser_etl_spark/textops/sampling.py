@@ -173,6 +173,43 @@ def fixed_size_sample(
     )
 
 
+def allocated_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alloc: DataFrame,
+    alloc_col: str = "alloc_docs",
+    salt: str = "fixed",
+) -> DataFrame:
+    """Realize a per-group document budget (``alloc``: one row per
+    group with ``alloc_col`` = docs to take, e.g.
+    :func:`unimax_allocation`'s output) as concrete membership — the
+    variable-n generalization of :func:`fixed_size_sample`.
+
+    Rows rank within their group by the salted mixed id hash (id
+    tiebreak), so membership is a pure function of (data, salt):
+    retry-stable, engine-portable, and monotone in the allocation
+    (raising a group's budget only ADDS members — re-allocating never
+    churns the already-selected prefix).
+
+    Scale shape: the allocation frame is group-cardinality-sized →
+    broadcast; the corpus pays exactly one window shuffle on the
+    group key (same as fixed_size_sample). For extreme groups,
+    pre-filter with a generous hash_sample as described there.
+
+    Returns the input columns + ``pick_rank`` (1-based within group).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w))
+        .join(F.broadcast(alloc.select(group_col, alloc_col)), group_col)
+        .filter(F.col("pick_rank") <= F.col(alloc_col))
+        .drop(alloc_col)
+    )
+
+
 def isqrt_col(x: Column) -> Column:
     """Exact integer sqrt of a non-negative BIGINT column.
 

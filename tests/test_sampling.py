@@ -11,6 +11,7 @@ from omfietser_etl_spark.operators.joins import interval_join
 from omfietser_etl_spark.operators.sessions import session_stats, sessionize
 from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops.sampling import (
+    allocated_sample,
     fixed_size_sample,
     hash_sample,
     isqrt_col,
@@ -247,3 +248,47 @@ def test_interval_join_matches_theta_join(spark):
     # the blocked path must be an equi join, never a nested loop
     plan = binned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_allocated_sample_realizes_exact_budgets_and_is_monotone(spark):
+    """allocated_sample takes exactly min(alloc, |group|) per group,
+    agrees with fixed_size_sample on a constant allocation, and a
+    raised budget only ADDS members (re-allocation never churns the
+    selected prefix). The alloc side must broadcast."""
+    docs = _docs(spark).select("doc", "source")
+    alloc = spark.createDataFrame(
+        [("src0", 5), ("src1", 0), ("src2", 10**9)],
+        "source string, alloc_docs long",
+    )
+    out = allocated_sample(docs, "doc", "source", alloc)
+    sizes = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got.get("src0", 0) == min(5, sizes["src0"])
+    assert "src1" not in got
+    assert got.get("src2", 0) == sizes["src2"]
+
+    # constant allocation == fixed_size_sample membership
+    const = spark.createDataFrame(
+        [(s, 7) for s in sizes], "source string, alloc_docs long"
+    )
+    a = {(r.doc, r.pick_rank) for r in
+         allocated_sample(docs, "doc", "source", const).collect()}
+    f = {(r.doc, r.pick_rank) for r in
+         fixed_size_sample(docs, "doc", "source", 7).collect()}
+    assert a == f
+
+    # monotone: alloc 5 sample ⊂ alloc 9 sample per group
+    small = {r.doc for r in allocated_sample(
+        docs, "doc", "source",
+        spark.createDataFrame([(s, 5) for s in sizes],
+                              "source string, alloc_docs long")).collect()}
+    big = {r.doc for r in allocated_sample(
+        docs, "doc", "source",
+        spark.createDataFrame([(s, 9) for s in sizes],
+                              "source string, alloc_docs long")).collect()}
+    assert small <= big
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
