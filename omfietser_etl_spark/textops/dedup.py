@@ -352,6 +352,102 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    lo_col: str = "doc_lo",
+    hi_col: str = "doc_hi",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same (node, component=min reachable id) contract as
+    :func:`connected_components`, but with edge REWRITING instead of
+    label propagation: each round contracts paths toward the minimum,
+    so convergence is O(log²) rounds in the worst case vs. the plain
+    loop's O(diameter). Use when candidate-pair graphs can contain
+    long chains (transitive near-dup bridges across a corpus — e.g.
+    boilerplate gradients); for the typical short-diameter dedup
+    cluster the simple loop does fewer shuffles per round.
+
+    large-star: every node u sends its strictly-larger neighbors to
+    m = min(N(u) ∪ {u}); small-star: edges orient large→small, every
+    node u re-parents its smaller neighbors (and itself) onto their
+    min. Both are ONE window shuffle (partitionBy node, min over the
+    group rides the same exchange) + a distinct; the edge set only
+    shrinks toward the star form, and a (count, hash-xor) checksum —
+    two scalars to the driver, overflow-free in ANSI mode — detects
+    the fixed point. Final graph is a union of stars rooted at each
+    component's min id.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from ..cacheutil import release, register
+
+    release("dedup.connected_components_star")
+    edges = (
+        pairs.select(
+            F.least(F.col(lo_col), F.col(hi_col)).alias("a"),
+            F.greatest(F.col(lo_col), F.col(hi_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetrized neighborhoods; (u, v) rows carry m = min(N ∪ u)
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        w = Window.partitionBy("u")
+        with_m = sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        return (
+            with_m.filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # edges already orient a < b; group by the larger endpoint
+        w = Window.partitionBy("b")
+        with_m = e.withColumn("m", F.min("a").over(w))
+        re_parented = with_m.select(F.col("m").alias("a"), F.col("b").alias("b"))
+        siblings = with_m.select(F.col("m").alias("a"), F.col("a").alias("b"))
+        return (
+            re_parented.unionByName(siblings)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev_sum = _checksum(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+        cur_sum = _checksum(nxt)
+        edges.unpersist()
+        edges = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    register("dedup.connected_components_star", edges)
+    return (
+        edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
+        .unionByName(
+            edges.select(F.col("a").alias("node"), F.col("a").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,

@@ -284,3 +284,28 @@ def test_minhash_lsh_hashed_shingle_path_is_equivalent(spark):
         docs, "doc_id", "text", threshold=0.2, hash_shingles=True
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, hashed))
+
+
+def test_connected_components_star_long_chain_and_equivalence(spark):
+    """The star variant's raison d'etre: a diameter-200 path graph
+    collapses to one component in O(log) alternations (plain label
+    propagation needs 200 rounds — past its default max_iter). On
+    ordinary multi-component graphs both algorithms agree exactly."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_lo", "doc_hi"]
+    )
+    star = dd.connected_components_star(chain).collect()
+    assert len(star) == 201
+    assert {r.component for r in star} == {0}
+
+    # mixed graph: two chains, a triangle, an isolated pair
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]
+        + [(i, i + 1) for i in range(30, 33)]
+        + [(50, 51), (51, 52), (50, 52)]
+        + [(70, 71)]
+    )
+    pairs = spark.createDataFrame(edges, ["doc_lo", "doc_hi"])
+    a = sorted(map(tuple, dd.connected_components(pairs).collect()))
+    b = sorted(map(tuple, dd.connected_components_star(pairs).collect()))
+    assert a == b
