@@ -72,6 +72,24 @@ def dk_poly(s: str) -> str:
     )
 
 
+def dk_mix31(x: str) -> str:
+    """DuckDB twin of sampling.mix31 (same xor-shift-multiply rounds)."""
+    from omfietser_etl_spark.textops import sampling as _sp
+
+    for shift, c in zip(_sp.MIX_SHIFTS, (_sp.MIX_C1, _sp.MIX_C2)):
+        x = f"(xor({x}, ({x}) >> {shift}) * {c}) % {_sp.M31}"
+    return f"xor({x}, ({x}) >> 16)"
+
+
+def dk_bucket_expr(salt_sql: str, id_expr: str) -> str:
+    """DuckDB twin of sampling.hash_bucket where the salt is an
+    arbitrary SQL expression (e.g. a per-row sketch row index)."""
+    from omfietser_etl_spark.textops import sampling as _sp
+
+    poly = dk_poly(f"({salt_sql}) || ':' || CAST({id_expr} AS VARCHAR)")
+    return f"({dk_mix31(poly)}) % {_sp.BUCKETS}"
+
+
 def dk_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
@@ -260,6 +278,66 @@ SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
        round({dk_dot('a.embedding', 'b.embedding')}, 4) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({dk_dot('a.embedding', 'b.embedding')}, 4) >= {NEARDUP_TAU}
+"""
+
+
+EMB_DIM = 64  # embeddings table vector dimension (TESTDATA.md)
+
+
+def td16_rh_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH cosine near-dup (textops/similarity.py):
+    the sub-quadratic candidate path complementing td5's exact
+    block-pair baseline. Signatures are map-side literal-coefficient
+    folds; the candidate shuffle is (band, key) — 16 bytes per vector
+    per band regardless of dim; verification is exact, so the output
+    is the recall<1 SUBSET of td5's pairs, replayed identically by
+    the oracle (same ±1 matrix inlined as literals)."""
+    return sim.rh_neardup_pairs(
+        load(spark, sf, "embeddings"), "vec_id", "embedding", NEARDUP_TAU, EMB_DIM
+    )
+
+
+def _td16_oracle() -> str:
+    coeffs = sim.rh_coefficients(EMB_DIM)
+    # coefficient arrays hoisted into a one-row CTE: DuckDB would
+    # otherwise re-build each 64-element list literal per element
+    # access inside the fold (O(dim²) per plane per row — a 10s vs
+    # 0.5s difference at sf0.01)
+    coef_cols = ", ".join(
+        "[" + ", ".join(f"{c:.1f}" for c in coeffs[p]) + f"] AS c{p}"
+        for p in range(sim.RH_PLANES)
+    )
+
+    def proj(p: int, v: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM} + 1), "
+            f"k -> {v}[k]::DOUBLE * c{p}[k])), (x, y) -> x + y)"
+        )
+
+    def band_key(b: int, v: str) -> str:
+        parts = " + ".join(
+            f"(CASE WHEN {proj(b * sim.RH_ROWS + r, v)} >= 0.0 THEN 1 ELSE 0 END) * {1 << r}"
+            for r in range(sim.RH_ROWS)
+        )
+        return f"({parts})"
+
+    bands = ", ".join(
+        f"struct_pack(band := {b}, key := {band_key(b, 'embedding')})"
+        for b in range(sim.RH_BANDS)
+    )
+    return f"""
+WITH coef AS (SELECT {coef_cols}),
+sig0 AS (SELECT vec_id, unnest([{bands}]) AS s FROM embeddings CROSS JOIN coef),
+sig AS (SELECT vec_id, s.band AS band, s.key AS key FROM sig0),
+cand AS (SELECT DISTINCT a.vec_id AS id_lo, b.vec_id AS id_hi
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+v AS (SELECT id_lo, id_hi,
+             round({dk_dot('ea.embedding', 'eb.embedding')}, 4) AS sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.id_lo
+      JOIN embeddings eb ON eb.vec_id = cand.id_hi)
+SELECT id_lo, id_hi, sim FROM v WHERE sim >= {NEARDUP_TAU}
 """
 
 
@@ -493,6 +571,55 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df_docs, score_bp FROM (
                                ORDER BY score_bp DESC, term ASC) AS rank
   FROM s)
 WHERE rank <= {TV2_TOP_N}
+"""
+
+
+TV3_TOP = 20
+
+
+def tv3_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (textops/sketch.py): the
+    mergeable streaming-side complement to tv1's exact top-k. The
+    sketch shuffle is bounded by d·w cells per map partition — never
+    by term cardinality — and per-batch sketches merge cell-wise.
+
+    Gate shape: sketch the corpus token stream, score the exact
+    top-20 terms against it, and emit both counts plus the CMS
+    guarantee est ≥ exact. The sketch hash is the portable salted
+    mixed poly-hash, so the oracle rebuilds the identical d×w table
+    and the ESTIMATES match bit-for-bit, not just the bound."""
+    from omfietser_etl_spark.textops.sketch import cms_build, cms_estimate
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    sketch = cms_build(toks)
+    exact = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    top = exact.orderBy(F.col("tf").desc(), F.col("term")).limit(TV3_TOP)
+    est = cms_estimate(sketch, top.select("term"))
+    return top.join(est, "term").select(
+        "term",
+        "tf",
+        "est_tf",
+        (F.col("est_tf") >= F.col("tf")).alias("never_undercounts"),
+    )
+
+
+def _tv3_oracle() -> str:
+    rows = ", ".join(str(r) for r in range(4))  # CMS_DEPTH
+    col = dk_bucket_expr("'cms' || CAST(r AS VARCHAR)", "term")
+    return f"""
+WITH t AS (SELECT unnest({DK_TOKENS.format(c='text')}) AS term FROM documents),
+rs AS (SELECT unnest([{rows}]) AS r),
+cells AS (SELECT r, {col} AS col, count(*) AS cnt
+          FROM t CROSS JOIN rs GROUP BY 1, 2),
+exact AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+top AS (SELECT term, tf FROM exact ORDER BY tf DESC, term ASC LIMIT {TV3_TOP}),
+lk AS (SELECT term, tf, r, {col} AS col FROM top CROSS JOIN rs),
+est AS (SELECT lk.term, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_tf
+        FROM lk LEFT JOIN cells ON lk.r = cells.r AND lk.col = cells.col
+        GROUP BY lk.term)
+SELECT top.term, top.tf, est.est_tf, est.est_tf >= top.tf AS never_undercounts
+FROM top JOIN est ON top.term = est.term
 """
 
 
@@ -1126,6 +1253,8 @@ SPECS = [
     QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
     QuerySpec("td4_simhash", td4_simhash, _td4_oracle(), "SimHash fingerprints"),
     QuerySpec("td5_embed_neardup", td5_embed_neardup, TD5_ORACLE, "embedding cosine near-dup"),
+    QuerySpec("td16_rh_lsh_pairs", td16_rh_lsh_pairs, _td16_oracle(),
+              "random-hyperplane LSH cosine near-dup (banded candidates)"),
     QuerySpec("td6_ann_topk", td6_ann_topk, TD6_ORACLE, "brute-force cosine top-k"),
     QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
@@ -1138,6 +1267,8 @@ SPECS = [
               "int8 embedding quantization"),
     QuerySpec("tv1_top_terms", tv1_top_terms, TV1_ORACLE,
               "corpus vocabulary (top-k terms)"),
+    QuerySpec("tv3_cms_heavy_hitters", tv3_cms_heavy_hitters, _tv3_oracle(),
+              "count-min sketch heavy hitters (mergeable, bit-replayable)"),
     QuerySpec("tv2_tfidf_terms", tv2_tfidf_terms, TV2_ORACLE,
               "per-source TF-IDF distinctive terms (exact-integer score)"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,

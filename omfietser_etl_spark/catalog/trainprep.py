@@ -19,7 +19,7 @@ from omfietser_etl_spark.session import load
 from omfietser_etl_spark.textops import sampling as sp
 
 from . import QuerySpec
-from .textops import DK_NORM, DK_TOKENS, dk_poly, dk_shingles
+from .textops import DK_NORM, DK_TOKENS, dk_bucket_expr, dk_shingles
 
 #: sampling rate for ts1 (basis points of 10000).
 TS1_RATE_BP = 500
@@ -27,17 +27,9 @@ TS1_RATE_BP = 500
 TS3_CTX = 128
 
 
-def _dk_mix31(x: str) -> str:
-    """DuckDB twin of sampling.mix31 (same xor-shift-multiply rounds)."""
-    for shift, c in zip(sp.MIX_SHIFTS, (sp.MIX_C1, sp.MIX_C2)):
-        x = f"(xor({x}, ({x}) >> {shift}) * {c}) % {sp.M31}"
-    return f"xor({x}, ({x}) >> 16)"
-
-
 def _dk_bucket(salt: str, id_expr: str = "doc_id") -> str:
     """DuckDB twin of sampling.hash_bucket (same salted mixed hash)."""
-    poly = dk_poly(f"'{salt}' || ':' || CAST({id_expr} AS VARCHAR)")
-    return f"({_dk_mix31(poly)}) % {sp.BUCKETS}"
+    return dk_bucket_expr(f"'{salt}'", id_expr)
 
 
 # ---------------------------------------------------------------- #

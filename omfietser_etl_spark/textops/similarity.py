@@ -297,3 +297,110 @@ def quantize_int8(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.expr(f"CAST(floor({maxabs} * 1000000.0D) AS BIGINT)").alias("scale_e6"),
         F.expr(f"concat_ws(',', transform({q}, x -> CAST(x AS STRING)))").alias("q_csv"),
     )
+
+
+# -------------------------------------------------------------- #
+# Random-hyperplane LSH (Charikar 2002 SimHash for vectors): the
+# sub-quadratic candidate-generation path for cosine near-dup.
+# -------------------------------------------------------------- #
+
+#: signature geometry: 16 planes in 4 bands of 4 — two vectors with
+#: cosine θ collide in ≥1 band with prob 1-(1-( 1-θ_angle/π )^4)^4.
+RH_PLANES = 16
+RH_BANDS = 4
+RH_ROWS = 4
+
+
+def rh_coefficients(dim: int, planes: int = RH_PLANES) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (planes × dim), derived
+    from md5 of the (plane, k) index — a fixed public constant both
+    the Spark build and the DuckDB oracle inline as literals, so
+    signatures replay bit-for-bit. Rademacher ±1 entries give the
+    same collision-probability guarantee as Gaussian planes (Achlioptas
+    2001 database-friendly projections) and keep every product exact
+    in IEEE doubles."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"rh:{p}:{k}".encode()).digest()[0] & 1 else -1.0
+            for k in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def rh_signature_bits(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, planes: int = RH_PLANES
+) -> DataFrame:
+    """Per-vector LSH band keys: (id, band, key) rows.
+
+    One map-side pass — each plane's projection is a left-fold dot
+    against a LITERAL ±1 array (constant-folded into codegen, exact
+    double arithmetic, fold order identical to the oracle's
+    list_reduce); bit p = (proj ≥ 0); band key packs RH_ROWS bits
+    into an integer. No shuffle here; the downstream candidate join
+    shuffles (band, key) — 8+8 bytes per vector per band.
+    """
+    coeffs = rh_coefficients(dim, planes)
+    bit_exprs = []
+    for p in range(planes):
+        arr = ", ".join(f"{c:.1f}D" for c in coeffs[p])
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"CASE WHEN {proj} >= 0.0D THEN 1L ELSE 0L END")
+    band_keys = []
+    for b in range(RH_BANDS):
+        parts = " + ".join(
+            f"({bit_exprs[b * RH_ROWS + r]}) * {1 << r}L" for r in range(RH_ROWS)
+        )
+        band_keys.append(f"({parts})")
+    stacked = ", ".join(f"{b}, {band_keys[b]}" for b in range(RH_BANDS))
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"stack({RH_BANDS}, {stacked}) AS (band, key)"),
+    )
+
+
+def rh_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH banding +
+    exact verification — the recall<1 scale complement to the exact
+    block-pair `cosine_neardup_pairs` (same output columns; emits the
+    SUBSET of pairs that collide in ≥1 band).
+
+    Scale shape: signatures are map-side; candidates come from an
+    equi-join on (band, key) — the shuffle key is 16 bytes/vector/band
+    regardless of dim, vs shipping 4·dim-byte vectors to block pairs.
+    Verification joins the (candidate-bounded) pair list back to the
+    vectors and checks the exact fold dot ≥ threshold, so no false
+    positives survive; recall is the banding collision probability.
+    """
+    sig = rh_signature_bits(emb, id_col, vec_col, dim)
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_lo"), F.col("b.vid").alias("id_hi"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_lo"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_hi"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_lo")
+        .join(vb, "id_hi")
+        .withColumn("sim", F.round(F.expr(dot_expr("va", "vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_lo", "id_hi", "sim")
+    )

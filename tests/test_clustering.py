@@ -75,3 +75,30 @@ def test_semantic_dedup_is_subset_of_exact_pairs(spark):
         for r in semantic_dedup_pairs(emb, centroids, tau, probes=3).collect()
     }
     assert blocked <= probed <= exact
+
+
+def test_rh_lsh_pairs_subset_of_exact_with_reasonable_recall(spark):
+    """Random-hyperplane LSH emits a SUBSET of the exact cosine pairs
+    (verification kills every false positive); banding must keep
+    recall non-trivial at the gate threshold, and near-identical
+    vectors (sim ≥ 0.9) must always collide."""
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.textops.similarity import (
+        cosine_neardup_pairs,
+        rh_neardup_pairs,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    tau = 0.45
+    exact = {(r.id_lo, r.id_hi): r.sim
+             for r in cosine_neardup_pairs(emb, "vec_id", "embedding", tau).collect()}
+    lsh = {(r.id_lo, r.id_hi): r.sim
+           for r in rh_neardup_pairs(emb, "vec_id", "embedding", tau, 64).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)  # same verified sims
+    if exact:
+        assert len(lsh) / len(exact) > 0.2
+    high = {k for k, s in exact.items() if s >= 0.9}
+    assert high <= set(lsh)

@@ -1,0 +1,64 @@
+"""Count-min sketch properties: never-undercount, mergeability,
+bounded cell count (textops/sketch.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.session import load
+from omfietser_etl_spark.textops.analysis import tokens
+from omfietser_etl_spark.textops.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _terms(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    return docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+
+
+def test_cms_never_undercounts_any_term(spark):
+    terms = _terms(spark).select("term")
+    sketch = cms_build(terms)
+    exact = terms.groupBy("term").agg(F.count("*").alias("tf"))
+    est = cms_estimate(sketch, exact.select("term"))
+    joined = exact.join(est, "term")
+    assert joined.filter(F.col("est_tf") < F.col("tf")).count() == 0
+    # sketch is genuinely bounded: at most d*w cells
+    assert sketch.count() <= CMS_DEPTH * CMS_WIDTH
+    # total mass per row equals the stream length
+    n = terms.count()
+    per_row = sketch.groupBy("row").agg(F.sum("cnt").alias("mass")).collect()
+    assert {r.row for r in per_row} == set(range(CMS_DEPTH))
+    assert all(r.mass == n for r in per_row)
+
+
+def test_cms_merge_of_halves_equals_full_build(spark):
+    """Cell-wise merge is exact: sketch(A) + sketch(B) == sketch(A∪B)
+    — the property that makes per-batch sketches roll up in a
+    streaming state store."""
+    terms = _terms(spark)
+    a = terms.filter(F.col("doc_id") % 2 == 0).select("term")
+    b = terms.filter(F.col("doc_id") % 2 == 1).select("term")
+    merged = cms_merge(cms_build(a), cms_build(b))
+    full = cms_build(terms.select("term"))
+    diff = merged.join(full, ["row", "col"], "full").filter(
+        (merged["cnt"].isNull())
+        | (full["cnt"].isNull())
+        | (merged["cnt"] != full["cnt"])
+    )
+    assert diff.count() == 0
+
+
+def test_cms_estimate_of_absent_term_is_nonnegative_noise(spark):
+    terms = _terms(spark).select("term")
+    sketch = cms_build(terms)
+    probe = spark.createDataFrame([("zzqqxyzzy_not_in_corpus",)], ["term"])
+    est = cms_estimate(sketch, probe).collect()
+    assert len(est) == 1 and est[0].est_tf >= 0
