@@ -64,6 +64,46 @@ def x8_nb_inference(spark: SparkSession, sf: str) -> DataFrame:
     return infer_categories_nb(parts)
 
 
+#: x9 bound: the committed artifact fits 164/165 training aliases
+#: (9939 bp — one 'Tussendoortjes' alias collides); 9500 bp leaves
+#: margin while still catching a corrupted/regressed artifact.
+X9_FIT_MIN_BP = 9500
+
+
+def x9_nb_train_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-certifying fit gate for the REAL NB artifact: score the
+    public alias table the model was trained on (a repo constant, so
+    both engines know it) and emit a hash-gated boolean asserting
+    training fit ≥ 95%. Model scoring itself stays non-SQL (x8 rides
+    rows-only for the open-set inference); what the oracle certifies
+    here is that the committed artifact honors its fit contract — a
+    corrupted or regressed artifact flips fit_ok and the row goes red.
+    ``sf`` is unused: the eval set is the alias constant."""
+    from omfietser_etl_spark.operators.category import CATEGORY_ALIAS_PATTERNS
+
+    aliases = spark.createDataFrame(
+        list(CATEGORY_ALIAS_PATTERNS), "title string, true_cat string"
+    )
+    pred = infer_categories_nb(aliases)
+    return pred.agg(
+        F.count("*").cast("long").alias("n_aliases"),
+        (
+            F.sum(F.when(F.col("pred_label") == F.col("true_cat"), 1).otherwise(0))
+            * 10000
+            >= F.lit(X9_FIT_MIN_BP) * F.count("*")
+        ).alias("fit_ok"),
+    )
+
+
+def _x9_oracle() -> str:
+    from omfietser_etl_spark.operators.category import CATEGORY_ALIAS_PATTERNS
+
+    return (
+        f"SELECT CAST({len(CATEGORY_ALIAS_PATTERNS)} AS BIGINT) AS n_aliases, "
+        "TRUE AS fit_ok"
+    )
+
+
 SPECS = [
     QuerySpec(
         "x2_online_inference",
@@ -76,5 +116,11 @@ SPECS = [
         x8_nb_inference,
         None,  # real model scoring is not SQL-expressible
         "X2 with the real trained NB category model",
+    ),
+    QuerySpec(
+        "x9_nb_train_fit",
+        x9_nb_train_fit,
+        _x9_oracle(),
+        "NB artifact self-certifies its training-alias fit bound",
     ),
 ]
