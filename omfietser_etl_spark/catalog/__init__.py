@@ -99,7 +99,10 @@ def all_specs() -> list[QuerySpec]:
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in catalog"
     # Stable partition: never-driver-certified queries first (the gate
-    # samples the first 50), already-certified ones after.
+    # samples the first 50), already-certified ones after. Within the
+    # fresh set, oracle-bearing queries lead rows-only ones — sampling
+    # a rows-only query spends a slot on the weaker check.
     fresh = [s for s in specs if s.name not in _DRIVER_CERTIFIED]
+    fresh.sort(key=lambda s: s.oracle is None)
     seen = [s for s in specs if s.name in _DRIVER_CERTIFIED]
     return fresh + seen

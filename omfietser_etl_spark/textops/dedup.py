@@ -275,6 +275,13 @@ def drop_incomplete(df, required=("unified_id", "shop_type", "title")):
     return df.filter(cond)
 
 
+#: truncate iterative-loop lineage every N rounds: short loops (the
+#: common dedup case) never pay the checkpoint, long ones keep the
+#: logical plan bounded at N rounds deep instead of chaining all of
+#: them into one driver-heap-exploding tree.
+CC_CHECKPOINT_EVERY = 8
+
+
 def connected_components(
     pairs: DataFrame,
     lo_col: str = "doc_lo",
@@ -304,6 +311,16 @@ def connected_components(
     a tagged union row instead of a second join back onto the labels
     frame: min over (neighbor labels ∪ own label) is the new label,
     and the own-label row doubles as the change detector.
+
+    Rounds persist as usual, but every CC_CHECKPOINT_EVERY rounds the
+    labels frame ``localCheckpoint``s to truncate lineage — a
+    cache-only iterative loop chains EVERY previous round into one
+    logical plan and eventually blows the driver heap on Catalyst
+    planning/tree rendering. Typical near-dup graphs converge before
+    the first checkpoint, so the common path pays nothing; long
+    chains get a plan bounded at CC_CHECKPOINT_EVERY rounds deep
+    (see connected_components_star for the reliable-checkpoint
+    escape hatch).
     """
     from pyspark import StorageLevel
 
@@ -324,20 +341,20 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         contrib = (
             edges.join(labels, edges["b"] == labels["node"])
             .select(edges["a"].alias("node"), "label", F.lit(False).alias("own"))
             .unionByName(labels.withColumn("own", F.lit(True)))
         )
-        agg = (
-            contrib.groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        agg = contrib.groupBy("node").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
         )
+        if (i + 1) % CC_CHECKPOINT_EVERY == 0:
+            agg = agg.localCheckpoint()
+        else:
+            agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
         changed = agg.filter(F.col("label") < F.col("_old")).count()
         labels.unpersist()
         labels = agg.drop("_old")
@@ -378,6 +395,14 @@ def connected_components_star(
     two scalars to the driver, overflow-free in ANSI mode — detects
     the fixed point. Final graph is a union of stars rooted at each
     component's min id.
+
+    Rounds persist, with a lineage-truncating ``localCheckpoint``
+    every few alternations (star rounds stack two windows + distinct
+    + union each, so the plan tree deepens fast — a cache-only loop
+    blew the driver heap on Catalyst tree rendering in testing). The
+    checkpoint is executor-local; for multi-hour production runs
+    where executor loss must be survivable, swap in ``checkpoint()``
+    with a reliable dir — same contract.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -428,8 +453,13 @@ def connected_components_star(
         )
 
     prev_sum = _checksum(edges)
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+    star_every = max(1, CC_CHECKPOINT_EVERY // 2)  # deeper per-round plans
+    for i in range(max_iter):
+        nxt = _small_star(_large_star(edges))
+        if (i + 1) % star_every == 0:
+            nxt = nxt.localCheckpoint()
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         cur_sum = _checksum(nxt)
         edges.unpersist()
         edges = nxt
