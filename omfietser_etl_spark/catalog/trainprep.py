@@ -400,6 +400,82 @@ WHERE pick_rank <= a.alloc
 
 
 # ---------------------------------------------------------------- #
+# ts12 — token-budget UNIMAX: allocation AND membership in tokens
+# ---------------------------------------------------------------- #
+
+TS12_BUDGET_BP = 6000
+#: DuckDB twin of analysis.ws_token_count (same split-on-whitespace).
+_DK_NTOK = (
+    "CAST(len(list_filter(string_split_regex({c}, '\\s+'), x -> x <> ''))"
+    " AS BIGINT)"
+)
+
+
+def ts12_token_unimax_realized(spark: SparkSession, sf: str) -> DataFrame:
+    """UNIMAX with the budget denominated in TOKENS — the real-world
+    shape (training budgets are token counts; a doc-count allocation
+    over-serves short-document groups). Water-filling runs on the
+    per-language token masses (same exact BIGINT closed form);
+    realization keeps each group's hash-ranked docs while the running
+    token total stays within its allocation, so the sample never
+    exceeds the budget. One window shuffle on the group key; the
+    k-row allocation broadcasts."""
+    from omfietser_etl_spark.textops.analysis import ws_token_count
+
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "lang", ws_token_count("text").alias("n_tok")
+    )
+    alloc = sp.unimax_allocation(
+        docs, "lang", TS12_BUDGET_BP, weight_col="n_tok"
+    ).select("lang", F.col("alloc_docs").alias("alloc_tokens"))
+    kept = sp.budget_weighted_sample(docs, "doc", "lang", "n_tok", alloc,
+                                     alloc_col="alloc_tokens")
+    return kept.select(
+        "doc", "lang", F.col("n_tok").cast("long").alias("n_tok"), "cum_weight"
+    )
+
+
+def _ts12_oracle() -> str:
+    ntok = _DK_NTOK.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id AS doc, lang, {ntok} AS n_tok FROM documents),
+c AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_docs FROM d GROUP BY lang),
+r AS (SELECT lang, n_docs,
+        CAST(sum(n_docs) OVER () AS BIGINT) AS n,
+        CAST(count(*) OVER () AS BIGINT) AS k,
+        CAST(coalesce(sum(n_docs) OVER (ORDER BY n_docs, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pfx,
+        CAST(row_number() OVER (ORDER BY n_docs, lang) - 1 AS BIGINT) AS i
+      FROM c),
+f AS (SELECT *, (n * {TS12_BUDGET_BP}) // 10000 AS b,
+        (pfx + n_docs * (k - i) <= (n * {TS12_BUDGET_BP}) // 10000) AS is_capped
+      FROM r),
+l AS (SELECT *,
+        CAST(sum(CASE WHEN is_capped THEN n_docs ELSE 0 END) OVER () AS BIGINT)
+          AS taken,
+        CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m
+      FROM f),
+a AS (SELECT lang,
+        CASE WHEN is_capped THEN n_docs
+             ELSE least(n_docs,
+                        CASE WHEN m < k THEN (b - taken) // (k - m) ELSE 0 END)
+        END AS alloc_tokens
+      FROM l),
+ranked AS (
+  SELECT doc, d.lang AS lang, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY d.lang
+               ORDER BY {_dk_bucket('fixed', 'doc')}, doc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_weight
+  FROM d)
+SELECT doc, ranked.lang, n_tok, cum_weight
+FROM ranked JOIN a ON ranked.lang = a.lang
+WHERE cum_weight <= a.alloc_tokens
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -541,4 +617,7 @@ SPECS = [
               "UNIMAX budget allocation (uniform-with-caps water-filling)"),
     QuerySpec("ts11_unimax_realized", ts11_unimax_realized, TS11_ORACLE,
               "UNIMAX allocation realized as hash-rank corpus membership"),
+    QuerySpec("ts12_token_unimax_realized", ts12_token_unimax_realized,
+              _ts12_oracle(),
+              "token-denominated UNIMAX: allocation + cumulative-sum membership"),
 ]

@@ -210,6 +210,41 @@ def allocated_sample(
     )
 
 
+def budget_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    alloc: DataFrame,
+    alloc_col: str = "alloc_weight",
+    salt: str = "fixed",
+) -> DataFrame:
+    """Realize a per-group WEIGHT budget (e.g. a token-denominated
+    UNIMAX allocation): rows rank within their group by the salted
+    mixed id hash and are kept while the running weight total stays
+    within the group's budget — membership never exceeds the budget
+    (the remainder left unused is smaller than one document).
+
+    Same determinism contract as :func:`allocated_sample` (pure
+    function of data+salt, retry-stable, monotone in the budget), and
+    the same scale shape: broadcast k-row allocation, ONE window
+    shuffle on the group key (the rank and the running sum ride the
+    same sort).
+
+    Returns the input columns + ``cum_weight`` (inclusive running
+    total within the group).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("cum_weight", F.sum(weight_col).over(w).cast("long"))
+        .join(F.broadcast(alloc.select(group_col, alloc_col)), group_col)
+        .filter(F.col("cum_weight") <= F.col(alloc_col))
+        .drop(alloc_col)
+    )
+
+
 def isqrt_col(x: Column) -> Column:
     """Exact integer sqrt of a non-negative BIGINT column.
 
@@ -303,6 +338,7 @@ def unimax_allocation(
     df: DataFrame,
     group_col: str,
     budget_frac_bp: int = 8000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """UNIMAX-style budget allocation (Chung et al. 2023): spread a
     document budget UNIFORMLY across groups, capping each group at
@@ -323,9 +359,22 @@ def unimax_allocation(
     n_per_group=alloc)`` per group — a pure map-side+window pass over
     the corpus.
 
-    Returns (``group_col``, n_docs, is_capped, alloc_docs, rate_bp).
+    ``weight_col``: budget in WEIGHT units instead of documents (the
+    real-world case — training budgets are token counts, and a
+    doc-count allocation over-serves groups of short documents). The
+    water-filling math is identical on the per-group weight masses;
+    realize a weighted allocation with :func:`budget_weighted_sample`
+    (cumulative-sum membership) rather than fixed_size_sample.
+
+    Returns (``group_col``, n_docs, is_capped, alloc_docs, rate_bp)
+    — with a weight_col, the n_docs/alloc_docs columns carry weight
+    units (alias them at the call site).
     """
-    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    mass = (
+        F.count("*") if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
+    counts = df.groupBy(group_col).agg(mass.alias("n_docs"))
     w_ord = Window.orderBy("n_docs", group_col)
     w_all = Window.partitionBy()
     ranked = (

@@ -292,3 +292,49 @@ def test_allocated_sample_realizes_exact_budgets_and_is_monotone(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_budget_weighted_sample_respects_and_fills_budget(spark):
+    """Token-budget realization: per group the kept running total
+    never exceeds the allocation, the unused remainder is smaller
+    than one more document (the budget is FILLED, not just bounded),
+    and a raised budget only adds members."""
+    from omfietser_etl_spark.textops.sampling import budget_weighted_sample
+
+    docs = _docs(spark).select(
+        "doc", "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok"),
+    )
+    sizes = {r.source: r.total for r in
+             docs.groupBy("source").agg(F.sum("n_tok").alias("total")).collect()}
+    alloc = spark.createDataFrame(
+        [(s, int(t * 0.4)) for s, t in sizes.items()],
+        "source string, alloc_weight long",
+    )
+    kept = budget_weighted_sample(docs, "doc", "source", "n_tok", alloc)
+    stats = {r.source: r for r in kept.groupBy("source").agg(
+        F.max("cum_weight").alias("used"), F.count("*").alias("n")
+    ).collect()}
+    # next unkept doc per group (rank = n+1 in hash order) would overflow
+    from omfietser_etl_spark.textops.sampling import hash_bucket
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(hash_bucket("doc", "fixed"), F.col("doc"))
+    ranked = docs.withColumn("rk", F.row_number().over(w)).collect()
+    by_src: dict = {}
+    for r in sorted(ranked, key=lambda r: (r.source, r.rk)):
+        by_src.setdefault(r.source, []).append(r.n_tok)
+    for s, budget in ((s, int(t * 0.4)) for s, t in sizes.items()):
+        used = stats[s].used if s in stats else 0
+        n = stats[s].n if s in stats else 0
+        assert used <= budget
+        if n < len(by_src[s]):  # a doc was left out → it must not fit
+            assert used + by_src[s][n] > budget
+
+    bigger = spark.createDataFrame(
+        [(s, int(t * 0.7)) for s, t in sizes.items()],
+        "source string, alloc_weight long",
+    )
+    small_set = {r.doc for r in kept.collect()}
+    big_set = {r.doc for r in budget_weighted_sample(
+        docs, "doc", "source", "n_tok", bigger).collect()}
+    assert small_set <= big_set
