@@ -256,3 +256,42 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(conf)
             else:
                 spark.conf.set(conf, val)
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark):
+    """The sketch (≤ d·w cells) must reach candidates as a broadcast
+    — shuffling the corpus-side lookup against a 40k-row table would
+    be backwards at 100 TB."""
+    import re
+
+    from omfietser_etl_spark.catalog.textops import tv3_cms_heavy_hitters
+
+    plan = _plan(tv3_cms_heavy_hitters(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "BroadcastHashJoin" in nodes
+
+
+def test_rh_lsh_candidate_join_is_hash_equi_join(spark):
+    """The (band, key) candidate join must plan as a hash/merge EQUI
+    join — a nested-loop here would be the all-pairs scan LSH exists
+    to avoid."""
+    from omfietser_etl_spark.catalog.textops import td16_rh_lsh_pairs
+
+    plan = _plan(td16_rh_lsh_pairs(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts12_token_budget_plan_shape(spark):
+    """Token-budget realization: the k-row allocation reaches the
+    corpus as a broadcast — never a sort-merge join (the allocation
+    side's own single-partition windows run on the k-row frame only,
+    so they are allowed)."""
+    import re
+
+    from omfietser_etl_spark.catalog.trainprep import ts12_token_unimax_realized
+
+    plan = _plan(ts12_token_unimax_realized(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
