@@ -35,16 +35,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: calibration query: a parquet scan + pushed filter — plan-trivial,
-#: IO-bound, code never changes round to round.
-SENTINEL = "s1_scan_pushdown"
-#: best-window END-of-run sentinel median on the round-4 bench host
-#: (sf0.1, local[32]). host_factor uses only the END sentinel: every
-#: bench reaches it through the identical full-catalog workload, so
-#: it is a well-defined, cross-run-comparable machine state (the
-#: fresh-session START sentinel runs ~1.5-2x slower — JIT not yet
-#: fully warm — and is recorded for diagnostics only).
-SENTINEL_REF = 0.19
+#: calibration queries with best-window END-of-run reference medians
+#: (sf0.1, local[32], measured round 4). Two axes because shared-host
+#: contention is not uniform: an IO-bound scan can read near-reference
+#: while CPU-heavy queries run 2x slow (observed round 4 — an
+#: interleaved A/B of r3-vs-r4 code showed identical timings while
+#: the same queries ran 2x faster in an r3-era window). s1 = parquet
+#: scan + pushed filter (IO axis); ta4 = codegen polynomial
+#: fingerprint over documents (CPU axis). host_factor = mean of the
+#: per-sentinel end/ref ratios; END only, because every run reaches
+#: it through the identical full-catalog workload (the fresh-session
+#: START sentinel runs ~1.5-2x slower — JIT warm-up — and is
+#: recorded for diagnostics only).
+SENTINELS = {"s1_scan_pushdown": 0.19, "ta4_fingerprint": 0.50}
 SENTINEL_REPS = 5
 
 
@@ -96,7 +99,9 @@ def main() -> None:
     # plan, not session startup.
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    sentinel_start = _sentinel_median(qs[SENTINEL], spark, sf_dir)
+    sentinel_start = {
+        name: _sentinel_median(qs[name], spark, sf_dir) for name in SENTINELS
+    }
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
@@ -104,8 +109,16 @@ def main() -> None:
         runs = [_time_query(build, spark, sf_dir) for _ in range(reps)]
         timings[name] = round(statistics.median(runs), 3)
 
-    sentinel_end = _sentinel_median(qs[SENTINEL], spark, sf_dir)
-    host_factor = round(max(0.25, sentinel_end / SENTINEL_REF), 3)
+    sentinel_end = {
+        name: _sentinel_median(qs[name], spark, sf_dir) for name in SENTINELS
+    }
+    host_factor = round(
+        max(
+            0.25,
+            statistics.mean(sentinel_end[n] / ref for n, ref in SENTINELS.items()),
+        ),
+        3,
+    )
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -116,8 +129,7 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "sentinel": {
-            "query": SENTINEL,
-            "ref": SENTINEL_REF,
+            "refs": SENTINELS,
             "start": sentinel_start,
             "end": sentinel_end,
         },
