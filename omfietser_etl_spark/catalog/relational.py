@@ -605,6 +605,48 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+#: a21 rank tolerance: percentile_approx at accuracy 1000 bounds rank
+#: error to ~0.1%; the ±2% quantile band asserted below is 20× that.
+A21_PS = (0.5, 0.9, 0.99)
+A21_EPS = 0.02
+
+
+def a21_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles (the KLL/GK-sketch scale path for A15's
+    exact bands — one pass, mergeable, no sort), self-certifying like
+    a13: each estimate must land inside the ±2% exact quantile band
+    computed in the same aggregate. The estimates themselves are
+    engine-specific (DuckDB's sketch differs), so the hash-gated
+    columns are the group key, the exact row count, and the
+    per-percentile booleans — a sketch that violates its rank-error
+    contract turns the row red."""
+    li = load(spark, sf, "lineitem")
+    los = ", ".join(f"{max(0.0, p - A21_EPS)}D" for p in A21_PS)
+    his = ", ".join(f"{min(1.0, p + A21_EPS)}D" for p in A21_PS)
+    ps = ", ".join(f"{p}D" for p in A21_PS)
+    g = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile_approx(l_extendedprice, array({ps}), 1000)").alias("_ap"),
+        F.expr(f"percentile(l_extendedprice, array({los}))").alias("_lo"),
+        F.expr(f"percentile(l_extendedprice, array({his}))").alias("_hi"),
+        F.count("*").alias("n_rows"),
+    )
+    checks = [
+        (
+            (F.col("_ap")[i] >= F.col("_lo")[i])
+            & (F.col("_ap")[i] <= F.col("_hi")[i])
+        ).alias(f"p{int(p * 100)}_ok")
+        for i, p in enumerate(A21_PS)
+    ]
+    return g.select("l_returnflag", "n_rows", *checks)
+
+
+A21_ORACLE = """
+SELECT l_returnflag, count(*) AS n_rows,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # Sorts / top-k / pagination (SURVEY §2.11)
 # --------------------------------------------------------------------------
@@ -1152,6 +1194,8 @@ SPECS = [
     QuerySpec("a13_distinct_parts", a13_distinct_parts, A13_ORACLE, "A13 exact distinct"),
     QuerySpec("a13_approx_distinct", a13_approx_distinct, A13_APPROX_ORACLE,
               "A13 approx distinct, self-certified within 5×rsd of exact"),
+    QuerySpec("a21_approx_percentile", a21_approx_percentile, A21_ORACLE,
+              "approx percentile sketch, self-certified inside ±2% rank bands"),
     QuerySpec("o1_pagination", o1_pagination, O1_ORACLE, "O1 pagination"),
     QuerySpec("o7_topk_per_group", o7_topk_per_group, O7_ORACLE, "O7 top-k per group"),
     QuerySpec("o4_argmax_per_group", o4_argmax_per_group, O4_ORACLE, "O4 argmax"),

@@ -476,6 +476,43 @@ WHERE cum_weight <= a.alloc_tokens
 
 
 # ---------------------------------------------------------------- #
+# ts13 — token-balanced shard assignment (snake allocation)
+# ---------------------------------------------------------------- #
+
+TS13_SHARDS = 8
+
+
+def ts13_token_balanced_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataloader workers step in sync on TOKEN mass, not doc count —
+    ts5's count-equal shards leave long-doc shards straggling. Snake
+    allocation over the (tokens desc, id) ranking balances token mass
+    per shard deterministically; only the 16-byte/doc (id, n_tok)
+    projection is ever sorted."""
+    from omfietser_etl_spark.textops.analysis import ws_token_count
+
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), ws_token_count("text").alias("n_tok")
+    )
+    return sp.token_balanced_shards(docs, "doc", "n_tok", TS13_SHARDS)
+
+
+def _ts13_oracle() -> str:
+    ntok = _DK_NTOK.format(c="text")
+    s = TS13_SHARDS
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {ntok} AS n_tok FROM documents),
+r AS (SELECT doc, n_tok,
+        CAST(row_number() OVER (ORDER BY n_tok DESC, doc) AS BIGINT) AS rank
+      FROM d)
+SELECT doc, n_tok, rank,
+       CAST(CASE WHEN ((rank - 1) // {s}) % 2 = 0
+                 THEN (rank - 1) % {s}
+                 ELSE {s - 1} - ((rank - 1) % {s}) END AS BIGINT) AS shard
+FROM r
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -620,4 +657,7 @@ SPECS = [
     QuerySpec("ts12_token_unimax_realized", ts12_token_unimax_realized,
               _ts12_oracle(),
               "token-denominated UNIMAX: allocation + cumulative-sum membership"),
+    QuerySpec("ts13_token_balanced_shards", ts13_token_balanced_shards,
+              _ts13_oracle(),
+              "token-balanced shard assignment (snake over tokens-desc rank)"),
 ]

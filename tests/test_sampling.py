@@ -338,3 +338,30 @@ def test_budget_weighted_sample_respects_and_fills_budget(spark):
     big_set = {r.doc for r in budget_weighted_sample(
         docs, "doc", "source", "n_tok", bigger).collect()}
     assert small_set <= big_set
+
+
+def test_token_balanced_shards_balance_and_covering(spark):
+    """Snake allocation: every doc gets exactly one shard, shard doc
+    counts differ by ≤1, and token masses are far tighter than the
+    count-equal shuffle_order baseline (within one max-doc of the
+    mean by the LPT-style bound)."""
+    from omfietser_etl_spark.textops.sampling import token_balanced_shards
+
+    docs = _docs(spark).select(
+        "doc", F.size(F.split("text", r"\s+")).cast("long").alias("n_tok")
+    )
+    s = 8
+    out = token_balanced_shards(docs, "doc", "n_tok", s)
+    assert out.count() == docs.count()
+    per = {r.shard: (r.n, r.mass) for r in out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("mass")).collect()}
+    assert set(per) == set(range(s))
+    counts = [v[0] for v in per.values()]
+    assert max(counts) - min(counts) <= 1
+    masses = [v[1] for v in per.values()]
+    max_doc = docs.agg(F.max("n_tok")).first()[0]
+    assert max(masses) - min(masses) <= 2 * max_doc
+    # deterministic
+    again = {(r.doc, r.shard) for r in token_balanced_shards(
+        docs, "doc", "n_tok", s).collect()}
+    assert {(r.doc, r.shard) for r in out.collect()} == again
