@@ -62,3 +62,58 @@ def test_cms_estimate_of_absent_term_is_nonnegative_noise(spark):
     probe = spark.createDataFrame([("zzqqxyzzy_not_in_corpus",)], ["term"])
     est = cms_estimate(sketch, probe).collect()
     assert len(est) == 1 and est[0].est_tf >= 0
+
+
+def test_cms_streaming_merge_matches_batch(spark, tmp_path):
+    """The sketch as a streaming-state citizen: documents arrive in
+    micro-batches (maxFilesPerTrigger=1), each batch's sketch merges
+    into the persisted state via foreachBatch, and the final state is
+    cell-identical to sketching the whole corpus in one batch — the
+    property that lets a 100 TB stream keep heavy-hitter counts
+    without ever re-shuffling history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.textops.analysis import tokens
+
+    from .conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(src)
+
+    state_dir = str(tmp_path / "sketch_state")
+
+    def handle(batch, epoch_id):
+        terms = batch.select(F.explode(tokens("text")).alias("term"))
+        sk = cms_build(terms)
+        if os.path.exists(state_dir):
+            sk = cms_merge(spark.read.parquet(state_dir), sk)
+        # the sketch is ≤ d·w rows by construction — pin it in memory
+        # before overwriting the path it was read from
+        rows = sk.collect()
+        spark.createDataFrame(rows, sk.schema).write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = {(r.row, r.col): r.cnt for r in spark.read.parquet(state_dir).collect()}
+    full = {
+        (r.row, r.col): r.cnt
+        for r in cms_build(
+            docs.select(F.explode(tokens("text")).alias("term"))
+        ).collect()
+    }
+    assert merged == full
