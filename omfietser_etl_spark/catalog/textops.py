@@ -729,6 +729,35 @@ FROM pg GROUP BY doc
 """
 
 
+def ta8_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style statistical fluency screen in exact integers
+    (textops/analysis.py::bigram_fluency): per-doc floor-average of
+    bigram conditional frequencies under the corpus's own model."""
+    from omfietser_etl_spark.textops.analysis import bigram_fluency
+
+    return bigram_fluency(load(spark, sf, "documents"), "doc_id", "text")
+
+
+TA8_ORACLE = f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c='text')} AS t FROM documents),
+b0 AS (SELECT doc, unnest(CASE WHEN len(t) >= 2 THEN
+          [struct_pack(w1 := t[i], w2 := t[i + 1]) for i in range(1, len(t))]
+          ELSE [] END) AS s FROM d),
+bb AS (SELECT doc, s.w1 AS w1, s.w2 AS w2 FROM b0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+sc AS (SELECT doc, (10000 * c2.c2) // c1.c1 AS p_bp
+       FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+pd AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(p_bp) // count(*) AS BIGINT) AS fluency_bp
+       FROM sc GROUP BY doc)
+SELECT d.doc,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(fluency_bp, 0) AS BIGINT) AS fluency_bp
+FROM d LEFT JOIN pd ON d.doc = pd.doc
+"""
+
+
 def ta6_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
     """Markup stripping gated end to end: deterministic HTML wrapping
     (tags + entities + script/style/comment noise) is synthesized
@@ -1277,6 +1306,8 @@ SPECS = [
               "repeated n-gram (Gopher) signals"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
+    QuerySpec("ta8_bigram_fluency", ta8_bigram_fluency, TA8_ORACLE,
+              "CCNet-style bigram LM fluency score (exact integers)"),
     QuerySpec("td11_line_dedup", td11_line_dedup, TD11_ORACLE,
               "corpus-wide line-level dedup (C4 boilerplate rule)"),
     QuerySpec("td14_substring_dedup", td14_substring_dedup, TD14_ORACLE,

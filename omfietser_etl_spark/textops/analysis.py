@@ -150,3 +150,57 @@ def lang_id(text_col: str, tokens_col: str) -> Column:
                 cond = cond & (scores[lang] >= scores[other])
         chain = chain.when(cond, F.lit(lang))
     return chain.otherwise(F.lit("und"))
+
+
+def bigram_fluency(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style statistical fluency screen (Wenzek et al. 2020
+    filter web text by KenLM perplexity; this is the exact-integer
+    analogue): each document is scored by how predictable its token
+    stream is under the corpus's OWN bigram model — per-bigram
+    conditional frequency 10000·c(w1,w2) div c(w1·) in basis points,
+    floor-averaged per document. Typical prose scores high; gibberish,
+    shuffled word salad, and tokens glued from unrelated corpora
+    score low. All integer arithmetic → bit-replayable by the oracle
+    (a float log-prob LM never is).
+
+    Scale shape: one explode to the bigram stream, two term-keyed
+    hash aggs (model estimation — shuffle bounded by vocab², itself
+    corpus-bounded), two equi-joins back onto the stream keyed on the
+    same terms (the c2 join can reuse the c2 shuffle partitioning),
+    then a doc-keyed agg. No floats, no UDFs, no driver collect; at
+    100 TB the bigram model is a table, not a broadcast.
+
+    Returns (doc, n_bigrams, fluency_bp); docs with < 2 tokens score
+    (0, 0).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    pairs = (
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
+        "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+    )
+    bi = toks.select("doc", F.explode(F.expr(pairs)).alias("b")).select(
+        "doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .withColumn("p_bp", F.expr("(10000 * c2) div c1"))
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("sum(p_bp) div count(*)").cast("long").alias("fluency_bp"),
+    )
+    return (
+        toks.select("doc")
+        .join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("fluency_bp", F.lit(0)).cast("long").alias("fluency_bp"),
+        )
+    )

@@ -309,3 +309,24 @@ def test_connected_components_star_long_chain_and_equivalence(spark):
     a = sorted(map(tuple, dd.connected_components(pairs).collect()))
     b = sorted(map(tuple, dd.connected_components_star(pairs).collect()))
     assert a == b
+
+
+def test_bigram_fluency_ranks_predictable_text_above_gibberish(spark):
+    """The corpus-model fluency screen: a document made of the
+    corpus's dominant pattern scores near 10000 bp; one gluing the
+    same tokens in never-repeated orders scores low; short docs score
+    (0, 0)."""
+    from omfietser_etl_spark.textops.analysis import bigram_fluency
+
+    common = "the cat sat on the mat"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(8)]
+        + [(100, "mat the on sat cat on mat sat")]  # same vocab, rare bigrams
+        + [(200, "word")],  # single token → no bigrams
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in bigram_fluency(df, "doc_id", "text").collect()}
+    assert out[0].fluency_bp == out[7].fluency_bp  # deterministic
+    assert out[0].fluency_bp > out[100].fluency_bp
+    assert out[0].fluency_bp > 5000
+    assert (out[200].n_bigrams, out[200].fluency_bp) == (0, 0)
