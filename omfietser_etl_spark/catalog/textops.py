@@ -228,6 +228,62 @@ def _td3_oracle() -> str:
 
 
 # ---------------------------------------------------------------- #
+# td17 — incremental dedup: new batch vs corpus signature state
+# ---------------------------------------------------------------- #
+
+TD17_MOD = 3  # doc_id % 3 == 0 → the arriving batch; else corpus state
+
+
+def td17_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-shaped dedup: a new batch checked against the
+    stored MinHash signature table of the existing corpus — per-batch
+    cost O(batch + collisions), never O(corpus); old×old pairs are
+    excluded by construction. Pairs carry the integer signature-
+    agreement Jaccard estimate, so no old raw text is ever read."""
+    docs = load(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % TD17_MOD == 0)
+    state = docs.filter(F.col("doc_id") % TD17_MOD != 0)
+    state_sigs = dd.minhash_signatures(state, "doc_id", "text")
+    return dd.incremental_lsh_pairs(new, state_sigs, "doc_id", "text")
+
+
+def _td17_oracle() -> str:
+    n_hashes = len(MINHASH_A)
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MOD}) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc, src, {b} AS band_id, concat_ws('_', {cols}) AS key FROM tagged".format(
+            b=b, cols=", ".join(f"mh{b * ROWS + r}" for r in range(ROWS))
+        )
+        for b in range(BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return (
+        _DOCS_CTE
+        + f", hh AS (SELECT doc, {dk_poly('s')} AS h FROM sh)"
+        + f", sig AS (SELECT doc, {mins} FROM hh GROUP BY doc)"
+        + f", tagged AS (SELECT *, CASE WHEN doc % {TD17_MOD} = 0 THEN 'new'"
+        " ELSE 'old' END AS src FROM sig)"
+        + f", bands AS ({bands})"
+        + ", cand AS (SELECT DISTINCT a.doc AS doc_lo, b.doc AS doc_hi,"
+        " CASE WHEN a.src = 'new' AND b.src = 'new' THEN 'new-new'"
+        " ELSE 'new-old' END AS pair_origin"
+        " FROM bands a JOIN bands b ON a.band_id = b.band_id"
+        " AND a.key = b.key AND a.doc < b.doc"
+        " AND NOT (a.src = 'old' AND b.src = 'old'))"
+        + f" SELECT doc_lo, doc_hi, pair_origin,"
+        f" CAST((10000 * ({matches})) // {n_hashes} AS BIGINT) AS est_bp"
+        " FROM cand JOIN tagged sa ON sa.doc = cand.doc_lo"
+        " JOIN tagged sb ON sb.doc = cand.doc_hi"
+    )
+
+
+# ---------------------------------------------------------------- #
 # td4 — SimHash fingerprints
 # ---------------------------------------------------------------- #
 
@@ -1280,6 +1336,8 @@ SPECS = [
         "Jaccard near-dup with degenerate-shingle DF guard",
     ),
     QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
+    QuerySpec("td17_incremental_dedup", td17_incremental_dedup, _td17_oracle(),
+              "incremental dedup: new batch vs stored signature state"),
     QuerySpec("td4_simhash", td4_simhash, _td4_oracle(), "SimHash fingerprints"),
     QuerySpec("td5_embed_neardup", td5_embed_neardup, TD5_ORACLE, "embedding cosine near-dup"),
     QuerySpec("td16_rh_lsh_pairs", td16_rh_lsh_pairs, _td16_oracle(),

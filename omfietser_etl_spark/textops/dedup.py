@@ -568,3 +568,86 @@ def substring_dedup(
             F.coalesce("dup_span_cnt", F.lit(0)).cast("long").alias("dup_span_cnt"),
         )
     )
+
+
+def minhash_estimate_bp(n_hashes: int = len(MINHASH_A)) -> "F.Column":
+    """Signature-agreement Jaccard estimate in basis points: the
+    fraction of matching MinHash components is an unbiased estimator
+    of the true Jaccard (the classic MinHash property) — exact
+    integer arithmetic over already-joined a/b signature columns."""
+    matches = " + ".join(
+        f"(CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return F.expr(f"(10000 * ({matches})) div {n_hashes}")
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    state_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus WITHOUT touching
+    the old raw text: the corpus state is its MinHash signature table
+    (built once per batch by :func:`minhash_signatures` and
+    appended). Candidates come from LSH banding over new∪state
+    signatures with old×old pairs excluded — those were found when
+    their batches arrived and are never recomputed — and every pair
+    carries the signature-agreement Jaccard estimate (exact integer
+    bp, no raw-text verification join needed at candidate time).
+
+    This is the production shape of corpus-scale dedup: per-batch
+    cost is O(batch signatures + collisions), not O(corpus). Scale:
+    the candidate join shuffles 16-byte band keys; store the state
+    signature table bucketed by band key and the new side's bands
+    partition-prune it.
+
+    Returns (doc_lo, doc_hi, pair_origin ∈ {'new-new', 'new-old'},
+    est_bp).
+    """
+    n_hashes = len(MINHASH_A)
+    new_sigs = minhash_signatures(new_df, id_col, text_col).withColumn(
+        "_src", F.lit("new")
+    )
+    sigs = new_sigs.unionByName(state_sigs.withColumn("_src", F.lit("old")))
+
+    band_exprs = []
+    for b in range(BANDS):
+        cols = ", ".join(f"mh{b * ROWS + r}" for r in range(ROWS))
+        band_exprs.append(f"{b}, concat_ws('_', {cols})")
+    stacked = sigs.select(
+        "doc", "_src",
+        F.expr(f"stack({BANDS}, {', '.join(band_exprs)}) AS (band_id, key)"),
+    )
+    cand = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & ~((F.col("a._src") == "old") & (F.col("b._src") == "old")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_lo"),
+            F.col("b.doc").alias("doc_hi"),
+            F.when(
+                (F.col("a._src") == "new") & (F.col("b._src") == "new"), "new-new"
+            ).otherwise("new-old").alias("pair_origin"),
+        )
+        .distinct()
+    )
+    a_side = sigs.select(
+        F.col("doc").alias("doc_lo"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(n_hashes)],
+    )
+    b_side = sigs.select(
+        F.col("doc").alias("doc_hi"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(n_hashes)],
+    )
+    return (
+        cand.join(a_side, "doc_lo")
+        .join(b_side, "doc_hi")
+        .select("doc_lo", "doc_hi", "pair_origin",
+                minhash_estimate_bp(n_hashes).cast("long").alias("est_bp"))
+    )

@@ -330,3 +330,29 @@ def test_bigram_fluency_ranks_predictable_text_above_gibberish(spark):
     assert out[0].fluency_bp > out[100].fluency_bp
     assert out[0].fluency_bp > 5000
     assert (out[200].n_bigrams, out[200].fluency_bp) == (0, 0)
+
+
+def test_incremental_lsh_pairs_excludes_old_old_and_estimates(spark):
+    """Batch-vs-state dedup: identical text across the boundary is a
+    'new-old' pair at est 10000 bp; identical docs inside the batch
+    are 'new-new'; identical docs wholly inside the STATE never
+    surface (their batches already found them)."""
+    text_a = "one two three four five six seven eight nine ten"
+    text_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    state = spark.createDataFrame(
+        [(10, text_a), (20, text_b), (21, text_b)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, "unrelated words only here present")],
+        ["doc_id", "text"],
+    )
+    state_sigs = dd.minhash_signatures(state, "doc_id", "text")
+    pairs = {
+        (r.doc_lo, r.doc_hi): (r.pair_origin, r.est_bp)
+        for r in dd.incremental_lsh_pairs(batch, state_sigs, "doc_id", "text").collect()
+    }
+    assert pairs[(1, 2)] == ("new-new", 10000)
+    assert pairs[(1, 10)] == ("new-old", 10000)
+    assert pairs[(2, 10)] == ("new-old", 10000)
+    assert (20, 21) not in pairs  # old×old excluded by construction
+    assert not any(3 in p for p in pairs)  # dissimilar doc pairs with nothing
