@@ -661,16 +661,35 @@ def tv3_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _tv3_oracle() -> str:
-    rows = ", ".join(str(r) for r in range(4))  # CMS_DEPTH
-    col = dk_bucket_expr("'cms' || CAST(r AS VARCHAR)", "term")
+    from omfietser_etl_spark.textops.sketch import (
+        CMS_DEPTH,
+        CMS_H2_XOR,
+        CMS_WIDTH,
+    )
+
+    rows = ", ".join(str(r) for r in range(CMS_DEPTH))
+    # Kirsch–Mitzenmacher twin of sketch._cell_hashes: hash each term
+    # once (staged CTE), derive the d columns by integer double
+    # hashing — same reason as the Spark side (the char fold must not
+    # run per row-index) and the same per-element-lambda caveat that
+    # bit the td16 oracle.
+    hashes = (
+        f"SELECT term, ({dk_mix31('p')}) AS h1, "
+        f"({dk_mix31(f'xor(p, {CMS_H2_XOR})')}) AS h2"
+    )
     return f"""
 WITH t AS (SELECT unnest({DK_TOKENS.format(c='text')}) AS term FROM documents),
 rs AS (SELECT unnest([{rows}]) AS r),
-cells AS (SELECT r, {col} AS col, count(*) AS cnt
-          FROM t CROSS JOIN rs GROUP BY 1, 2),
+hp AS (SELECT term, {dk_poly('term')} AS p FROM t),
+hh AS ({hashes} FROM hp),
+cells AS (SELECT r, (h1 + r * h2) % {CMS_WIDTH} AS col, count(*) AS cnt
+          FROM hh CROSS JOIN rs GROUP BY 1, 2),
 exact AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
 top AS (SELECT term, tf FROM exact ORDER BY tf DESC, term ASC LIMIT {TV3_TOP}),
-lk AS (SELECT term, tf, r, {col} AS col FROM top CROSS JOIN rs),
+tp AS (SELECT term, tf, {dk_poly('term')} AS p FROM top),
+th AS ({hashes.replace('SELECT term,', 'SELECT term, tf,')} FROM tp),
+lk AS (SELECT term, tf, r, (h1 + r * h2) % {CMS_WIDTH} AS col
+       FROM th CROSS JOIN rs),
 est AS (SELECT lk.term, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_tf
         FROM lk LEFT JOIN cells ON lk.r = cells.r AND lk.col = cells.col
         GROUP BY lk.term)

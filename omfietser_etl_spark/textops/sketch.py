@@ -34,18 +34,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import BUCKETS, hash_bucket
+from .constants import CHAR_SEED, MOD
+from .sampling import BUCKETS, M31, MIX_C1, MIX_C2, MIX_SHIFTS
 
 #: sketch depth (independent hash rows). With w = BUCKETS = 10 000,
 #: overcount ≤ e/10000 ≈ 0.03% of the stream per row, δ = e^-4 ≈ 2%.
 CMS_DEPTH = 4
 #: sketch width — reuses the sampler bucket space so the portable
-#: salted mixed hash (and its DuckDB twin) indexes columns directly.
+#: mixed poly-hash (and its DuckDB twin) indexes columns directly.
 CMS_WIDTH = BUCKETS
+#: xor constant deriving the second hash for double hashing.
+CMS_H2_XOR = 0x5BD1E995
+
+
+def _mix_sql(x: str) -> str:
+    """SQL-text twin of sampling.mix31 (same xor-shift-multiply)."""
+    for shift, c in zip(MIX_SHIFTS, (MIX_C1, MIX_C2)):
+        x = f"pmod(({x} ^ shiftright({x}, {shift})) * {c}, {M31})"
+    return f"({x} ^ shiftright({x}, 16))"
 
 
 def _cell_hashes(term_col: str) -> F.Column:
-    return F.array(*[hash_bucket(term_col, f"cms{r}") for r in range(CMS_DEPTH)])
+    """d column indexes from ONE char-level fold per term.
+
+    Kirsch–Mitzenmacher double hashing: g_r = (h1 + r·h2) mod w with
+    h1 = mix31(poly(t)), h2 = mix31(poly(t) xor C) — the standard
+    bloom/CMS construction that preserves the error guarantees while
+    hashing the string once.
+
+    The fold result is LET-BOUND through single-element ``transform``
+    lambdas (`transform(array(fold), p -> ...)`) so every downstream
+    reference reads the lambda VARIABLE. Building the same thing from
+    Column objects duplicates the fold subtree at every reference
+    (mix31 alone expands its argument 8×, and CollapseProject undoes
+    any staging projection), which made the naive build ~30× slower —
+    per-token cost must be a handful of integer ops, not 8-64 string
+    folds.
+    """
+    fold = (
+        f"aggregate(split({term_col}, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD})"
+    )
+    cells = ", ".join(
+        f"CAST(pmod(hh.h1 + {r} * hh.h2, {CMS_WIDTH}) AS INT)"
+        for r in range(CMS_DEPTH)
+    )
+    return F.expr(
+        f"transform(array({fold}), p -> "
+        f"transform(array(named_struct("
+        f"'h1', {_mix_sql('p')}, 'h2', {_mix_sql(f'(p ^ {CMS_H2_XOR})')})), "
+        f"hh -> array({cells}))[0])[0]"
+    )
 
 
 def cms_build(terms: DataFrame, term_col: str = "term") -> DataFrame:
