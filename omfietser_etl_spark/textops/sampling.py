@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .analysis import poly_hash, ws_token_count
+from .constants import CHAR_SEED, MOD
 
 #: hash-bucket space for sampling rates (basis points: 10000 = 100%).
 BUCKETS = 10_000
@@ -52,6 +53,15 @@ def mix31(x: Column) -> Column:
     return x.bitwiseXOR(F.shiftright(x, 16))
 
 
+def mix_sql(x: str) -> str:
+    """SQL-text twin of :func:`mix31` — for call sites that must
+    reference the mixed value through a lambda-bound VARIABLE (see
+    hash_bucket below) rather than a Column tree."""
+    for shift, c in zip(MIX_SHIFTS, (MIX_C1, MIX_C2)):
+        x = f"pmod(({x} ^ shiftright({x}, {shift})) * {c}, {M31})"
+    return f"({x} ^ shiftright({x}, 16))"
+
+
 def hash_bucket(id_col: str, salt: str) -> Column:
     """Deterministic bucket in [0, BUCKETS) from a salted, mixed id
     hash.
@@ -59,9 +69,24 @@ def hash_bucket(id_col: str, salt: str) -> Column:
     The salt decouples independent decisions (sample vs split vs
     shard) made from the same id: each salt is an independent hash
     function over the same key.
+
+    The char-level fold is LET-BOUND through a single-element
+    ``transform`` lambda so the mixer's 8 structural references to it
+    read a variable instead of re-evaluating the fold — building this
+    from Column objects costs 8 string folds per row (mix31 expands
+    its argument at every reference, and CollapseProject inlines any
+    staging projection; measured ~7× slowdown on the CMS sketch
+    before the same fix). The value is bit-identical to
+    ``pmod(mix31(poly_hash(salted)), BUCKETS)`` — every DuckDB twin
+    is unaffected.
     """
-    salted = f"concat('{salt}', ':', cast({id_col} as string))"
-    return F.pmod(mix31(poly_hash(salted)), F.lit(BUCKETS))
+    fold = (
+        f"aggregate(split(concat('{salt}', ':', cast({id_col} as string)), ''), "
+        f"CAST({CHAR_SEED} AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % {MOD})"
+    )
+    return F.expr(
+        f"transform(array({fold}), p -> pmod({mix_sql('p')}, {BUCKETS}))[0]"
+    )
 
 
 def hash_sample(df: DataFrame, id_col: str, rate_bp: int, salt: str = "sample") -> DataFrame:

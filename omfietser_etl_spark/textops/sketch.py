@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .constants import CHAR_SEED, MOD
-from .sampling import BUCKETS, M31, MIX_C1, MIX_C2, MIX_SHIFTS
+from .sampling import BUCKETS, mix_sql
 
 #: sketch depth (independent hash rows). With w = BUCKETS = 10 000,
 #: overcount ≤ e/10000 ≈ 0.03% of the stream per row, δ = e^-4 ≈ 2%.
@@ -45,13 +45,6 @@ CMS_DEPTH = 4
 CMS_WIDTH = BUCKETS
 #: xor constant deriving the second hash for double hashing.
 CMS_H2_XOR = 0x5BD1E995
-
-
-def _mix_sql(x: str) -> str:
-    """SQL-text twin of sampling.mix31 (same xor-shift-multiply)."""
-    for shift, c in zip(MIX_SHIFTS, (MIX_C1, MIX_C2)):
-        x = f"pmod(({x} ^ shiftright({x}, {shift})) * {c}, {M31})"
-    return f"({x} ^ shiftright({x}, 16))"
 
 
 def _cell_hashes(term_col: str) -> F.Column:
@@ -82,7 +75,7 @@ def _cell_hashes(term_col: str) -> F.Column:
     return F.expr(
         f"transform(array({fold}), p -> "
         f"transform(array(named_struct("
-        f"'h1', {_mix_sql('p')}, 'h2', {_mix_sql(f'(p ^ {CMS_H2_XOR})')})), "
+        f"'h1', {mix_sql('p')}, 'h2', {mix_sql(f'(p ^ {CMS_H2_XOR})')})), "
         f"hh -> array({cells}))[0])[0]"
     )
 
