@@ -780,6 +780,84 @@ FROM sz LEFT JOIN ht ON sz.doc = ht.doc
 )
 
 
+TD18_BP = 2000
+
+
+def td18_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-bounded decontamination (textops/sketch.py): same
+    semantics as td9 except the eval shingle set is a Bloom filter —
+    the path when the benchmark suite's shingle set outgrows an exact
+    broadcast set (the filter is a fixed m bits however many shingles
+    it absorbs; false positives only ever OVER-flag, never leak a
+    contaminated doc). Fully deterministic, so the oracle replays the
+    filter bit for bit — including its false positives."""
+    from omfietser_etl_spark.textops.dedup import doc_shingles
+    from omfietser_etl_spark.textops.sketch import bloom_build, bloom_hits
+
+    docs = load(spark, sf, "documents")
+    ev_sh = doc_shingles(
+        docs.filter(F.col("source") == EVAL_SOURCE), "doc_id", "text"
+    ).select("s").distinct()
+    bloom = bloom_build(ev_sh, "s")
+    tr_sh = doc_shingles(
+        docs.filter(F.col("source") != EVAL_SOURCE), "doc_id", "text"
+    )
+    per_doc = (
+        bloom_hits(tr_sh, "s", bloom)
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return per_doc.select(
+        "doc", "n_sh", "n_hit",
+        F.expr("(10000 * n_hit) div n_sh").alias("contam_bp"),
+        F.expr(f"(10000 * n_hit) div n_sh >= {TD18_BP}").alias("flagged"),
+    )
+
+
+def _td18_oracle() -> str:
+    from omfietser_etl_spark.textops.sketch import BLOOM_K, BLOOM_M, CMS_H2_XOR
+
+    rows = ", ".join(str(r) for r in range(BLOOM_K))
+    hashes = (
+        f"SELECT s, ({dk_mix31('p')}) AS h1, "
+        f"({dk_mix31(f'xor(p, {CMS_H2_XOR})')}) AS h2"
+    )
+    base = _DOCS_CTE.replace(
+        "WITH d AS (SELECT doc_id AS doc, ",
+        "WITH d AS (SELECT doc_id AS doc, source, ",
+    ).replace(
+        "sh AS (SELECT doc, unnest(",
+        "sh AS (SELECT doc, source, unnest(",
+    )
+    return base + f"""
+, rs AS (SELECT unnest([{rows}]) AS r)
+, ev AS (SELECT DISTINCT s FROM sh WHERE source = '{EVAL_SOURCE}')
+, evp AS (SELECT s, {dk_poly('s')} AS p FROM ev)
+, evh AS ({hashes} FROM evp)
+, bloom AS (SELECT DISTINCT (h1 + r * h2) % {BLOOM_M} AS pos
+            FROM evh CROSS JOIN rs)
+, tr AS (SELECT doc, s FROM sh WHERE source <> '{EVAL_SOURCE}')
+, ds AS (SELECT DISTINCT s FROM tr)
+, dsp AS (SELECT s, {dk_poly('s')} AS p FROM ds)
+, dsh AS ({hashes} FROM dsp)
+, pr AS (SELECT s, (h1 + r * h2) % {BLOOM_M} AS pos FROM dsh CROSS JOIN rs)
+, mc AS (SELECT pr.s AS s, count(bloom.pos) = {BLOOM_K} AS might
+         FROM pr LEFT JOIN bloom USING (pos) GROUP BY pr.s)
+, ag AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_sh,
+                CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM tr JOIN mc ON tr.s = mc.s GROUP BY doc)
+SELECT doc, n_sh, n_hit,
+       (10000 * n_hit) // n_sh AS contam_bp,
+       (10000 * n_hit) // n_sh >= {TD18_BP} AS flagged
+FROM ag
+"""
+
+
 def ta5_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate / top 2-gram
     fractions per doc, exact integers end to end."""
@@ -1369,6 +1447,8 @@ SPECS = [
               "SemDeDup cluster-blocked cosine near-dup pairs"),
     QuerySpec("td9_contamination", td9_contamination, TD9_ORACLE,
               "benchmark decontamination check"),
+    QuerySpec("td18_bloom_decontam", td18_bloom_decontam, _td18_oracle(),
+              "Bloom-bounded decontamination (fixed-memory eval set)"),
     QuerySpec("td10_quantize", td10_quantize, TD10_ORACLE,
               "int8 embedding quantization"),
     QuerySpec("tv1_top_terms", tv1_top_terms, TV1_ORACLE,

@@ -47,8 +47,8 @@ CMS_WIDTH = BUCKETS
 CMS_H2_XOR = 0x5BD1E995
 
 
-def _cell_hashes(term_col: str) -> F.Column:
-    """d column indexes from ONE char-level fold per term.
+def km_cells(key_col: str, depth: int, width: int) -> F.Column:
+    """``depth`` hash cells in [0, width) from ONE char-level fold.
 
     Kirsch–Mitzenmacher double hashing: g_r = (h1 + r·h2) mod w with
     h1 = mix31(poly(t)), h2 = mix31(poly(t) xor C) — the standard
@@ -61,16 +61,15 @@ def _cell_hashes(term_col: str) -> F.Column:
     Column objects duplicates the fold subtree at every reference
     (mix31 alone expands its argument 8×, and CollapseProject undoes
     any staging projection), which made the naive build ~30× slower —
-    per-token cost must be a handful of integer ops, not 8-64 string
+    per-key cost must be a handful of integer ops, not 8-64 string
     folds.
     """
     fold = (
-        f"aggregate(split({term_col}, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"aggregate(split({key_col}, ''), CAST({CHAR_SEED} AS BIGINT), "
         f"(a, c) -> (a * 31 + ascii(c)) % {MOD})"
     )
     cells = ", ".join(
-        f"CAST(pmod(hh.h1 + {r} * hh.h2, {CMS_WIDTH}) AS INT)"
-        for r in range(CMS_DEPTH)
+        f"CAST(pmod(hh.h1 + {r} * hh.h2, {width}) AS INT)" for r in range(depth)
     )
     return F.expr(
         f"transform(array({fold}), p -> "
@@ -78,6 +77,10 @@ def _cell_hashes(term_col: str) -> F.Column:
         f"'h1', {mix_sql('p')}, 'h2', {mix_sql(f'(p ^ {CMS_H2_XOR})')})), "
         f"hh -> array({cells}))[0])[0]"
     )
+
+
+def _cell_hashes(term_col: str) -> F.Column:
+    return km_cells(term_col, CMS_DEPTH, CMS_WIDTH)
 
 
 def cms_build(terms: DataFrame, term_col: str = "term") -> DataFrame:
@@ -116,3 +119,67 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_tf"))
     )
+
+
+# -------------------------------------------------------------- #
+# Bloom filter: the MEMBERSHIP sibling of the count sketch — used
+# where exact broadcast sets outgrow executor memory (e.g. the
+# decontamination shingle set of a very large benchmark suite).
+# -------------------------------------------------------------- #
+
+#: bloom geometry: k hashes over m bits. At n = m·ln2/k keys the
+#: false-positive rate is ~(1/2)^k ≈ 6% (k=4); size m to ~2.9 bits
+#: per expected key per point of 2^-k target.
+BLOOM_K = 4
+BLOOM_M = 1 << 17
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of SET BIT positions —
+    at most min(k·|keys|, m) rows after one distinct. Representing
+    the bitset relationally keeps it engine-portable (the DuckDB
+    oracle replays it row for row), mergeable (union+distinct ORs
+    two filters), and broadcastable (≤ m rows ≈ a few MB)."""
+    return (
+        keys.select(F.posexplode(km_cells(key_col, k, m)).alias("_r", "pos"))
+        .select("pos")
+        .distinct()
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Bitwise OR of filters with the same (k, m): union + distinct."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def bloom_hits(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Per-row membership test: a key "might be present" iff ALL k of
+    its bit positions are set. Adds ``might_contain`` (boolean; false
+    negatives impossible, false-positive rate set by the geometry).
+
+    Scale shape: probing runs over DISTINCT keys (repeats get their
+    verdict by the join-back), the bloom broadcasts, and the probe is
+    explode(k cells) → broadcast join → key-keyed count."""
+    keys = df.select(F.col(key_col).alias("_key")).distinct()
+    probes = keys.select(
+        "_key", F.posexplode(km_cells("_key", k, m)).alias("_r", "pos")
+    )
+    hits = (
+        probes.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy("_key")
+        .agg((F.count(F.col("_set")) == k).alias("might_contain"))
+    )
+    return df.join(hits, df[key_col] == hits["_key"]).drop("_key")

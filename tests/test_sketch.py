@@ -117,3 +117,47 @@ def test_cms_streaming_merge_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert merged == full
+
+
+def test_bloom_no_false_negatives_and_merge_is_or(spark):
+    """Every inserted key must test present (false negatives are
+    impossible by construction); merging two filters equals building
+    one over the union; probing is deterministic."""
+    from omfietser_etl_spark.textops.sketch import (
+        bloom_build,
+        bloom_hits,
+        bloom_merge,
+    )
+
+    terms = _terms(spark).select("term").distinct()
+    a = terms.filter(F.length("term") % 2 == 0)
+    b = terms.filter(F.length("term") % 2 == 1)
+    bloom_a = bloom_build(a, "term")
+
+    probed = bloom_hits(terms, "term", bloom_a)
+    # no false negatives: every a-key present
+    assert probed.join(a, "term", "semi").filter(~F.col("might_contain")).count() == 0
+
+    merged = {r.pos for r in bloom_merge(bloom_a, bloom_build(b, "term")).collect()}
+    full = {r.pos for r in bloom_build(terms, "term").collect()}
+    assert merged == full
+
+
+def test_bloom_decontam_superset_of_exact(spark):
+    """The bloom path may over-flag (false positives) but never
+    under-flags: per doc, td18's hit count ≥ td9's exact hit count,
+    and every exactly-contaminated doc stays flagged."""
+    from omfietser_etl_spark.catalog.textops import (
+        td18_bloom_decontam,
+        td9_contamination,
+    )
+
+    from .conftest import SF_SMOKE
+
+    exact = {r.doc: r for r in td9_contamination(spark, SF_SMOKE).collect()}
+    bloom = {r.doc: r for r in td18_bloom_decontam(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(bloom)
+    for doc, e in exact.items():
+        assert bloom[doc].n_hit >= e.n_hit
+        if e.is_contaminated:
+            assert bloom[doc].flagged
