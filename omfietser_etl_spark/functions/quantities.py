@@ -210,23 +210,36 @@ def with_standardized_quantity_staged(
     form: a containment-fold miss evaluates `contains` against a
     staged string column instead of re-evaluating the clean_unit regex
     chain per alias element (~30× on miss-heavy data)."""
+    from ..exprcache import column_memo
+
     cl, nu, u, a = (f"__{out_col}_{s}" for s in ("cl", "nu", "u", "a"))
+
+    # the clean/normalize/standardize trees are thousands of Py4J
+    # calls over fixed staged-column names — build once per process
+    def build() -> dict:
+        code = F.when(
+            F.col(u).isNull() | (F.col(u) == ""), F.lit("stuk")
+        ).otherwise(_normalize_cleaned(F.col(cl)))
+        cat = F.coalesce(F.element_at(_category_map(), F.col(nu)), F.lit("piece"))
+        res = F.struct(
+            cat.alias("category"),
+            F.coalesce(F.element_at(_to_base_map(), F.col(nu)), F.lit(1.0)).alias(
+                "to_base"
+            ),
+            F.element_at(_divisor_map(), cat).alias("divisor"),
+            F.element_at(_ref_unit_map(), cat).alias("std_unit"),
+        )
+        return {
+            "cl": clean_unit(F.col(u)),
+            "code": code,
+            "out": standardize_resolved(F.col(a), F.col(u), res),
+        }
+
+    exprs = column_memo(("d2_staged", out_col), build)
     staged = df.withColumns({u: unit, a: amount})
-    staged = staged.withColumn(cl, clean_unit(F.col(u)))
-    code = F.when(
-        F.col(u).isNull() | (F.col(u) == ""), F.lit("stuk")
-    ).otherwise(_normalize_cleaned(F.col(cl)))
-    staged = staged.withColumn(nu, code)
-    cat = F.coalesce(F.element_at(_category_map(), F.col(nu)), F.lit("piece"))
-    res = F.struct(
-        cat.alias("category"),
-        F.coalesce(F.element_at(_to_base_map(), F.col(nu)), F.lit(1.0)).alias("to_base"),
-        F.element_at(_divisor_map(), cat).alias("divisor"),
-        F.element_at(_ref_unit_map(), cat).alias("std_unit"),
-    )
-    out = staged.withColumn(
-        out_col, standardize_resolved(F.col(a), F.col(u), res)
-    )
+    staged = staged.withColumn(cl, exprs["cl"])
+    staged = staged.withColumn(nu, exprs["code"])
+    out = staged.withColumn(out_col, exprs["out"])
     return out.drop(cl, nu, u, a)
 
 

@@ -118,6 +118,18 @@ def _structured_discount_agg(labels: Column, orig: Column, raw_cur: Column) -> C
 
 def transform(raw: DataFrame) -> DataFrame:
     """P1 projection to pre-template unified columns."""
+    from ..exprcache import column_memo
+
+    exprs = column_memo(("ah_transform",), _transform_exprs)
+    df = raw.withColumn("_sd", exprs["sd"])
+    df = df.withColumn("_transform_err", exprs["err"])
+    df = df.withColumns(exprs["stage"])
+    return df.select(*exprs["final"])
+
+
+def _transform_exprs() -> dict:
+    """All transform expressions over the fixed AH schema — built
+    once per process (exprcache)."""
     labels = F.col("discountLabels")
     orig = F.coalesce(F.col("priceBeforeBonus"), F.lit(0.0))
     raw_cur = F.col("currentPrice")
@@ -134,7 +146,7 @@ def transform(raw: DataFrame) -> DataFrame:
         )
     )
 
-    df = raw.withColumn("_sd", _structured_discount_agg(labels, orig, raw_cur))
+    sd_expr = _structured_discount_agg(labels, orig, raw_cur)
     sd_found = F.col("_sd.found") & is_promo & (F.size(F.coalesce(labels, F.array())) > 0)
     sd_eff = F.col("_sd.eff")
 
@@ -151,8 +163,6 @@ def transform(raw: DataFrame) -> DataFrame:
             F.lit("no_valid_price"),
         )
     )
-    df = df.withColumn("_transform_err", err)
-
     base_cur = F.when(_truthy(raw_cur), raw_cur).otherwise(orig)
     promo_cur = F.when(sd_found & sd_eff.isNotNull(), sd_eff).otherwise(base_cur)
     cur = F.when(is_promo, promo_cur).otherwise(base_cur)
@@ -163,7 +173,7 @@ def transform(raw: DataFrame) -> DataFrame:
 
     # Stage the multiply-referenced quantity struct / current price as
     # real columns (keeps per-output-column codegen small).
-    df = df.withColumns({"_q": qty_struct(sus), "_cur": cur})
+    stage = {"_q": qty_struct(sus), "_cur": cur}
     q, cur = F.col("_q"), F.col("_cur")
 
     widest = F.aggregate(
@@ -201,7 +211,7 @@ def transform(raw: DataFrame) -> DataFrame:
 
     disc_ok = is_promo & (orig > 0) & (cur < orig)
 
-    return df.select(
+    final = [
         F.col("webshopId").cast("string").alias("unified_id"),
         F.lit("AH").alias("shop_type"),
         F.col("title").alias("title"),
@@ -239,7 +249,8 @@ def transform(raw: DataFrame) -> DataFrame:
         F.when(disc_ok, (orig - cur) / orig * 100.0).alias("discount_percentage"),
         (F.col("orderAvailabilityStatus") == "IN_ASSORTMENT").alias("is_active"),
         F.col("_transform_err"),
-    )
+    ]
+    return {"sd": sd_expr, "err": err, "stage": stage, "final": final}
 
 
 def pipeline(

@@ -57,6 +57,17 @@ def _parse_price(raw_price: Column, formatted: Column) -> Column:
 
 
 def transform(raw: DataFrame, run_date: str = DEFAULT_RUN_DATE) -> DataFrame:
+    from ..exprcache import column_memo
+
+    exprs = column_memo(("aldi_transform", run_date), lambda: _transform_exprs(run_date))
+    staged = raw.withColumns(exprs["stage1"])
+    staged = staged.withColumn("_cur", exprs["cur"])
+    return staged.select(*exprs["final"])
+
+
+def _transform_exprs(run_date: str) -> dict:
+    """All transform expressions over the fixed ALDI schema — built
+    once per (process, run_date) via exprcache."""
     price = _parse_price(F.col("price"), F.col("priceFormatted"))
     old_raw = F.col("oldPrice")
     orig = F.when(old_raw.isNotNull(), js_parse_float(old_raw)).otherwise(price)
@@ -159,35 +170,30 @@ def transform(raw: DataFrame, run_date: str = DEFAULT_RUN_DATE) -> DataFrame:
     # CollapseProject does NOT inline one copy of the (large) unit/
     # promo-parser trees per consuming output column — keeps generated
     # code small enough for a default-heap driver.
-    staged = raw.withColumns(
-        {
-            "_orig": orig,
-            "_mech": mech,
-            "_is_promo": is_promo,
-            "_promo_type": promo_type,
-            "_start": start_date,
-            "_end": end_date,
-            "_initial_cat": initial_cat,
-            "_q_amount": q_amount,
-            "_q_unit": q_unit,
-            "_unit_price": unit_price,
-            "_unit_price_unit": unit_price_unit,
-        }
-    )
+    stage1 = {
+        "_orig": orig,
+        "_mech": mech,
+        "_is_promo": is_promo,
+        "_promo_type": promo_type,
+        "_start": start_date,
+        "_end": end_date,
+        "_initial_cat": initial_cat,
+        "_q_amount": q_amount,
+        "_q_unit": q_unit,
+        "_unit_price": unit_price,
+        "_unit_price_unit": unit_price_unit,
+    }
     o, m = F.col("_orig"), F.col("_mech")
     parsed_eff = parse_promotion_mechanism(m, o, o)["effective_unit_price"]
-    staged = staged.withColumn(
-        "_cur",
-        F.when(
-            (m != "") & parsed_eff.isNotNull() & (parsed_eff != 0), parsed_eff
-        ).otherwise(o),
-    )
+    cur_expr = F.when(
+        (m != "") & parsed_eff.isNotNull() & (parsed_eff != 0), parsed_eff
+    ).otherwise(o)
 
     cur = F.col("_cur")
     q_amount, q_unit = F.col("_q_amount"), F.col("_q_unit")
     disc_ok = (cur < o) & (o > 0)
 
-    return staged.select(
+    final = [
         F.col("articleNumber").alias("unified_id"),
         F.lit("ALDI").alias("shop_type"),
         F.col("title").alias("title"),
@@ -231,7 +237,8 @@ def transform(raw: DataFrame, run_date: str = DEFAULT_RUN_DATE) -> DataFrame:
             ~F.col("isNotAvailable").eqNullSafe(F.lit(True))
             & ~F.col("isSoldOut").eqNullSafe(F.lit(True))
         ).alias("is_active"),
-    )
+    ]
+    return {"stage1": stage1, "cur": cur_expr, "final": final}
 
 
 def pipeline(

@@ -53,26 +53,36 @@ def qty_struct(text: Column) -> Column:
 
 def apply_template_defaults(df: DataFrame) -> DataFrame:
     """Fill the template defaults over whatever the transform set
-    (ref: unified-product-template.ts:161-219) — one withColumns call."""
-    s = {c: js_or(F.col(c).cast("string"), d) for c, d in {
-        "unified_id": "",
-        "shop_type": "",
-        "title": "",
-        "brand": "",
-        "image_url": "",
-        "sales_unit_size": "",
-        "quantity_unit": "",
-        "promotion_type": "none",
-        "promotion_mechanism": "none",
-    }.items()}
-    # main_category: `|| null` — empty string becomes null
-    s["main_category"] = F.nullif(F.col("main_category"), F.lit(""))
-    s["quantity_amount"] = js_or_num(F.col("quantity_amount").cast("double"), 0.0)
-    s["price_before_bonus"] = js_or_num(F.col("price_before_bonus").cast("double"), 0.0)
-    s["current_price"] = js_or_num(F.col("current_price").cast("double"), 0.0)
-    s["is_promotion"] = F.coalesce(F.col("is_promotion").cast("boolean"), F.lit(False))
-    s["is_active"] = F.coalesce(F.col("is_active").cast("boolean"), F.lit(True))
-    return df.withColumns(s)
+    (ref: unified-product-template.ts:161-219) — one withColumns call
+    over a process-memoized expression dict (fixed column names)."""
+    from ..exprcache import column_memo
+
+    def build() -> dict:
+        s = {c: js_or(F.col(c).cast("string"), d) for c, d in {
+            "unified_id": "",
+            "shop_type": "",
+            "title": "",
+            "brand": "",
+            "image_url": "",
+            "sales_unit_size": "",
+            "quantity_unit": "",
+            "promotion_type": "none",
+            "promotion_mechanism": "none",
+        }.items()}
+        # main_category: `|| null` — empty string becomes null
+        s["main_category"] = F.nullif(F.col("main_category"), F.lit(""))
+        s["quantity_amount"] = js_or_num(F.col("quantity_amount").cast("double"), 0.0)
+        s["price_before_bonus"] = js_or_num(
+            F.col("price_before_bonus").cast("double"), 0.0
+        )
+        s["current_price"] = js_or_num(F.col("current_price").cast("double"), 0.0)
+        s["is_promotion"] = F.coalesce(
+            F.col("is_promotion").cast("boolean"), F.lit(False)
+        )
+        s["is_active"] = F.coalesce(F.col("is_active").cast("boolean"), F.lit(True))
+        return s
+
+    return df.withColumns(column_memo(("template_defaults",), build))
 
 
 def apply_calculate_fields(df: DataFrame) -> DataFrame:
@@ -89,13 +99,9 @@ def apply_calculate_fields(df: DataFrame) -> DataFrame:
     Two select passes: first materializes the heavy intermediate
     structs once, second fans them out into the unified columns.
     """
-    mech = F.col("promotion_mechanism")
-    applicable = F.col("is_promotion") & mech.isNotNull() & (mech != "")
-    parsed = F.when(
-        F.col("shop_type") == "AH", structured_discount(F.col("current_price"))
-    ).otherwise(
-        parse_promotion_mechanism(mech, F.col("price_before_bonus"), F.col("current_price"))
-    )
+    from ..exprcache import column_memo
+    from ..functions.promotions import standard_parsed_promo
+
     # _q via the staged-column cascade: bounds the ~150-alias
     # containment fold's worst case (an alias-map miss re-evaluates
     # the cleaned-string regex chain per element in the naive inline
@@ -103,23 +109,27 @@ def apply_calculate_fields(df: DataFrame) -> DataFrame:
     # join variant's second pass over the expensive upstream transform
     # lineage. Catalog-side fact queries use the join form
     # (with_standardized_quantity); composed pipelines use this one.
-    step1 = df.withColumns({"_pp": F.when(applicable, parsed)})
+    # All exprs reference fixed unified column names → built once per
+    # process (exprcache) — the naive rebuild is ~4000 Py4J calls.
+    step1 = df.withColumns({"_pp": standard_parsed_promo()})
     step1 = with_standardized_quantity_staged(
         step1, F.col("quantity_amount"), F.col("quantity_unit"), "_q"
     )
 
-    applicable2 = applicable  # same predicate, resolved against step1
-    cf = F.col("_q.conversion_factor")
-    eff = F.when(applicable2, F.col("_pp.effective_unit_price")).otherwise(
-        F.col("parsed_promotion_effective_unit_price")
-    )
-    eff_truthy = eff.isNotNull() & ~F.isnan(eff) & (eff != 0)
-    metrics = F.when(
-        eff_truthy, discount_metrics(F.col("price_before_bonus"), eff)
-    ).otherwise(discount_metrics(F.col("price_before_bonus"), F.col("current_price")))
-
-    step2 = step1.withColumns(
-        {
+    def build_step2() -> dict:
+        mech = F.col("promotion_mechanism")
+        applicable2 = F.col("is_promotion") & mech.isNotNull() & (mech != "")
+        cf = F.col("_q.conversion_factor")
+        eff = F.when(applicable2, F.col("_pp.effective_unit_price")).otherwise(
+            F.col("parsed_promotion_effective_unit_price")
+        )
+        eff_truthy = eff.isNotNull() & ~F.isnan(eff) & (eff != 0)
+        metrics = F.when(
+            eff_truthy, discount_metrics(F.col("price_before_bonus"), eff)
+        ).otherwise(
+            discount_metrics(F.col("price_before_bonus"), F.col("current_price"))
+        )
+        return {
             "parsed_promotion_effective_unit_price": eff,
             "parsed_promotion_required_quantity": F.when(
                 applicable2, F.col("_pp.required_quantity")
@@ -144,7 +154,8 @@ def apply_calculate_fields(df: DataFrame) -> DataFrame:
                 F.col("is_promotion"), metrics["percentage"]
             ).otherwise(F.col("discount_percentage")),
         }
-    )
+
+    step2 = step1.withColumns(column_memo(("acf_step2",), build_step2))
     return step2.drop("_pp", "_q")
 
 

@@ -41,6 +41,17 @@ def skip_filter(raw: DataFrame) -> DataFrame:
 
 
 def transform(raw: DataFrame) -> DataFrame:
+    from ..exprcache import column_memo
+
+    exprs = column_memo(("jumbo_transform",), _transform_exprs)
+    staged = raw.withColumns(exprs["stage1"])
+    staged = staged.withColumn("_cur", exprs["cur"])
+    return staged.select(*exprs["final"])
+
+
+def _transform_exprs() -> list:
+    """All transform expressions over the fixed JUMBO schema — built
+    once per process (exprcache)."""
     p = F.col("product")
 
     # flatten promotions[].tags[].text, joined with '; ' (jumbo.ts:133-142)
@@ -61,15 +72,13 @@ def transform(raw: DataFrame) -> DataFrame:
     # Stage heavy, multiply-referenced expressions as real columns
     # (CollapseProject would otherwise inline one copy of the promo-
     # parser / unit-normalizer trees per consuming output column).
-    raw = raw.withColumns(
-        {
-            "_mech": mech,
-            "_orig": orig,
-            "_q": qty_struct(
-                F.coalesce(F.nullif(p["quantity"], F.lit("")), p["subtitle"])
-            ),
-        }
-    )
+    stage1 = {
+        "_mech": mech,
+        "_orig": orig,
+        "_q": qty_struct(
+            F.coalesce(F.nullif(p["quantity"], F.lit("")), p["subtitle"])
+        ),
+    }
     mech, orig = F.col("_mech"), F.col("_orig")
 
     # current price: parsed effective (truthy) else orig, then promoPrice
@@ -82,7 +91,7 @@ def transform(raw: DataFrame) -> DataFrame:
     cur = F.when(
         promo_price.isNotNull() & (promo_price > 0), promo_price / 100.0
     ).otherwise(cur)
-    raw = raw.withColumn("_cur", cur)
+    cur_expr = cur
     cur = F.col("_cur")
 
     brand = F.coalesce(
@@ -114,7 +123,7 @@ def transform(raw: DataFrame) -> DataFrame:
 
     disc_ok = (cur < orig) & (orig > 0)
 
-    return raw.select(
+    final = [
         p["id"].alias("unified_id"),
         F.lit("JUMBO").alias("shop_type"),
         p["title"].alias("title"),
@@ -154,7 +163,8 @@ def transform(raw: DataFrame) -> DataFrame:
             ~p["availability"]["isAvailable"].eqNullSafe(F.lit(False))
             & ~p["inAssortment"].eqNullSafe(F.lit(False))
         ).alias("is_active"),
-    )
+    ]
+    return {"stage1": stage1, "cur": cur_expr, "final": final}
 
 
 def pipeline(

@@ -33,6 +33,18 @@ def skip_filter(raw: DataFrame) -> DataFrame:
 
 
 def transform(raw: DataFrame) -> DataFrame:
+    from ..exprcache import column_memo
+
+    exprs = column_memo(("plus_transform",), _transform_exprs)
+    staged = raw.withColumns(exprs["stage1"])
+    staged = staged.withColumn("_cur", exprs["cur"])
+    return staged.select(*exprs["final"])
+
+
+def _transform_exprs() -> dict:
+    """All transform expressions over the fixed PLUS schema / staged
+    column names — built once per process (exprcache): the tree is
+    thousands of Py4J calls and identical on every invocation."""
     p = F.col("PLP_Str")
 
     # required-field validation → error channel (plus.ts:269-289; JS
@@ -108,31 +120,26 @@ def transform(raw: DataFrame) -> DataFrame:
     # CollapseProject does NOT inline a copy of the unit/promo-parser
     # trees per consuming output column (keeps codegen small on a
     # default-heap driver).
-    staged = raw.withColumns(
-        {
-            "_orig": orig,
-            "_initial_cur": initial_cur,
-            "_is_promo": is_promo,
-            "_mech": mech,
-            "_q_amount": q_amount,
-            "_q_unit": q_unit,
-            "_sales_unit_size": sales_unit_size,
-            "_err": err,
-        }
-    )
+    stage1 = {
+        "_orig": orig,
+        "_initial_cur": initial_cur,
+        "_is_promo": is_promo,
+        "_mech": mech,
+        "_q_amount": q_amount,
+        "_q_unit": q_unit,
+        "_sales_unit_size": sales_unit_size,
+        "_err": err,
+    }
     o, m = F.col("_orig"), F.col("_mech")
     is_promo = F.col("_is_promo")
     q_amount, q_unit = F.col("_q_amount"), F.col("_q_unit")
     parsed_eff = parse_promotion_mechanism(m, o, F.col("_initial_cur"))[
         "effective_unit_price"
     ]
-    staged = staged.withColumn(
-        "_cur",
-        F.when(
-            is_promo & (m != "") & parsed_eff.isNotNull() & (parsed_eff != 0),
-            parsed_eff,
-        ).otherwise(F.col("_initial_cur")),
-    )
+    cur_expr = F.when(
+        is_promo & (m != "") & parsed_eff.isNotNull() & (parsed_eff != 0),
+        parsed_eff,
+    ).otherwise(F.col("_initial_cur"))
     cur = F.col("_cur")
 
     # computed unit price per kg/l ×1000 (plus.ts:343-380)
@@ -152,7 +159,7 @@ def transform(raw: DataFrame) -> DataFrame:
 
     disc_ok = (cur < o) & (o > 0)
 
-    return staged.select(
+    final = [
         p["SKU"].alias("unified_id"),
         F.lit("PLUS").alias("shop_type"),
         title.alias("title"),
@@ -186,7 +193,8 @@ def transform(raw: DataFrame) -> DataFrame:
         F.when(disc_ok, (o - cur) / o * 100.0).alias("discount_percentage"),
         p["IsAvailable"].alias("is_active"),
         F.col("_err").alias("_transform_err"),
-    )
+    ]
+    return {"stage1": stage1, "cur": cur_expr, "final": final}
 
 
 def pipeline(
