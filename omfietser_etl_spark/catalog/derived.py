@@ -63,7 +63,12 @@ def d1_promo_parse(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("l_partkey") % 90) + 10).cast("double").alias("orig"),
         (((F.col("l_partkey") % 90) + 10).cast("double") - 0.5).alias("cur"),
     ).withColumn("mech", F.element_at(mech_arr, F.col("v").cast("int") + 1))
-    parsed = parse_promotion_mechanism(F.col("mech"), F.col("orig"), F.col("cur"))
+    from omfietser_etl_spark.exprcache import column_memo
+
+    parsed = column_memo(
+        ("d1_parse",),
+        lambda: parse_promotion_mechanism(F.col("mech"), F.col("orig"), F.col("cur")),
+    )
     # Stage the parser struct as a real column: referenced 5× below, it
     # must be evaluated once per row, not inlined 5× (CollapseProject
     # keeps non-cheap multi-use projections separate).

@@ -73,13 +73,21 @@ def transform(raw: DataFrame, shop: str) -> DataFrame:
     row instead of the naive per-candidate `get_json_object` (which
     re-parses the JSON for each of the ~35 paths; at 100 TB that is
     the difference between 1× and 35× parse CPU on the scan stage)."""
+    from ..exprcache import column_memo
+
+    exprs = column_memo(("generic_transform", shop), lambda: _transform_exprs(shop))
+    staged = raw.select("*", exprs["json"])
+    staged = staged.withColumns(exprs["stage1"])
+    return staged.select(*exprs["final"])
+
+
+def _transform_exprs(shop: str) -> dict:
+    """Generic-transform expressions over fixed extracted-key names —
+    built once per (process, shop) via exprcache."""
     # positional output names: JSON keys are case-SENSITIVE but Spark
     # column resolution is not ('sku' vs 'SKU' would collide)
-    staged = raw.select(
-        "*",
-        F.json_tuple(F.col("raw_data"), *_JSON_KEYS).alias(
-            *[f"_j_{i}" for i in range(len(_JSON_KEYS))]
-        ),
+    json_gen = F.json_tuple(F.col("raw_data"), *_JSON_KEYS).alias(
+        *[f"_j_{i}" for i in range(len(_JSON_KEYS))]
     )
     extracted = {k: F.col(f"_j_{i}") for i, k in enumerate(_JSON_KEYS)}
     g = {k: _first_of(extracted, v) for k, v in FIELD_CANDIDATES.items()}
@@ -94,14 +102,12 @@ def transform(raw: DataFrame, shop: str) -> DataFrame:
         .when(price_orig.isNull() & price_cur.isNull(), F.lit("missing_price"))
     )
 
-    staged = staged.withColumns(
-        {
-            "_ext": ext,
-            "_transform_err": err,
-            "_q": qty_struct(g["sales_unit_size"]),
-        }
-    )
-    return staged.select(
+    stage1 = {
+        "_ext": ext,
+        "_transform_err": err,
+        "_q": qty_struct(g["sales_unit_size"]),
+    }
+    final = [
         "_transform_err",
         F.concat(F.lit(shop.lower() + "_"), F.col("_ext")).alias("unified_id"),
         F.lit(shop.upper()).alias("shop_type"),
@@ -137,7 +143,8 @@ def transform(raw: DataFrame, shop: str) -> DataFrame:
         F.lit(None).cast("double").alias("discount_absolute"),
         F.lit(None).cast("double").alias("discount_percentage"),
         F.lit(True).alias("is_active"),
-    )
+    ]
+    return {"json": json_gen, "stage1": stage1, "final": final}
 
 
 def pipeline(
