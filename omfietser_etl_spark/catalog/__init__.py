@@ -34,34 +34,74 @@ class QuerySpec:
     doc: str = ""
 
 
-#: Names that have appeared in a driver CORRECTNESS_r* artifact (union
-#: of rounds 1–3). The per-round gate samples only the FIRST 50 catalog
+#: Names that have appeared in ANY driver CORRECTNESS_r*.json
+#: artifact. The per-round gate samples only the FIRST 50 catalog
 #: entries, so :func:`all_specs` fronts the queries NOT in this set —
 #: rotating external certification onto the never-sampled tail at zero
-#: implementation risk. Maintenance: after each round's artifact lands,
-#: add its newly-sampled names here so the next round fronts whatever
-#: is still uncertified.
+#: implementation risk. Maintenance: at each round start, after the
+#: new artifact lands, run `python tools/update_certified.py` to
+#: regenerate this block from the artifacts.
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
-    "a13_approx_distinct", "a13_distinct_parts", "a14_pivot",
-    "a15_percentile_bands", "a16_profile", "a18_grouping_sets",
-    "a19_unpivot", "a1_status_counters", "a20_window_suite",
-    "a3_type_distribution", "a4_price_stats", "a7_event_summary",
-    "a8_version_stats", "cube_status_priority", "d1_promo_parse",
-    "d2_quantity_standardize", "d4_price_per_unit", "d5_discount_metrics",
-    "dd1_latest_per_key", "f6_validity_split", "j10_full_outer_reconcile",
-    "j1_broadcast_enrich", "j3_fuzzy_theta", "j5_multiway_revenue",
-    "j7_asof_lag_delta", "j7_first_last_seen", "j8_range_join",
-    "o1_pagination", "o4_argmax_per_group", "o7_topk_per_group",
-    "o9_keyset_pagination", "p1_ah_pipeline", "p2_jumbo_pipeline",
-    "p3_aldi_pipeline", "p4_plus_pipeline", "p5_coalesce_projection",
-    "p6_generic_kruidvat", "q2_quality_report", "rollup_region_nation",
-    "s1_scan_pushdown", "s5_point_lookup", "semi_join_active",
-    "st4_changed_rows", "st6_window_counts", "t_scalar_text",
-    "ta1_token_stats", "ta2_quality_score", "ta3_lang_id",
-    "ta4_fingerprint", "td12_jaccard_guarded", "td1_exact_dedup",
-    "td2_ngram_jaccard", "td3_minhash_lsh", "td4_simhash",
-    "td5_embed_neardup", "td6_ann_topk", "td7_ivf_ann",
-    "u1_union_distinct", "u4_anti_join_missing", "u5_intersect_except",
+    "a13_approx_distinct",
+    "a13_distinct_parts",
+    "a14_pivot",
+    "a15_percentile_bands",
+    "a16_profile",
+    "a18_grouping_sets",
+    "a19_unpivot",
+    "a1_status_counters",
+    "a20_window_suite",
+    "a3_type_distribution",
+    "a4_price_stats",
+    "a7_event_summary",
+    "a8_version_stats",
+    "cube_status_priority",
+    "d1_promo_parse",
+    "d2_quantity_standardize",
+    "d4_price_per_unit",
+    "d5_discount_metrics",
+    "dd1_latest_per_key",
+    "f6_validity_split",
+    "j10_full_outer_reconcile",
+    "j1_broadcast_enrich",
+    "j3_fuzzy_theta",
+    "j5_multiway_revenue",
+    "j7_asof_lag_delta",
+    "j7_first_last_seen",
+    "j8_range_join",
+    "o1_pagination",
+    "o4_argmax_per_group",
+    "o7_topk_per_group",
+    "o9_keyset_pagination",
+    "p1_ah_pipeline",
+    "p2_jumbo_pipeline",
+    "p3_aldi_pipeline",
+    "p4_plus_pipeline",
+    "p5_coalesce_projection",
+    "p6_generic_kruidvat",
+    "q2_quality_report",
+    "rollup_region_nation",
+    "s1_scan_pushdown",
+    "s5_point_lookup",
+    "semi_join_active",
+    "st4_changed_rows",
+    "st6_window_counts",
+    "t_scalar_text",
+    "ta1_token_stats",
+    "ta2_quality_score",
+    "ta3_lang_id",
+    "ta4_fingerprint",
+    "td12_jaccard_guarded",
+    "td1_exact_dedup",
+    "td2_ngram_jaccard",
+    "td3_minhash_lsh",
+    "td4_simhash",
+    "td5_embed_neardup",
+    "td6_ann_topk",
+    "td7_ivf_ann",
+    "u1_union_distinct",
+    "u4_anti_join_missing",
+    "u5_intersect_except",
     "x3_validation_summary",
 })
 

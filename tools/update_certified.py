@@ -1,0 +1,63 @@
+"""Regenerate catalog/__init__.py's _DRIVER_CERTIFIED set from every
+CORRECTNESS_r*.json in the repo root.
+
+Run at the START of each round, after the driver writes the new
+artifact: the correctness gate samples only the first 50 catalog
+entries, and all_specs() fronts queries not yet in _DRIVER_CERTIFIED —
+so this keeps the certification window rotating onto the
+never-sampled tail.
+
+Usage: python tools/update_certified.py   (rewrites the set in place)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CATALOG = os.path.join(ROOT, "omfietser_etl_spark", "catalog", "__init__.py")
+
+
+def main() -> int:
+    names: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            names.update(json.load(f).keys())
+    if not names:
+        print("no CORRECTNESS_r*.json artifacts found", file=sys.stderr)
+        return 1
+
+    src = open(CATALOG).read()
+    body = "\n".join(
+        f'    "{n}",' for n in sorted(names)
+    )
+    new_block = "_DRIVER_CERTIFIED: frozenset[str] = frozenset({\n" + body + "\n})"
+    out, count = re.subn(
+        r"_DRIVER_CERTIFIED: frozenset\[str\] = frozenset\(\{.*?\}\)",
+        new_block,
+        src,
+        flags=re.S,
+    )
+    if count != 1:
+        print("could not locate the _DRIVER_CERTIFIED block", file=sys.stderr)
+        return 1
+    with open(CATALOG, "w") as f:
+        f.write(out)
+
+    sys.path.insert(0, ROOT)
+    from omfietser_etl_spark.catalog import all_specs, _DRIVER_CERTIFIED
+
+    specs = all_specs()
+    fresh = [s.name for s in specs if s.name not in _DRIVER_CERTIFIED]
+    print(f"certified: {len(_DRIVER_CERTIFIED)}; catalog: {len(specs)}; "
+          f"fresh fronted: {len(fresh)}; next sample covers "
+          f"{min(50, len(fresh))} of them")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
