@@ -295,3 +295,33 @@ def test_ts12_token_budget_plan_shape(spark):
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert "BroadcastHashJoin" in nodes
     assert "SortMergeJoin" not in nodes
+
+
+def test_td17_band_join_is_equi_and_excludes_nested_loop(spark):
+    """Incremental dedup: the new∪state band join must stay a hash
+    equi-join; a nested loop would defeat the O(batch) contract."""
+    from omfietser_etl_spark.catalog.textops import td17_incremental_dedup
+
+    plan = _plan(td17_incremental_dedup(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_td18_bloom_probe_is_broadcast(spark):
+    """Bloom decontamination: the filter (≤ m rows) must reach the
+    probe as a broadcast — shuffling the corpus shingles against a
+    fixed-size bitset would be backwards."""
+    from omfietser_etl_spark.catalog.textops import td18_bloom_decontam
+
+    plan = _plan(td18_bloom_decontam(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ta8_model_joins_are_equi(spark):
+    """Bigram fluency: both model joins (c2 on (w1,w2), c1 on w1)
+    must be hash/sort equi-joins over the bigram stream."""
+    from omfietser_etl_spark.catalog.textops import ta8_bigram_fluency
+
+    plan = _plan(ta8_bigram_fluency(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -62,3 +62,26 @@ def test_snake_allocation_matches_model_and_balance_bound(spark, lengths):
 
     # LPT-ish balance: spread bounded by 2× the largest document
     assert max(masses) - min(masses) <= 2 * max(lengths)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges)
+def test_star_components_equal_label_propagation_on_random_graphs(spark, edges):
+    from omfietser_etl_spark.textops.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["doc_lo", "doc_hi"]
+    )
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert a == b
