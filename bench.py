@@ -120,6 +120,19 @@ def main() -> None:
         3,
     )
 
+    # family rollups (prefix-keyed) so cross-round artifact diffs read
+    # at a glance; "other" catches anything unprefixed.
+    fams = ("p", "d", "td", "ta", "ts", "tv", "tc", "tp", "mm", "st", "ev",
+            "h", "a", "j", "o", "u", "s", "x", "q", "dd", "ca", "f")
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        pref = next(
+            (f for f in sorted(fams, key=len, reverse=True)
+             if name.startswith(f) and name[len(f):][:1].isdigit()),
+            "other",
+        )
+        families[pref] = round(families.get(pref, 0.0) + sec, 3)
+
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "catalog_total_wall",
@@ -135,6 +148,7 @@ def main() -> None:
         },
         "host_factor": host_factor,
         "value_normalized": round(total / host_factor, 3),
+        "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
     }
     print(json.dumps(line))
     # Round-over-round history (BENCH_HISTORY.jsonl is committed) so
