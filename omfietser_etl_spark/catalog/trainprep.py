@@ -513,6 +513,43 @@ FROM r
 
 
 # ---------------------------------------------------------------- #
+# ts14 — leakage-free split: near-dup components never straddle
+#        train/eval
+# ---------------------------------------------------------------- #
+
+
+def ts14_leakage_free_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aware corpus split (textops/sampling.component_split):
+    LSH near-dup components are assigned to train/val/test ATOMICALLY
+    by the hash of the component root, closing the eval-contamination
+    channel a per-doc split leaves open. Gates the full composition:
+    pair graph → components → atomic assignment."""
+    from omfietser_etl_spark.textops import dedup as dd
+
+    docs = load(spark, sf, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text")
+    comp = dd.connected_components(pairs)
+    out = sp.component_split(docs.select(F.col("doc_id").alias("doc")), "doc", comp)
+    return out.select("doc", "group_key", "split")
+
+
+def _ts14_oracle() -> str:
+    from .textops import _dd4_oracle
+
+    return f"""
+WITH comp AS ({_dd4_oracle()}),
+d AS (SELECT doc_id AS doc FROM documents),
+g AS (SELECT doc, CAST(coalesce(component, doc) AS VARCHAR) AS group_key
+      FROM d LEFT JOIN comp ON d.doc = comp.node)
+SELECT doc, group_key,
+       CASE WHEN {_dk_bucket('split', 'group_key')} < 9000 THEN 'train'
+            WHEN {_dk_bucket('split', 'group_key')} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -660,4 +697,6 @@ SPECS = [
     QuerySpec("ts13_token_balanced_shards", ts13_token_balanced_shards,
               _ts13_oracle(),
               "token-balanced shard assignment (snake over tokens-desc rank)"),
+    QuerySpec("ts14_leakage_free_split", ts14_leakage_free_split, _ts14_oracle(),
+              "dedup-aware split: near-dup components assigned atomically"),
 ]

@@ -552,3 +552,48 @@ def shuffle_order(
     ).withColumn("_ord", hash_bucket(id_col, salt + ":ord"))
     w = Window.partitionBy("shard").orderBy("_ord", id_col)
     return sh.withColumn("pos", F.row_number().over(w)).drop("_ord")
+
+
+def component_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    salt: str = "split",
+    train_bp: int = 9000,
+    val_bp: int = 500,
+) -> DataFrame:
+    """Dedup-AWARE train/val/test split: the split is decided by the
+    salted hash of the near-dup COMPONENT root (singletons: their own
+    id), so near-duplicate documents can never straddle train and
+    eval — the leakage channel a plain per-doc split leaves open
+    (eval examples with a near-copy in train score as memorization,
+    not generalization; the reason corpus prep splits after dedup
+    clustering). Same thresholds and salt discipline as
+    :func:`mixture_split`, so for singleton-only corpora the two
+    agree exactly.
+
+    ``components``: (node, component) from a connected-components
+    pass over the near-dup pair graph — orders of magnitude smaller
+    than the corpus (only docs that ever matched a candidate pair).
+
+    Scale shape: one left equi-join corpus⋈labels (labels frame is
+    candidate-sized; broadcast when it fits, shuffle-join otherwise —
+    both sides key near-uniformly), then a pure map-side hash
+    assignment. Returns input columns + ``group_key`` + ``split``.
+    """
+    lbl = components.select(
+        F.col("node").alias("_n"), F.col("component").alias("_c")
+    )
+    joined = df.join(lbl, df[id_col] == F.col("_n"), "left")
+    group_key = F.coalesce(F.col("_c"), df[id_col]).cast("string")
+    bucket = hash_bucket("group_key", salt)
+    return (
+        joined.withColumn("group_key", group_key)
+        .withColumn(
+            "split",
+            F.when(bucket < train_bp, "train")
+            .when(bucket < train_bp + val_bp, "val")
+            .otherwise("test"),
+        )
+        .drop("_n", "_c")
+    )

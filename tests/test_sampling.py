@@ -365,3 +365,31 @@ def test_token_balanced_shards_balance_and_covering(spark):
     again = {(r.doc, r.shard) for r in token_balanced_shards(
         docs, "doc", "n_tok", s).collect()}
     assert {(r.doc, r.shard) for r in out.collect()} == again
+
+
+def test_component_split_never_straddles_and_matches_mixture_for_singletons(spark):
+    """The leakage guard: every member of a near-dup component lands
+    in the SAME split; docs with no near-dup behave exactly like
+    mixture_split (same salt, same thresholds)."""
+    from omfietser_etl_spark.textops.sampling import component_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], ["doc"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (50, 99)], ["doc_lo", "doc_hi"]
+    )
+    from omfietser_etl_spark.textops.dedup import connected_components
+
+    comp = connected_components(pairs)
+    out = {r.doc: (r.group_key, r.split) for r in
+           component_split(docs, "doc", comp).collect()}
+    assert out[1][1] == out[2][1] == out[3][1]  # one chain, one split
+    assert out[10][1] == out[11][1]
+    assert out[50][1] == out[99][1]
+    assert out[1][0] == "1" and out[50][0] == "50"  # min-id roots
+
+    clustered = {1, 2, 3, 10, 11, 50, 99}
+    base = {r.doc: r.split for r in
+            mixture_split(docs, "doc").select("doc", "split").collect()}
+    for d, (_, s) in out.items():
+        if d not in clustered:
+            assert s == base[d]  # singleton behavior == mixture_split
