@@ -1,7 +1,12 @@
 """Run every catalog spec against its DuckDB oracle at an arbitrary SF
-(default sf0.01 — the driver's correctness-gate scale)."""
+(default sf0.01 — the driver's correctness-gate scale) under the
+ENGINE session (get_spark: AQE, tuned confs) — the complementary
+surface to tools/driver_sim.py's vanilla session."""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
