@@ -42,7 +42,9 @@ class QuerySpec:
 #: new artifact lands, run `python tools/update_certified.py` to
 #: regenerate this block from the artifacts.
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
-    "a13_approx_distinct",
+    "a10_drift_report",
+    "a11_issue_escalation",
+    "a12_mapping_methods",
     "a13_distinct_parts",
     "a14_pivot",
     "a15_percentile_bands",
@@ -51,17 +53,29 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a19_unpivot",
     "a1_status_counters",
     "a20_window_suite",
+    "a21_approx_percentile",
     "a3_type_distribution",
     "a4_price_stats",
+    "a5_promo_analysis",
+    "a6_job_stats",
     "a7_event_summary",
     "a8_version_stats",
+    "ca1_corpus_report",
     "cube_status_priority",
     "d1_promo_parse",
     "d2_quantity_standardize",
     "d4_price_per_unit",
     "d5_discount_metrics",
     "dd1_latest_per_key",
+    "dd2_neardup_groups",
+    "dd3_fuzzy_best_match",
+    "dd4_neardup_components",
+    "ev1_funnel",
+    "ev2_retention",
+    "ev3_moving_sum",
     "f6_validity_split",
+    "h1_scd2_history",
+    "h2_gapfill",
     "j10_full_outer_reconcile",
     "j1_broadcast_enrich",
     "j3_fuzzy_theta",
@@ -69,6 +83,12 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "j7_asof_lag_delta",
     "j7_first_last_seen",
     "j8_range_join",
+    "mm1_feature_extract",
+    "mm2_resize_plan",
+    "mm3_frame_sample",
+    "mm4_decode_roundtrip",
+    "mm5_audio_roundtrip",
+    "mm6_video_probe",
     "o1_pagination",
     "o4_argmax_per_group",
     "o7_topk_per_group",
@@ -81,17 +101,34 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "p6_generic_kruidvat",
     "q2_quality_report",
     "rollup_region_nation",
+    "s10_variant_extract",
     "s1_scan_pushdown",
+    "s3_multi_filter_scan",
     "s5_point_lookup",
     "semi_join_active",
     "st4_changed_rows",
     "st6_window_counts",
+    "st7_sessionize",
     "t_scalar_text",
     "ta1_token_stats",
     "ta2_quality_score",
     "ta3_lang_id",
     "ta4_fingerprint",
+    "ta5_repetition",
+    "ta6_strip_markup",
+    "ta7_relative_length_filter",
+    "ta8_bigram_fluency",
+    "tc1_doc_chunking",
+    "tc2_pii_scrub",
+    "td10_quantize",
+    "td11_line_dedup",
     "td12_jaccard_guarded",
+    "td13_semantic_dedup",
+    "td14_substring_dedup",
+    "td15_fuzzy_dedup_e2e",
+    "td16_rh_lsh_pairs",
+    "td17_incremental_dedup",
+    "td18_bloom_decontam",
     "td1_exact_dedup",
     "td2_ngram_jaccard",
     "td3_minhash_lsh",
@@ -99,10 +136,22 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "td5_embed_neardup",
     "td6_ann_topk",
     "td7_ivf_ann",
+    "td8_kmeans_assign",
+    "td9_contamination",
+    "ts1_hash_sample",
+    "ts2_mixture_split",
+    "ts3_sequence_pack",
+    "tv1_top_terms",
+    "tv2_tfidf_terms",
+    "tv3_cms_heavy_hitters",
     "u1_union_distinct",
+    "u3_distinct_per_group",
     "u4_anti_join_missing",
+    "u4_new_disappeared",
     "u5_intersect_except",
+    "x2_online_inference",
     "x3_validation_summary",
+    "x9_nb_train_fit",
 })
 
 

@@ -26,7 +26,12 @@ def main() -> int:
     names: set[str] = set()
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         with open(path) as f:
-            names.update(json.load(f).keys())
+            for name, row in json.load(f).items():
+                # Only a GREEN row certifies a query: rows+schema matched and
+                # no error. err rows (e.g. a13's pre-fix "no_oracle" entries)
+                # must leave the query eligible to rotate back to the front.
+                if row.get("rows_match") and row.get("schema_match") and not row.get("err"):
+                    names.add(name)
     if not names:
         print("no CORRECTNESS_r*.json artifacts found", file=sys.stderr)
         return 1
