@@ -53,15 +53,82 @@ FROM h
 
 def x8_nb_inference(spark: SparkSession, sf: str) -> DataFrame:
     """X2 with the REAL trained artifact (multinomial NB over hashed
-    char-3-grams, tools/train_category_model.py): genuinely non-SQL
-    model scoring, so this rides the rows-only check by design — the
-    exact gate on the operator plumbing is x2_online_inference, and
-    the model's own fit/determinism is pytest-covered
-    (tests/test_inference.py)."""
+    char-3-grams, tools/train_category_model.py) on the exact-integer
+    scoring path: log-probs quantized to int64 micrologits
+    (operators/inference.py NB_SCALE), so the DuckDB oracle replays
+    the full argmax bit-for-bit from the sparse delta-weight table —
+    the catalog's last rows-only query is now fully value-hash gated
+    (round-4 verdict item 3). The float/softmax API path stays in
+    `infer_categories_nb` (pytest-covered)."""
+    from omfietser_etl_spark.operators.inference import infer_categories_nb_exact
+
     parts = load(spark, sf, "part").select(
         F.col("p_partkey").alias("pid"), F.col("p_name").alias("title")
     )
-    return infer_categories_nb(parts)
+    return infer_categories_nb_exact(parts)
+
+
+def _x8_oracle() -> str:
+    """Replay the quantized NB argmax in DuckDB.
+
+    Decomposition keeping the literal small: for class c,
+    Wq[c,d] == baseq[c] (the unseen-cell value, the per-row minimum)
+    everywhere except the ~1.2k (class, bucket) cells the training set
+    touched, so score(c) = n_grams*baseq[c] + priorq[c] +
+    Σ_seen X[bucket]*delta[c,bucket]. All int64; ties broken by class
+    index exactly like numpy argmax's first-max rule."""
+    from omfietser_etl_spark.operators.inference import nb_quantized_weights
+
+    Wq, priorq, labels, dim, seed, mod = nb_quantized_weights()
+    base = Wq.min(axis=1)
+    cls_rows = ", ".join(
+        f"({c}, '{labels[c]}', {int(base[c])}, {int(priorq[c])})"
+        for c in range(len(labels))
+    )
+    nz = (Wq != base[:, None]).nonzero()
+    delta_rows = ", ".join(
+        f"({int(c)}, {int(d)}, {int(Wq[c, d] - base[c])})"
+        for c, d in zip(nz[0], nz[1])
+    )
+    return f"""
+WITH cls(cid, label, baseq, priorq) AS (VALUES {cls_rows}),
+w(cid, bucket, delta) AS (VALUES {delta_rows}),
+doc AS (
+  SELECT p_partkey AS pid, p_name AS title,
+         ' ' || lower(p_name) || ' ' AS s
+  FROM part),
+pos AS (
+  SELECT pid, s, unnest(generate_series(1, length(s) - 2)) AS i FROM doc),
+grams AS (
+  SELECT pid,
+    (((((CAST({seed} AS BIGINT) * 31 + ascii(substr(s, i, 1))) % {mod}) * 31
+        + ascii(substr(s, i + 1, 1))) % {mod}) * 31
+        + ascii(substr(s, i + 2, 1))) % {mod} % {dim} AS bucket
+  FROM pos),
+feats AS (
+  SELECT pid, bucket, count(*) AS n FROM grams GROUP BY 1, 2),
+contrib AS (
+  SELECT f.pid, w.cid, SUM(f.n * w.delta) AS dsum
+  FROM feats f JOIN w ON f.bucket = w.bucket
+  GROUP BY 1, 2),
+scores AS (
+  SELECT d.pid, c.cid, c.label,
+         (length(d.s) - 2) * CAST(c.baseq AS BIGINT) + c.priorq
+           + COALESCE(ct.dsum, 0) AS score
+  FROM doc d CROSS JOIN cls c
+  LEFT JOIN contrib ct ON ct.pid = d.pid AND ct.cid = c.cid),
+ranked AS (
+  SELECT pid, label, score,
+         row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid ASC) AS rn
+  FROM scores)
+SELECT d.pid, d.title,
+       r1.label AS pred_label,
+       CAST(r1.score AS BIGINT) AS score_q,
+       CAST(r1.score - r2.score AS BIGINT) AS margin_q
+FROM doc d
+JOIN ranked r1 ON r1.pid = d.pid AND r1.rn = 1
+JOIN ranked r2 ON r2.pid = d.pid AND r2.rn = 2
+"""
 
 
 #: x9 bound: the committed artifact fits 164/165 training aliases
@@ -114,8 +181,8 @@ SPECS = [
     QuerySpec(
         "x8_nb_inference",
         x8_nb_inference,
-        None,  # real model scoring is not SQL-expressible
-        "X2 with the real trained NB category model",
+        _x8_oracle(),
+        "X2 real trained NB model, exact-integer scoring, full oracle",
     ),
     QuerySpec(
         "x9_nb_train_fit",

@@ -150,3 +150,45 @@ def test_demo_model_deterministic_and_thresholded(spark):
     res = infer_categories(df)
     got = res.filter(F.col("accepted")).select("conf_bp").collect()
     assert all(r.conf_bp >= CONF_THRESHOLD_BP for r in got)
+
+
+def test_nb_exact_path_fit_and_margin(spark):
+    """The exact-integer scoring path (x8's gated variant) reproduces
+    the training-alias fit and obeys its output contract: int64
+    scores, non-negative margins, ties impossible to distinguish from
+    margin_q == 0."""
+    from omfietser_etl_spark.config.categories import CATEGORY_ALIAS_PATTERNS
+    from omfietser_etl_spark.operators.inference import infer_categories_nb_exact
+
+    aliases = spark.createDataFrame(
+        list(CATEGORY_ALIAS_PATTERNS), "title string, true_cat string"
+    )
+    rows = infer_categories_nb_exact(aliases).collect()
+    hits = sum(r.pred_label == r.true_cat for r in rows)
+    assert hits / len(rows) >= 0.95
+    assert all(r.margin_q >= 0 for r in rows)
+    assert all(isinstance(r.score_q, int) for r in rows)
+
+
+def test_nb_exact_quantization_matches_float_argmax_on_aliases():
+    """Driver-side: at NB_SCALE=1e6 the quantized argmax agrees with
+    the float argmax on every training alias (quantization noise is
+    ~1e-6 logits vs multi-logit class margins)."""
+    import numpy as np
+
+    from omfietser_etl_spark.config.categories import CATEGORY_ALIAS_PATTERNS
+    from omfietser_etl_spark.operators.inference import (
+        NB_ARTIFACT,
+        nb_quantized_weights,
+        nb_trigram_buckets,
+    )
+
+    z = np.load(NB_ARTIFACT, allow_pickle=False)
+    W = z["log_prob"].astype(np.float64)
+    b = z["log_prior"].astype(np.float64)
+    Wq, priorq, labels, dim, seed, mod = nb_quantized_weights()
+    for text, _cat in CATEGORY_ALIAS_PATTERNS:
+        v = np.zeros(dim, dtype=np.int64)
+        for bk in nb_trigram_buckets(text, dim, seed, mod):
+            v[bk] += 1
+        assert int(np.argmax(Wq @ v + priorq)) == int(np.argmax(W @ v + b))
