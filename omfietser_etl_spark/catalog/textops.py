@@ -160,6 +160,21 @@ TD2_ORACLE = (
 )
 
 
+def td2h_ngram_jaccard_hashed(spark: SparkSession, sf: str) -> DataFrame:
+    """td2's 100 TB twin: the SAME query through the 8-byte
+    ``hash_shingles=True`` shuffle path (xxhash64 shingle keys,
+    textops/dedup.py doc_shingles) — ~5-10× less shuffle bytes than
+    string shingles. The output (doc pairs + Jaccard) is identical to
+    the string path modulo 64-bit collisions, so the string-shingle
+    DuckDB oracle gates it end-to-end: a green row proves the hashed
+    shuffle path produces the exact same answer, not just that the
+    unit equivalence holds (round-4 verdict item: gate the scale
+    path)."""
+    return dd.jaccard_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", hash_shingles=True
+    )
+
+
 # ---------------------------------------------------------------- #
 # td12 — Jaccard with the degenerate-shingle guard (document-
 # frequency cap). The scale-correct variant of td2: shingles in more
@@ -1428,6 +1443,10 @@ FROM d
 SPECS = [
     QuerySpec("td1_exact_dedup", td1_exact_dedup, TD1_ORACLE, "exact dedup stats"),
     QuerySpec("td2_ngram_jaccard", td2_ngram_jaccard, TD2_ORACLE, "n-gram Jaccard near-dup"),
+    QuerySpec(
+        "td2h_jaccard_hashed", td2h_ngram_jaccard_hashed, TD2_ORACLE,
+        "n-gram Jaccard via 8-byte hashed-shingle shuffle (scale path)",
+    ),
     QuerySpec(
         "td12_jaccard_guarded", td12_jaccard_guarded, TD12_ORACLE,
         "Jaccard near-dup with degenerate-shingle DF guard",
