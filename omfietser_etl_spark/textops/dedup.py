@@ -320,13 +320,25 @@ def connected_components(
     the first checkpoint, so the common path pays nothing; long
     chains get a plan bounded at CC_CHECKPOINT_EVERY rounds deep
     (see connected_components_star for the reliable-checkpoint
-    escape hatch).
+    escape hatch). Checkpoint blocks are explicitly freed when their
+    round is superseded (DataFrame.unpersist() is a no-op for a
+    localCheckpointed plan) — safe because the successor round is
+    already materialized to its own MEMORY_AND_DISK storage before
+    the parent's blocks go, so no recompute path crosses the freed
+    checkpoint; the final round's blocks are scope-registered and
+    freed by the next invocation.
     """
     from pyspark import StorageLevel
 
-    from ..cacheutil import release
+    from ..cacheutil import (
+        register_rdd_ids,
+        release,
+        tracked_local_checkpoint,
+        unpersist_rdd_ids,
+    )
 
     release("dedup.connected_components")  # previous invocation's labels
+    sc = pairs.sparkSession.sparkContext
     edges = (
         pairs.select(F.col(lo_col).alias("a"), F.col(hi_col).alias("b"))
         .unionByName(
@@ -341,6 +353,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # stored = the frame whose plan is ACTUALLY in the cache manager.
+    # DataFrame.unpersist() only matches its own plan — calling it on a
+    # derived frame (e.g. agg.drop(...)) is a silent no-op and leaked
+    # one persisted round per iteration for the session lifetime.
+    stored = labels
+    ck_ids: set[int] = set()  # blocks backing the CURRENT labels round
     for i in range(max_iter):
         contrib = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -352,20 +370,27 @@ def connected_components(
             F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
         )
         if (i + 1) % CC_CHECKPOINT_EVERY == 0:
-            agg = agg.localCheckpoint()
+            agg, new_ck_ids = tracked_local_checkpoint(agg)
         else:
             agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+            new_ck_ids = set()
         changed = agg.filter(F.col("label") < F.col("_old")).count()
-        labels.unpersist()
+        # agg is now materialized to its own storage → the previous
+        # round's blocks (cache or checkpoint) are safe to free
+        stored.unpersist()
+        unpersist_rdd_ids(sc, ck_ids)
+        stored, ck_ids = agg, new_ck_ids
         labels = agg.drop("_old")
         if changed == 0:
             break
     edges.unpersist()
-    # the final labels frame backs the returned lazy result — it stays
-    # persisted until the next invocation releases it
+    # the final round backs the returned lazy result — its storage
+    # (cache + any checkpoint blocks) stays until the next invocation
+    # releases the scope
     from ..cacheutil import register
 
-    register("dedup.connected_components", labels)
+    register("dedup.connected_components", stored)
+    register_rdd_ids("dedup.connected_components", sc, ck_ids)
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -407,9 +432,16 @@ def connected_components_star(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    from ..cacheutil import release, register
+    from ..cacheutil import (
+        register,
+        register_rdd_ids,
+        release,
+        tracked_local_checkpoint,
+        unpersist_rdd_ids,
+    )
 
     release("dedup.connected_components_star")
+    sc = pairs.sparkSession.sparkContext
     edges = (
         pairs.select(
             F.least(F.col(lo_col), F.col(hi_col)).alias("a"),
@@ -454,20 +486,25 @@ def connected_components_star(
 
     prev_sum = _checksum(edges)
     star_every = max(1, CC_CHECKPOINT_EVERY // 2)  # deeper per-round plans
+    ck_ids: set[int] = set()  # blocks backing the CURRENT edges round
     for i in range(max_iter):
         nxt = _small_star(_large_star(edges))
         if (i + 1) % star_every == 0:
-            nxt = nxt.localCheckpoint()
+            nxt, new_ck_ids = tracked_local_checkpoint(nxt)
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-        cur_sum = _checksum(nxt)
+            new_ck_ids = set()
+        cur_sum = _checksum(nxt)  # materializes nxt to its own storage
         edges.unpersist()
+        unpersist_rdd_ids(sc, ck_ids)  # superseded checkpoint blocks
+        ck_ids = new_ck_ids
         edges = nxt
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
     register("dedup.connected_components_star", edges)
+    register_rdd_ids("dedup.connected_components_star", sc, ck_ids)
     return (
         edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
         .unionByName(

@@ -356,3 +356,36 @@ def test_incremental_lsh_pairs_excludes_old_old_and_estimates(spark):
     assert pairs[(2, 10)] == ("new-old", 10000)
     assert (20, 21) not in pairs  # old×old excluded by construction
     assert not any(3 in p for p in pairs)  # dissimilar doc pairs with nothing
+
+
+def test_cc_checkpoint_blocks_released(spark):
+    """Superseded localCheckpoint rounds must not retain blocks: a
+    long chain forces >=2 checkpoints (CC_CHECKPOINT_EVERY=8), and
+    after the next invocation releases the scope, the persistent-RDD
+    census returns to its baseline (round-4 advisor finding:
+    DataFrame.unpersist() is a no-op for localCheckpointed plans)."""
+    from omfietser_etl_spark import cacheutil
+    from omfietser_etl_spark.textops import dedup as dd
+
+    sc = spark.sparkContext
+    baseline = cacheutil.persistent_rdd_ids(sc)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40, 60)], "doc_lo long, doc_hi long"
+    )
+    got = {r.node: r.component for r in dd.connected_components(chain).collect()}
+    assert set(got.values()) == {40}  # one component rooted at the min
+    # a fresh tiny invocation releases the previous scope's frames
+    tiny = spark.createDataFrame([(1, 2)], "doc_lo long, doc_hi long")
+    dd.connected_components(tiny).collect()
+    cacheutil.release("dedup.connected_components")
+    leftover = cacheutil.persistent_rdd_ids(sc) - baseline
+    assert leftover == set(), f"leaked persisted RDDs: {leftover}"
+
+    # same story for the star variant
+    baseline = cacheutil.persistent_rdd_ids(sc)
+    dd.connected_components_star(chain).collect()
+    dd.connected_components_star(tiny).collect()
+    cacheutil.release("dedup.connected_components_star")
+    leftover = cacheutil.persistent_rdd_ids(sc) - baseline
+    assert leftover == set(), f"leaked persisted RDDs: {leftover}"
