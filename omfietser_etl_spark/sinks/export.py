@@ -91,9 +91,21 @@ def write_training_shards(
     rows, without reading data.
     """
     spark = df.sparkSession
+    # Claim the version dir atomically: os.mkdir either wins or raises
+    # FileExistsError, so two concurrent writers can never pick the
+    # same v_N, overwrite each other's parquet, or race the _CURRENT
+    # flip — the loser just claims the next number. (The flip itself
+    # is already an atomic rename; last committed flip wins.)
+    os.makedirs(path, exist_ok=True)
     version = (_versions(path) or [0])[-1] + 1
-    vname = f"v_{version:08d}"
-    vdir = os.path.join(path, vname)
+    while True:
+        vname = f"v_{version:08d}"
+        vdir = os.path.join(path, vname)
+        try:
+            os.mkdir(vdir)
+            break
+        except FileExistsError:
+            version += 1
 
     ordered = shuffle_order(df, id_col, n_shards, salt)
     (

@@ -172,7 +172,11 @@ def bloom_hits(
 
     Scale shape: probing runs over DISTINCT keys (repeats get their
     verdict by the join-back), the bloom broadcasts, and the probe is
-    explode(k cells) → broadcast join → key-keyed count."""
+    explode(k cells) → broadcast join → key-keyed count.
+
+    NULL keys get ``might_contain = false`` (not silently dropped):
+    km_cells(NULL) emits no probe rows, and NULL is definitionally
+    absent from the filter (bloom_build sets no bits for it)."""
     keys = df.select(F.col(key_col).alias("_key")).distinct()
     probes = keys.select(
         "_key", F.posexplode(km_cells("_key", k, m)).alias("_r", "pos")
@@ -182,4 +186,8 @@ def bloom_hits(
         .groupBy("_key")
         .agg((F.count(F.col("_set")) == k).alias("might_contain"))
     )
-    return df.join(hits, df[key_col] == hits["_key"]).drop("_key")
+    return (
+        df.join(hits, df[key_col].eqNullSafe(hits["_key"]), "left")
+        .drop("_key")
+        .withColumn("might_contain", F.coalesce("might_contain", F.lit(False)))
+    )

@@ -96,3 +96,21 @@ def test_reexport_versions_and_flips_pointer(spark, tmp_path):
     # oldest pruned, previous kept
     assert not (tmp_path / "export" / "v_00000001").exists()
     assert (tmp_path / "export" / "v_00000002").exists()
+
+
+def test_export_version_claim_is_exclusive(spark, tmp_path):
+    """A pre-existing (even empty/dangling) version dir can't be
+    reused: the writer claims v_N via os.mkdir and skips to the next
+    free number — two concurrent writers can never collide (round-4
+    advisor finding)."""
+    import os
+
+    from omfietser_etl_spark.sinks.export import write_training_shards
+
+    path = str(tmp_path / "exp")
+    df = spark.range(20).selectExpr("id", "cast(id as string) as doc_id")
+    m1 = write_training_shards(df, path, "doc_id", n_shards=2)
+    # simulate a concurrent writer having claimed the next slot
+    os.mkdir(os.path.join(path, f"v_{m1['version'] + 1:08d}"))
+    m2 = write_training_shards(df, path, "doc_id", n_shards=2)
+    assert m2["version"] == m1["version"] + 2  # skipped the claimed slot

@@ -161,3 +161,21 @@ def test_bloom_decontam_superset_of_exact(spark):
         assert bloom[doc].n_hit >= e.n_hit
         if e.is_contaminated:
             assert bloom[doc].flagged
+
+
+def test_bloom_hits_keeps_null_keys_as_false(spark):
+    """NULL keys must not vanish from bloom_hits output: they carry
+    might_contain=false (NULL sets no bits, so it is definitionally
+    absent) — round-4 advisor finding."""
+    from omfietser_etl_spark.textops.sketch import bloom_build, bloom_hits
+
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    bloom = bloom_build(keys, "k")
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zz")], "id long, k string"
+    )
+    rows = {r.id: r.might_contain for r in bloom_hits(probe, "k", bloom).collect()}
+    assert rows[1] is True          # member: always a hit
+    assert rows[2] is False         # NULL key kept, reported absent
+    assert 3 in rows                # non-member kept (hit or FP-noise)
+    assert len(rows) == 3
