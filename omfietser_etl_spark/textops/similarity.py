@@ -331,17 +331,32 @@ def rh_coefficients(dim: int, planes: int = RH_PLANES) -> list[list[float]]:
 
 
 def rh_signature_bits(
-    emb: DataFrame, id_col: str, vec_col: str, dim: int, planes: int = RH_PLANES
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bands: int = RH_BANDS,
+    rows: int = RH_ROWS,
 ) -> DataFrame:
     """Per-vector LSH band keys: (id, band, key) rows.
 
     One map-side pass — each plane's projection is a left-fold dot
     against a LITERAL ±1 array (constant-folded into codegen, exact
     double arithmetic, fold order identical to the oracle's
-    list_reduce); bit p = (proj ≥ 0); band key packs RH_ROWS bits
+    list_reduce); bit p = (proj ≥ 0); band key packs ``rows`` bits
     into an integer. No shuffle here; the downstream candidate join
     shuffles (band, key) — 8+8 bytes per vector per band.
+
+    SIZE THE KEY SPACE TO THE CORPUS: a band has 2^rows buckets, and
+    random (cos≈0) pairs collide in a band with probability ~2^-rows,
+    so the junk-candidate volume is ~bands · N²/2^(rows+1). The
+    gate-scale default (4×4: 16 buckets) saturates beyond ~10⁴
+    vectors — the 10× stress run measured ~100× candidate growth —
+    so at production N choose rows ≳ log2(N) (e.g. rows=20+ at 10⁹
+    vectors) and recover recall with more bands. Planes used =
+    bands · rows.
     """
+    planes = bands * rows
     coeffs = rh_coefficients(dim, planes)
     bit_exprs = []
     for p in range(planes):
@@ -352,15 +367,15 @@ def rh_signature_bits(
         )
         bit_exprs.append(f"CASE WHEN {proj} >= 0.0D THEN 1L ELSE 0L END")
     band_keys = []
-    for b in range(RH_BANDS):
+    for b in range(bands):
         parts = " + ".join(
-            f"({bit_exprs[b * RH_ROWS + r]}) * {1 << r}L" for r in range(RH_ROWS)
+            f"({bit_exprs[b * rows + r]}) * {1 << r}L" for r in range(rows)
         )
         band_keys.append(f"({parts})")
-    stacked = ", ".join(f"{b}, {band_keys[b]}" for b in range(RH_BANDS))
+    stacked = ", ".join(f"{b}, {band_keys[b]}" for b in range(bands))
     return emb.select(
         F.col(id_col).alias("vid"),
-        F.expr(f"stack({RH_BANDS}, {stacked}) AS (band, key)"),
+        F.expr(f"stack({bands}, {stacked}) AS (band, key)"),
     )
 
 
@@ -370,6 +385,8 @@ def rh_neardup_pairs(
     vec_col: str,
     threshold: float,
     dim: int,
+    bands: int = RH_BANDS,
+    rows: int = RH_ROWS,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH banding +
     exact verification — the recall<1 scale complement to the exact
@@ -383,7 +400,7 @@ def rh_neardup_pairs(
     vectors and checks the exact fold dot ≥ threshold, so no false
     positives survive; recall is the banding collision probability.
     """
-    sig = rh_signature_bits(emb, id_col, vec_col, dim)
+    sig = rh_signature_bits(emb, id_col, vec_col, dim, bands=bands, rows=rows)
     cand = (
         sig.alias("a")
         .join(

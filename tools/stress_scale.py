@@ -167,13 +167,25 @@ def main() -> None:
             F.expr(f"stack({BANDS}, {', '.join(band_exprs)}) AS (band_id, key)"),
         )
         out["minhash-band (td3/td15/dd4)"] = pair_volume(stacked, ["band_id", "key"])
-        grams8 = docs.select(
-            F.explode(dd.shingles(dd.tokens("text"), 8)).alias("g")
+        grams8 = docs.select(dd.tokens("text").alias("t")).select(
+            F.explode(dd.shingles("t", 8)).alias("g")
         )
         out["8-gram-df (td14 proxy)"] = pair_volume(grams8, ["g"])
         rh = sim.rh_signature_bits(emb, "vec_id", "embedding", 64)
-        out["rh-band (td16)"] = pair_volume(rh, ["band", "key"])
+        out["rh-band 4x4 (td16 gate geometry)"] = pair_volume(rh, ["band", "key"])
+        rh16 = sim.rh_signature_bits(emb, "vec_id", "embedding", 64, bands=4, rows=16)
+        out["rh-band 4x16 (scaled geometry)"] = pair_volume(rh16, ["band", "key"])
         return out
+
+    def run_rh_scaled(sf_dir: str) -> tuple[float, int]:
+        # td16 with corpus-sized geometry: 16-bit band keys (65536
+        # buckets) and tau above the dim-64 random-cosine noise floor
+        emb = load(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        rows = sim.rh_neardup_pairs(
+            emb, "vec_id", "embedding", 0.7, 64, bands=4, rows=16
+        ).count()
+        return time.perf_counter() - t0, rows
 
     print(f"# stress: {BASE} (1x) vs {STRESS} (10x)\n")
     print("| query | t_1x (s) | t_10x (s) | t ratio | rows_1x | rows_10x | rows ratio |")
@@ -185,6 +197,12 @@ def main() -> None:
             f"| {name} | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
             f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
         )
+    t1, r1 = run_rh_scaled(BASE)
+    t10, r10 = run_rh_scaled(STRESS)
+    print(
+        f"| td16 scaled (rows=16, tau=.7) | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
+        f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
+    )
 
     c1 = cand_counts(BASE)
     c10 = cand_counts(STRESS)
