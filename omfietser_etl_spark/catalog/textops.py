@@ -189,9 +189,14 @@ _GUARD_MIN = 3
 
 
 def td12_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """Guard + 8-byte hashed-shingle keys together — the configuration
+    a 100 TB corpus would actually run (the hot-shingle DF guard works
+    identically on hashed keys; output is representation-agnostic, so
+    the string-shingle oracle still replays it bit-for-bit)."""
     return dd.jaccard_pairs(
         load(spark, sf, "documents"), "doc_id", "text",
         max_df_frac=_GUARD_FRAC, min_df_cap=_GUARD_MIN,
+        hash_shingles=True,
     )
 
 
