@@ -248,6 +248,52 @@ def _td3_oracle() -> str:
 
 
 # ---------------------------------------------------------------- #
+# td19 — winnowing fingerprints (MOSS; Schleimer et al. 2003):
+# position-robust LOCAL near-dup pairs. Fingerprint density ~2/(w+1)
+# of the gram count → the blocking join shuffles (w+1)/2× fewer keys
+# than shingle-Jaccard for the same corpus, with a guarantee that any
+# shared run of ≥ w+k-1 tokens produces a shared fingerprint.
+# ---------------------------------------------------------------- #
+
+_WIN_THR = 0.5
+
+
+def td19_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.winnowing_pairs(
+        load(spark, sf, "documents"), "doc_id", "text", _WIN_THR
+    )
+
+
+def _td19_oracle() -> str:
+    k, w = dd.WINNOW_K, dd.WINNOW_W
+    gram = f"array_to_string(t[i:i+{k - 1}], ' ')"
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+h AS (SELECT doc,
+  CASE WHEN len(t) >= {k} THEN
+    [{dk_poly(gram)} for i in range(1, len(t) - {k - 2})]
+  ELSE [] END AS hs FROM d),
+f0 AS (SELECT doc,
+  CASE WHEN len(hs) >= {w} THEN
+    list_distinct([list_aggregate(hs[j:j+{w - 1}], 'min')
+                   for j in range(1, len(hs) - {w - 2})])
+  WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')]
+  ELSE [] END AS fps FROM h),
+fp AS (SELECT doc, unnest(fps) AS fp FROM f0),
+sz AS (SELECT doc, count(*) AS n FROM fp GROUP BY doc),
+inter AS (SELECT a.doc AS doc_lo, b.doc AS doc_hi, count(*) AS n_inter
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+          GROUP BY 1, 2)
+SELECT i.doc_lo, i.doc_hi,
+       round(i.n_inter / (za.n + zb.n - i.n_inter), 4) AS sim
+FROM inter i
+JOIN sz za ON za.doc = i.doc_lo
+JOIN sz zb ON zb.doc = i.doc_hi
+WHERE round(i.n_inter / (za.n + zb.n - i.n_inter), 4) >= {_WIN_THR}
+"""
+
+
+# ---------------------------------------------------------------- #
 # td17 — incremental dedup: new batch vs corpus signature state
 # ---------------------------------------------------------------- #
 
@@ -1457,6 +1503,10 @@ SPECS = [
         "Jaccard near-dup with degenerate-shingle DF guard",
     ),
     QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
+    QuerySpec(
+        "td19_winnowing_pairs", td19_winnowing_pairs, _td19_oracle(),
+        "winnowing-fingerprint (MOSS) local near-dup pairs",
+    ),
     QuerySpec("td17_incremental_dedup", td17_incremental_dedup, _td17_oracle(),
               "incremental dedup: new batch vs stored signature state"),
     QuerySpec("td4_simhash", td4_simhash, _td4_oracle(), "SimHash fingerprints"),

@@ -97,6 +97,13 @@ def semantic_dedup_pairs(
     Scale shape: the cluster id is the blocking key — the one shuffle
     is cid-keyed, and the quadratic term is bounded by the largest
     cluster, never the corpus (vs td5's exact all-pairs baseline).
+    SIZE k TO THE CORPUS: within-cluster pair cost is Σ cᵢ² ≈ N²/k,
+    so k must grow ∝ N to hold per-cluster size (and cost-per-vector)
+    constant — the 10× stress run with a FIXED codebook measured 75×
+    wall growth (SCALING.md round-5). The SemDeDup paper's regime is
+    exactly this: k chosen for a target cluster size, not a constant.
+    Also keep ``tau`` above the random-cosine noise floor (≳6/√dim),
+    or the OUTPUT itself grows quadratically regardless of k.
     Cross-cluster near-dups are the accepted recall loss; tighten it
     by raising k (smaller clusters) or ``probes`` > 1 (each vector
     joins its top-p clusters — near-boundary pairs meet in a shared

@@ -688,3 +688,109 @@ def incremental_lsh_pairs(
         .select("doc_lo", "doc_hi", "pair_origin",
                 minhash_estimate_bp(n_hashes).cast("long").alias("est_bp"))
     )
+
+
+# ---------------------------------------------------------------- #
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003; the
+# MOSS algorithm). Position-robust LOCAL fingerprinting: any shared
+# token run of >= w + k - 1 tokens is GUARANTEED to share at least
+# one fingerprint, while only ~2/(w+1) of gram hashes are kept.
+# Complements the other dedup primitives: shingle-Jaccard measures
+# whole-document overlap, ExactSubstr finds verbatim runs, winnowing
+# detects partial/local overlap (quote insertion, section reuse)
+# with a detection guarantee and a bounded fingerprint density.
+# ---------------------------------------------------------------- #
+
+WINNOW_K = 4  # token-gram length
+WINNOW_W = 4  # winnowing window over consecutive gram hashes
+
+from .constants import CHAR_SEED  # noqa: E402  (shared with poly_hash)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc, fp) — distinct winnowing fingerprints per document.
+
+    Pure codegen, map-side only: token k-grams IN ORDER (not the
+    distinct shingle set — winnowing is positional), exact polynomial
+    hash per gram, then fp_j = min(h_j..h_{j+w-1}) for every window;
+    array_distinct before the explode. Docs shorter than k tokens emit
+    nothing; docs with 1..w-1 gram hashes emit their single min (every
+    short doc stays representable). The hash is the same
+    engine-portable poly fold the oracle replays (no xxhash needed;
+    swap in ``F.xxhash64`` per-gram for production byte savings — the
+    downstream join is already on an 8-byte key either way).
+    """
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    grams = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k - 1}), i -> concat_ws(' ', slice(t, i, {k}))) "
+        f"ELSE array() END"
+    )
+    hashes = (
+        f"transform({grams}, g -> aggregate(split(g, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD}))"
+    )
+    fps = (
+        f"CASE WHEN size(hs) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}), "
+        f"j -> array_min(slice(hs, j, {w})))) "
+        f"WHEN size(hs) >= 1 THEN array(array_min(hs)) "
+        f"ELSE array() END"
+    )
+    return (
+        toks.select("doc", F.expr(hashes).alias("hs"))
+        .select("doc", F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing-fingerprint sets.
+
+    Same scale shape as :func:`jaccard_pairs` — the blocking equi-join
+    key is the fingerprint (already an 8-byte integer), candidates
+    exist only for pairs sharing >=1 fingerprint, |A∩B| rides the join
+    group count — but the key density is ~2/(w+1) of the shingle
+    count, so the shuffle is ~(w+1)/2 x smaller for the same corpus,
+    and matches are LOCAL (a shared >= w+k-1-token run suffices, no
+    whole-document similarity needed).
+    """
+    fp = release_then_register(
+        "dedup.winnowing_pairs",
+        winnow_fingerprints(df, id_col, text_col, k, w).cache(),
+    )
+    sizes = fp.groupBy("doc").agg(F.count("*").alias("n_fp"))
+    inter = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_lo"), F.col("b.doc").alias("doc_hi"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_lo", "n_fp": "n_lo"}), "doc_lo")
+        .join(sizes.withColumnsRenamed({"doc": "doc_hi", "n_fp": "n_hi"}), "doc_hi")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("inter") / (F.col("n_lo") + F.col("n_hi") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("doc_lo", "doc_hi", "sim")
+    )

@@ -389,3 +389,54 @@ def test_cc_checkpoint_blocks_released(spark):
     cacheutil.release("dedup.connected_components_star")
     leftover = cacheutil.persistent_rdd_ids(sc) - baseline
     assert leftover == set(), f"leaked persisted RDDs: {leftover}"
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing contract (Schleimer et al. 2003): two documents
+    sharing a token run of >= w+k-1 tokens share >= 1 fingerprint, and
+    fingerprint density is well below the gram count (~2/(w+1))."""
+    from omfietser_etl_spark.textops.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+        winnowing_pairs,
+    )
+
+    run = "alpha bravo charlie delta echo foxtrot golf"  # w+k-1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix one two {run} suffix here now"),
+            (2, f"{run} completely different tail words appear afterwards"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "text")
+    by_doc = {
+        r.doc: set(r.fps)
+        for r in fp.groupBy("doc").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared >=w+k-1 run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: fingerprints strictly fewer than gram hashes
+    n_tokens = 10
+    n_grams = n_tokens - WINNOW_K + 1
+    assert all(len(v) < n_grams for v in by_doc.values())
+
+    pairs = winnowing_pairs(docs, "doc_id", "text", threshold=0.01).collect()
+    assert {(r.doc_lo, r.doc_hi) for r in pairs} == {(1, 2)}
+    assert all(0 < r.sim <= 1 for r in pairs)
+
+
+def test_winnowing_short_doc_still_fingerprinted(spark):
+    """Docs with >=k tokens but fewer than w gram hashes emit their
+    single min-hash fingerprint; docs under k tokens emit nothing."""
+    from omfietser_etl_spark.textops.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "just four tokens here"), (2, "two words")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, "doc_id", "text").collect()
+    assert {r.doc for r in rows} == {1}
+    assert len(rows) == 1
