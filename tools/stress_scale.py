@@ -125,6 +125,7 @@ def main() -> None:
         "td12_jaccard_guarded",
         "td3_minhash_lsh",
         "td14_substring_dedup",
+        "td19_winnowing_pairs",
         "td15_fuzzy_dedup_e2e",
         "td16_rh_lsh_pairs",
         "td13_semantic_dedup",
@@ -172,6 +173,8 @@ def main() -> None:
             F.explode(dd.shingles("t", 8)).alias("g")
         )
         out["8-gram-df (td14 proxy)"] = pair_volume(grams8, ["g"])
+        wfp = dd.winnow_fingerprints(docs, "doc_id", "text")
+        out["winnow-fp (td19)"] = pair_volume(wfp, ["fp"])
         rh = sim.rh_signature_bits(emb, "vec_id", "embedding", 64)
         out["rh-band 4x4 (td16 gate geometry)"] = pair_volume(rh, ["band", "key"])
         rh16 = sim.rh_signature_bits(emb, "vec_id", "embedding", 64, bands=4, rows=16)
