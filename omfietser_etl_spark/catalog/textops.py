@@ -294,6 +294,99 @@ WHERE round(i.n_inter / (za.n + zb.n - i.n_inter), 4) >= {_WIN_THR}
 
 
 # ---------------------------------------------------------------- #
+# ts15 — DSIR importance selection (Xie et al. 2023): keep the top
+# fraction of the pool by hashed-n-gram importance weight toward a
+# target slice (lang='en'). Every log is the exact integer ilog2_q
+# (square-and-compare), so the oracle replays the ENTIRE model fit +
+# scoring + selection bit-for-bit — no float logs anywhere.
+# ---------------------------------------------------------------- #
+
+_DSIR_FRAC = (1, 4)  # keep top ceil(N/4)
+
+
+def ts15_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    from omfietser_etl_spark.textops.selection import dsir_select
+
+    docs = load(spark, sf, "documents").withColumn("_t", F.col("lang") == "en")
+    return dsir_select(docs, "doc_id", "text", "_t",
+                       frac_num=_DSIR_FRAC[0], frac_den=_DSIR_FRAC[1])
+
+
+def dk_ilog2_chain(src: str, q: int, f: int) -> str:
+    """CTE chain computing il = floor(2^q·log2 x) for every row of
+    ``src`` (a CTE with an integer column x ≥ 1) — the DuckDB twin of
+    selection.ilog2_q, property-tested equal in tests/test_selection."""
+    steps = [
+        f"il0 AS (SELECT x, CAST(length(printf('%b', x)) - 1 AS BIGINT) AS p FROM {src})",
+        f"il0b AS (SELECT x, p, CASE WHEN p >= {f} THEN CAST(x AS BIGINT) >> (p - {f}) "
+        f"ELSE CAST(x AS BIGINT) << ({f} - p) END AS y, CAST(0 AS BIGINT) AS r FROM il0)",
+    ]
+    prev = "il0b"
+    for i in range(q):
+        steps.append(
+            f"il{i + 1} AS (SELECT x, p, "
+            f"CASE WHEN ((y*y) >> {f}) >= (CAST(1 AS BIGINT) << {f + 1}) "
+            f"THEN ((y*y) >> {f}) >> 1 ELSE (y*y) >> {f} END AS y, "
+            f"r*2 + CASE WHEN ((y*y) >> {f}) >= (CAST(1 AS BIGINT) << {f + 1}) "
+            f"THEN 1 ELSE 0 END AS r FROM {prev})"
+        )
+        prev = f"il{i + 1}"
+    steps.append(f"il AS (SELECT x, (p << {q}) + r AS il FROM {prev})")
+    return ", ".join(steps)
+
+
+def _ts15_oracle() -> str:
+    from omfietser_etl_spark.textops.selection import DSIR_DIM, DSIR_F, DSIR_Q
+
+    dim, q, f = DSIR_DIM, DSIR_Q, DSIR_F
+    num, den = _DSIR_FRAC
+    return f"""
+WITH d AS (SELECT doc_id AS doc, lang = 'en' AS is_t,
+                  {DK_TOKENS.format(c="text")} AS t FROM documents),
+g AS (SELECT doc, unnest(list_concat(t,
+        CASE WHEN len(t) >= 2 THEN
+          [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        ELSE [] END)) AS g FROM d),
+cnt AS (SELECT doc, {dk_poly('g')} % {dim} AS b, count(*) AS c
+        FROM g GROUP BY 1, 2),
+bk AS (SELECT b,
+         SUM(CASE WHEN d.is_t THEN c ELSE 0 END) AS ct,
+         SUM(c) AS cr
+       FROM cnt JOIN d USING (doc) GROUP BY b),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+               CAST(SUM(cr) AS BIGINT) AS r_tot FROM bk),
+vals AS (SELECT DISTINCT CAST(ct + 1 AS BIGINT) AS x FROM bk
+         UNION SELECT DISTINCT CAST(cr + 1 AS BIGINT) FROM bk
+         UNION SELECT t_tot + {dim} FROM tot
+         UNION SELECT r_tot + {dim} FROM tot),
+{dk_ilog2_chain('vals', q, f)},
+lam AS (SELECT bk.b, it.il - ir.il AS lam
+        FROM bk JOIN il it ON it.x = bk.ct + 1
+                JOIN il ir ON ir.x = bk.cr + 1),
+kc AS (SELECT ir.il - it.il AS k_const
+       FROM tot JOIN il it ON it.x = tot.t_tot + {dim}
+                JOIN il ir ON ir.x = tot.r_tot + {dim}),
+contrib AS (SELECT cnt.doc, SUM(cnt.c * lam.lam) AS dsum,
+                   CAST(SUM(cnt.c) AS BIGINT) AS n_grams
+            FROM cnt JOIN lam USING (b) GROUP BY 1),
+scored AS (SELECT d.doc,
+                  COALESCE(ct.n_grams, 0) AS n_grams,
+                  CAST(COALESCE(ct.dsum, 0)
+                       + COALESCE(ct.n_grams, 0) * (SELECT k_const FROM kc)
+                       AS BIGINT) AS score_q
+           FROM d LEFT JOIN contrib ct ON ct.doc = d.doc),
+ranked AS (SELECT doc, n_grams, score_q,
+                  CAST(row_number() OVER (ORDER BY score_q DESC, doc ASC)
+                       AS BIGINT) AS rk
+           FROM scored),
+n AS (SELECT count(*) AS n FROM d)
+SELECT doc, n_grams, score_q, rk,
+       rk <= (SELECT (n * {num} + {den - 1}) // {den} FROM n) AS selected
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------- #
 # td17 — incremental dedup: new batch vs corpus signature state
 # ---------------------------------------------------------------- #
 
@@ -1506,6 +1599,10 @@ SPECS = [
     QuerySpec(
         "td19_winnowing_pairs", td19_winnowing_pairs, _td19_oracle(),
         "winnowing-fingerprint (MOSS) local near-dup pairs",
+    ),
+    QuerySpec(
+        "ts15_dsir_select", ts15_dsir_select, _ts15_oracle(),
+        "DSIR importance selection toward a target slice (exact ilog2)",
     ),
     QuerySpec("td17_incremental_dedup", td17_incremental_dedup, _td17_oracle(),
               "incremental dedup: new batch vs stored signature state"),

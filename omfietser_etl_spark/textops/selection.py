@@ -1,0 +1,185 @@
+"""DSIR-style data selection: importance resampling toward a target
+distribution (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling" — public paper; hashed-n-gram bag-of-words
+importance weights).
+
+Given a pool of raw documents and a TARGET subset (e.g. a trusted
+high-quality slice), fit two hashed-n-gram multinomials — p_target
+over the target slice, p_raw over the whole pool — and score every
+document by its importance log-weight
+
+    log w(x) = Σ_b c_x[b] · (log θ_t[b] − log θ_r[b])
+
+then keep the top fraction. Documents distributionally closer to the
+target score higher; the classic use is picking web data that looks
+like Wikipedia/books before pretraining.
+
+EXACTNESS (the oracle story): logs are the classic parity hazard
+(libm vs JVM), so every log here is ``ilog2_q`` — floor(2^Q · log2 x)
+computed by the integer square-and-compare algorithm (p = bit length
+− 1; mantissa bits from repeated y←y² ≫ F with a conditional
+normalize). Pure 64-bit integer ops, bit-identical in Python, Spark
+and DuckDB (property-tested in tests/test_selection.py). With α=1
+Laplace smoothing every log argument is a positive integer:
+
+    λ[b] = ilog2(c_t[b]+1) − ilog2(c_r[b]+1)
+    K    = ilog2(T_r+D)   − ilog2(T_t+D)
+    score_q(x) = Σ_b c_x[b]·λ[b] + n_grams(x)·K
+
+Scale shape (100 TB posture):
+- featurize: tokens → unigram+bigram poly-hash buckets, map-side
+  explode; per-doc counts ride the one doc-keyed shuffle;
+- model fit: ONE bucket-keyed aggregation bounded by dim (≤4096
+  cells after map-side combine), collected driver-side (KBs — the
+  same bounded-collect contract as the k-means codebook) and
+  broadcast back as the λ table;
+- scoring: broadcast equi-join on bucket + one doc-keyed sum;
+- selection: gate scale ranks exactly (one sort); at corpus scale
+  replace the global sort with the a21 mergeable quantile sketch to
+  find the score threshold, then a map-side filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokens
+from .constants import CHAR_SEED, MOD
+
+DSIR_DIM = 2048   # hashed n-gram buckets
+DSIR_Q = 20       # fixed-point fraction bits of ilog2_q
+DSIR_F = 30       # mantissa fixed-point bits (y² < 2^62: no overflow)
+
+
+def ilog2_q(x: int, q: int = DSIR_Q, f: int = DSIR_F) -> int:
+    """floor(2^q · log2 x) for integer x ≥ 1 — exact integer
+    square-and-compare; the DuckDB twin is ``dk_ilog2_steps`` in
+    catalog/textops.py and both are property-tested equal."""
+    if x < 1:
+        raise ValueError("ilog2_q needs x >= 1")
+    p = x.bit_length() - 1
+    y = (x >> (p - f)) if p >= f else (x << (f - p))  # [2^f, 2^{f+1})
+    r = 0
+    for _ in range(q):
+        y = (y * y) >> f
+        if y >= (1 << (f + 1)):
+            r = r * 2 + 1
+            y >>= 1
+        else:
+            r = r * 2
+    return (p << q) + r
+
+
+def dsir_gram_counts(
+    df: DataFrame, id_col: str, text_col: str, dim: int = DSIR_DIM
+) -> DataFrame:
+    """(doc, b, c) — per-document counts of hashed unigram+bigram
+    buckets (NOT distinct: multinomial counts). Map-side explode; the
+    poly hash is the engine-portable char fold the oracles replay."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    grams = (
+        "concat(t, CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2))) "
+        "ELSE array() END)"
+    )
+    bucket = (
+        f"aggregate(split(g, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD}) % {dim}"
+    )
+    return (
+        toks.select("doc", F.explode(F.expr(grams)).alias("g"))
+        .select("doc", F.expr(bucket).alias("b"))
+        .groupBy("doc", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_lambda_from_counts(
+    counts: DataFrame, flags: DataFrame, dim: int
+) -> tuple[list[tuple[int, int]], int]:
+    """Fit the importance table from a (doc, b, c) counts frame and a
+    (doc, _is_t) flag frame: returns (λ rows [(bucket, λ)], K).
+
+    One bucket-keyed aggregation (≤ dim rows — bounded collect by
+    construction). Raw model = the WHOLE pool."""
+    per_bucket = (
+        counts.join(flags, "doc")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("ct"),
+            F.sum("c").alias("cr"),
+        )
+        .collect()
+    )
+    t_tot = sum(r.ct for r in per_bucket)
+    r_tot = sum(r.cr for r in per_bucket)
+    lam = [(int(r.b), ilog2_q(r.ct + 1) - ilog2_q(r.cr + 1)) for r in per_bucket]
+    k_const = ilog2_q(r_tot + dim) - ilog2_q(t_tot + dim)
+    return lam, k_const
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    dim: int = DSIR_DIM,
+) -> DataFrame:
+    """(doc, n_grams, score_q) for every pool document — exact int64
+    importance micro-log2-weights (scale 2^DSIR_Q). The featurize
+    pass is computed once and cached: the model fit and the scoring
+    join both read it (DSIR is inherently two-pass)."""
+    from ..cacheutil import release_then_register
+
+    spark = df.sparkSession
+    counts = release_then_register(
+        "selection.dsir_scores",
+        dsir_gram_counts(df, id_col, text_col, dim).cache(),
+    )
+    flags = df.select(F.col(id_col).alias("doc"), F.col(target_col).alias("_is_t"))
+    lam, k_const = dsir_lambda_from_counts(counts, flags, dim)
+    lam_df = spark.createDataFrame(lam, "b long, lam long")
+    contrib = (
+        counts.join(F.broadcast(lam_df), "b")
+        .groupBy("doc")
+        .agg(F.sum(F.col("c") * F.col("lam")).alias("dsum"),
+             F.sum("c").alias("n_grams"))
+    )
+    base = df.select(F.col(id_col).alias("doc"))
+    return (
+        base.join(contrib, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            (
+                F.coalesce("dsum", F.lit(0))
+                + F.coalesce("n_grams", F.lit(0)) * F.lit(k_const)
+            ).cast("long").alias("score_q"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    frac_num: int = 1,
+    frac_den: int = 4,
+    dim: int = DSIR_DIM,
+) -> DataFrame:
+    """Rank the pool by importance and keep the top ceil(N·frac):
+    (doc, n_grams, score_q, rk, selected). Deterministic tie-break by
+    doc id. Gate-scale exact sort; see module docstring for the
+    sketch-threshold variant at corpus scale."""
+    scores = dsir_scores(df, id_col, text_col, target_col, dim)
+    w = "(ORDER BY score_q DESC, doc ASC)"
+    n = df.count()
+    k_sel = (n * frac_num + frac_den - 1) // frac_den
+    return scores.select(
+        "doc",
+        "n_grams",
+        "score_q",
+        F.expr(f"row_number() OVER {w}").cast("long").alias("rk"),
+    ).withColumn("selected", F.col("rk") <= F.lit(k_sel))

@@ -325,3 +325,19 @@ def test_ta8_model_joins_are_equi(spark):
     plan = _plan(ta8_bigram_fluency(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_pair_join_is_equi_no_cartesian(spark):
+    """td19's candidate generation must be a fingerprint-keyed equi
+    join (shuffle key = 8-byte fp), never a cartesian/BNL product."""
+    import re
+
+    from omfietser_etl_spark.textops.dedup import winnowing_pairs
+    from omfietser_etl_spark.session import load
+
+    df = winnowing_pairs(load(spark, SF_SMOKE, "documents"), "doc_id", "text")
+    plan = _plan(df)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert any("Join" in n for n in nodes)  # the fp equi-join is there

@@ -1,0 +1,75 @@
+"""DSIR importance selection: exact integer-log2 equivalence and
+selection semantics."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from omfietser_etl_spark.textops.selection import (
+    DSIR_F,
+    DSIR_Q,
+    dsir_scores,
+    dsir_select,
+    ilog2_q,
+)
+
+
+def test_ilog2_matches_float_log2_within_quantum():
+    for x in [1, 2, 3, 10, 999983, 2**40 + 7, 10**12]:
+        approx = ilog2_q(x) / 2**DSIR_Q
+        assert abs(approx - math.log2(x)) < 2e-6 + 1e-12 * x
+
+
+def test_ilog2_python_duckdb_equivalence_property():
+    """The oracle's unrolled SQL chain must equal the Python fold on
+    arbitrary positive ints (the whole ts15 parity rests on this)."""
+    from omfietser_etl_spark.catalog.textops import dk_ilog2_chain
+
+    rng = random.Random(7)
+    vals = sorted({1, 2, 3, 2**40, 10**13, *(rng.randint(1, 10**12) for _ in range(60))})
+    lit = ", ".join(f"({v})" for v in vals)
+    sql = (
+        f"WITH vals(x) AS (VALUES {lit}), "
+        + dk_ilog2_chain("vals", DSIR_Q, DSIR_F)
+        + " SELECT x, il FROM il"
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == {v: ilog2_q(v) for v in vals}
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary must outscore docs
+    from a disjoint vocabulary, and the top-fraction flag is exact."""
+    target_texts = [f"alpha beta gamma delta {i}" for i in range(5)]
+    like_target = ["alpha beta gamma epsilon", "beta gamma delta zeta"]
+    unlike = ["xylophone quokka zephyr", "quasar nebula pulsar meteor"]
+    rows = (
+        [(i, t, True) for i, t in enumerate(target_texts)]
+        + [(100 + i, t, False) for i, t in enumerate(like_target)]
+        + [(200 + i, t, False) for i, t in enumerate(unlike)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r.doc: r for r in dsir_select(docs, "doc_id", "text", "is_t").collect()}
+    assert len(out) == 9
+    # every target-vocabulary doc outscores every disjoint-vocab doc
+    like_scores = [out[d].score_q for d in (100, 101)]
+    unlike_scores = [out[d].score_q for d in (200, 201)]
+    assert min(like_scores) > max(unlike_scores)
+    # ceil(9/4) = 3 selected, ranks are a permutation
+    assert sum(r.selected for r in out.values()) == 3
+    assert sorted(r.rk for r in out.values()) == list(range(1, 10))
+
+
+def test_dsir_scores_are_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 3} shared words here", i % 2 == 0) for i in range(12)],
+        "doc_id long, text string, is_t boolean",
+    )
+    a = sorted(map(tuple, dsir_scores(docs, "doc_id", "text", "is_t").collect()))
+    b = sorted(map(tuple, dsir_scores(docs, "doc_id", "text", "is_t").collect()))
+    assert a == b
