@@ -1017,6 +1017,70 @@ FROM ag
 """
 
 
+def ta9_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-level quality rule battery (Rae et al. 2021):
+    word-count/word-length bounds, symbol ratio, bullet/ellipsis line
+    shares, alpha-word fraction, required stopwords — every ratio an
+    exact integer cross-multiplication so the oracle replays each
+    verdict bit-for-bit (textops/analysis.py::gopher_rules)."""
+    from omfietser_etl_spark.textops.analysis import gopher_rules
+
+    return gopher_rules(load(spark, sf, "documents"), "doc_id", "text")
+
+
+def _ta9_oracle() -> str:
+    from omfietser_etl_spark.textops.analysis import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id AS doc,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines
+  FROM documents),
+c AS (
+  SELECT s.doc,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+      AS sum_word_len,
+    CAST(length(d.text) - length(replace(d.text, '#', ''))
+         + (length(d.text) - length(replace(d.text, '...', ''))) // 3
+         AS BIGINT) AS n_symbols,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> substring(l, 1, 1) IN ('•', '-', '*')))
+         AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+         AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect(
+      list_distinct(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                x -> x <> '')), [{sw}])) AS BIGINT) AS n_stopwords
+  FROM s JOIN documents d ON d.doc_id = s.doc)
+SELECT doc, n_words,
+  n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS ok_word_count,
+  3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS ok_word_len,
+  10 * n_symbols < n_words AS ok_symbol_ratio,
+  10 * n_bullet <= 9 * n_lines AND 10 * n_ellipsis <= 3 * n_lines
+    AS ok_bullet_ellipsis,
+  5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
+  n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+    AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+    AND (10 * n_symbols < n_words)
+    AND (10 * n_bullet <= 9 * n_lines AND 10 * n_ellipsis <= 3 * n_lines)
+    AND (5 * n_alpha_words >= 4 * n_words)
+    AND (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS pass_all
+FROM c
+"""
+
+
 def ta5_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate / top 2-gram
     fractions per doc, exact integers end to end."""
@@ -1632,6 +1696,8 @@ SPECS = [
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
               "repeated n-gram (Gopher) signals"),
+    QuerySpec("ta9_gopher_rules", ta9_gopher_rules, _ta9_oracle(),
+              "Gopher document-level quality rule battery"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
     QuerySpec("ta8_bigram_fluency", ta8_bigram_fluency, TA8_ORACLE,

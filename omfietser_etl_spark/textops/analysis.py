@@ -204,3 +204,96 @@ def bigram_fluency(df, id_col: str = "doc_id", text_col: str = "text"):
             F.coalesce("fluency_bp", F.lit(0)).cast("long").alias("fluency_bp"),
         )
     )
+
+
+#: Gopher required stopwords (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", quality-filter appendix — public): a document
+#: must contain at least GOPHER_MIN_STOPWORDS distinct ones.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher document-level quality rule battery (Rae et al. 2021)
+    as one map-side codegen pass — per-doc booleans plus the overall
+    keep flag. Complements ta5's repetition signals (the other half
+    of the Gopher filter set).
+
+    Every ratio rule is an exact INTEGER cross-multiplication (e.g.
+    "mean word length in [3,10]" is ``3·W ≤ Σlen ≤ 10·W``), so the
+    DuckDB oracle replays each verdict bit-for-bit — no float
+    thresholds under the gate. Rules:
+
+    1. word count in [50, 100000];
+    2. mean word length in [3, 10] characters;
+    3. symbol-to-word ratio ('#' chars + '...' runs) < 10%;
+    4. ≤90% of lines start with a bullet AND ≤30% end with an
+       ellipsis;
+    5. ≥80% of words contain at least one alphabetic character;
+    6. ≥2 distinct required stopwords present.
+
+    Scale shape: no shuffle at all — pure per-row expressions; at
+    100 TB this is a free rider on whatever scan feeds it.
+    """
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    exprs = {
+        "w": f"filter(split({text_col}, '\\\\s+'), x -> x <> '')",
+        "lines": f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l <> '')",
+    }
+    stats = df.select(
+        F.col(id_col).alias("doc"),
+        F.expr(f"size({exprs['w']})").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate({exprs['w']}, 0L, (a, x) -> a + length(x))"
+        ).alias("sum_word_len"),
+        (
+            F.expr(f"length({text_col}) - length(replace({text_col}, '#', ''))")
+            + F.expr(
+                f"CAST((length({text_col}) - length(replace({text_col}, '...', ''))) / 3 AS BIGINT)"
+            )
+        ).cast("long").alias("n_symbols"),
+        F.expr(f"size({exprs['lines']})").cast("long").alias("n_lines"),
+        F.expr(
+            f"size(filter({exprs['lines']}, l -> substring(l, 1, 1) IN ('•', '-', '*')))"
+        ).cast("long").alias("n_bullet"),
+        F.expr(
+            f"size(filter({exprs['lines']}, l -> l LIKE '%...' OR l LIKE '%…'))"
+        ).cast("long").alias("n_ellipsis"),
+        F.expr(
+            f"size(filter({exprs['w']}, x -> x rlike '[A-Za-z]'))"
+        ).cast("long").alias("n_alpha_words"),
+        F.expr(
+            f"size(array_intersect(array_distinct(filter(split(lower({text_col}), "
+            f"'\\\\s+'), x -> x <> '')), array({sw})))"
+        ).cast("long").alias("n_stopwords"),
+    )
+    out = stats.select(
+        "doc",
+        "n_words",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        ).alias("ok_word_count"),
+        (
+            (3 * F.col("n_words") <= F.col("sum_word_len"))
+            & (F.col("sum_word_len") <= 10 * F.col("n_words"))
+        ).alias("ok_word_len"),
+        (10 * F.col("n_symbols") < F.col("n_words")).alias("ok_symbol_ratio"),
+        (
+            (10 * F.col("n_bullet") <= 9 * F.col("n_lines"))
+            & (10 * F.col("n_ellipsis") <= 3 * F.col("n_lines"))
+        ).alias("ok_bullet_ellipsis"),
+        (5 * F.col("n_alpha_words") >= 4 * F.col("n_words")).alias("ok_alpha_words"),
+        (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "pass_all",
+        F.col("ok_word_count")
+        & F.col("ok_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullet_ellipsis")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )

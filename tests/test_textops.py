@@ -440,3 +440,35 @@ def test_winnowing_short_doc_still_fingerprinted(spark):
     rows = winnow_fingerprints(docs, "doc_id", "text").collect()
     assert {r.doc for r in rows} == {1}
     assert len(rows) == 1
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule flips on its designed violation and the good
+    doc passes everything (Rae et al. 2021 filter battery)."""
+    from omfietser_etl_spark.textops.analysis import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and then they "
+            "have wandered off with plenty of perfectly ordinary words "
+            "to spare making this document long enough for the filter "
+            "battery to accept it as a real piece of prose easily "
+            "surpassing the fifty word minimum required by the rules")
+    rows = [
+        (1, good),
+        (2, "too few words here with the and that"),            # word count
+        (3, " ".join(["a"] * 60) + " the of"),                   # mean word len < 3
+        (4, " ".join(["####word"] * 60) + " the of and"),        # symbol ratio
+        (5, "\n".join(["- bullet line the of"] * 10)
+            + "\n" + " ".join(["word"] * 60)),                   # bullets > 90%? (11 lines, 10 bullets)
+        (6, " ".join(["12345"] * 60) + " the of and that"),      # alpha words < 80%
+        (7, " ".join(["zorp"] * 60)),                            # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc: r for r in gopher_rules(docs).collect()}
+    assert out[1].pass_all, out[1]
+    assert not out[2].ok_word_count
+    assert not out[3].ok_word_len
+    assert not out[4].ok_symbol_ratio
+    assert not out[5].ok_bullet_ellipsis
+    assert not out[6].ok_alpha_words
+    assert not out[7].ok_stopwords
+    assert all(not out[d].pass_all for d in (2, 3, 4, 5, 6, 7))
