@@ -1081,6 +1081,37 @@ FROM c
 """
 
 
+def ta10_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc character-entropy numerator in exact integer 2^-20
+    log2 units (gibberish/degeneracy signal;
+    textops/analysis.py::char_entropy_stats — same ilog2_q machinery
+    as ts15, replayed bit-for-bit by the oracle)."""
+    from omfietser_etl_spark.textops.analysis import char_entropy_stats
+
+    return char_entropy_stats(load(spark, sf, "documents"), "doc_id", "text")
+
+
+def _ta10_oracle() -> str:
+    from omfietser_etl_spark.textops.selection import DSIR_F, DSIR_Q
+
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {DK_NORM.format(c="text")} AS s FROM documents),
+ch AS (SELECT doc, unnest(list_filter(string_split_regex(s, ''), c -> c <> '')) AS ch
+       FROM d),
+cnt AS (SELECT doc, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+pd AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS n_chars FROM cnt GROUP BY doc),
+vals AS (SELECT DISTINCT c AS x FROM cnt UNION SELECT DISTINCT n_chars FROM pd),
+{dk_ilog2_chain('vals', DSIR_Q, DSIR_F)},
+sums AS (SELECT cnt.doc, CAST(SUM(cnt.c * il.il) AS BIGINT) AS sum_c_il
+         FROM cnt JOIN il ON il.x = cnt.c GROUP BY 1)
+SELECT pd.doc, pd.n_chars,
+       CAST(pd.n_chars * iln.il - s.sum_c_il AS BIGINT) AS ent_q
+FROM pd
+JOIN il iln ON iln.x = pd.n_chars
+JOIN sums s ON s.doc = pd.doc
+"""
+
+
 def ta5_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate / top 2-gram
     fractions per doc, exact integers end to end."""
@@ -1698,6 +1729,8 @@ SPECS = [
               "repeated n-gram (Gopher) signals"),
     QuerySpec("ta9_gopher_rules", ta9_gopher_rules, _ta9_oracle(),
               "Gopher document-level quality rule battery"),
+    QuerySpec("ta10_char_entropy", ta10_char_entropy, _ta10_oracle(),
+              "character-entropy degeneracy signal (exact integer log2)"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
     QuerySpec("ta8_bigram_fluency", ta8_bigram_fluency, TA8_ORACLE,

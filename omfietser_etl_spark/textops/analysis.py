@@ -297,3 +297,57 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
         & F.col("ok_alpha_words")
         & F.col("ok_stopwords"),
     )
+
+
+def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document character-distribution entropy — the classic
+    gibberish/degeneracy signal (near-zero entropy = repeated chars;
+    near-log2(alphabet) = uniform noise; natural text sits between).
+
+    Exactness: H = log2 n − (1/n)·Σ c·log2 c needs logs, so the
+    output is the EXACT integer numerator ``ent_q = n·ilog2_q(n) −
+    Σ c·ilog2_q(c)`` (i.e. n·H in 2^-DSIR_Q log2 units — divide by
+    n·2^DSIR_Q for bits/char) — the same square-and-compare integer
+    log2 as DSIR (textops/selection.py::ilog2_q), so the DuckDB
+    oracle replays every value bit-for-bit; no float logs.
+
+    Scale shape: one explode over characters of the NORMALIZED text
+    + one (doc, ch) count + one doc-keyed sum — the per-char ilog2
+    runs on count integers only. At 100 TB the (doc, ch) key space is
+    ≤ alphabet×docs and combines map-side.
+    """
+    from .selection import ilog2_q  # noqa: PLC0415 — avoid cycle at import
+
+    chars = (
+        df.select(F.col(id_col).alias("doc"), norm_text(text_col).alias("_s"))
+        .select("doc", F.explode(F.expr("filter(split(_s, ''), c -> c <> '')")).alias("ch"))
+    )
+    counts = chars.groupBy("doc", "ch").agg(F.count("*").alias("c"))
+    # ilog2_q over small ints via a broadcast lookup built driver-side:
+    # counts are bounded by max doc length, so the distinct-count set
+    # is tiny; collect it, map exactly in Python, broadcast back.
+    distinct_counts = [r.c for r in counts.select("c").distinct().collect()]
+    spark = df.sparkSession
+    il_rows = [(int(c), ilog2_q(int(c))) for c in distinct_counts]
+    il_df = spark.createDataFrame(il_rows, "c long, il long")
+    per_doc = (
+        counts.join(F.broadcast(il_df), "c")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("il")).cast("long").alias("sum_c_il"),
+        )
+    )
+    n_distinct = [r.n for r in per_doc.select(F.col("n_chars").alias("n")).distinct().collect()]
+    iln_df = spark.createDataFrame(
+        [(int(n), ilog2_q(int(n))) for n in n_distinct], "n_chars long, iln long"
+    )
+    return (
+        per_doc.join(F.broadcast(iln_df), "n_chars")
+        .select(
+            "doc",
+            "n_chars",
+            (F.col("n_chars") * F.col("iln") - F.col("sum_c_il"))
+            .cast("long").alias("ent_q"),
+        )
+    )

@@ -73,3 +73,25 @@ def test_dsir_scores_are_deterministic(spark):
     a = sorted(map(tuple, dsir_scores(docs, "doc_id", "text", "is_t").collect()))
     b = sorted(map(tuple, dsir_scores(docs, "doc_id", "text", "is_t").collect()))
     assert a == b
+
+
+def test_char_entropy_orders_degenerate_vs_natural(spark):
+    """Entropy signal sanity: repeated-char docs score near zero,
+    uniform-alphabet docs score near log2(alphabet), natural text in
+    between; ent_q/(n*2^Q) is bits/char."""
+    from omfietser_etl_spark.textops.analysis import char_entropy_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),              # degenerate
+            (2, "the quick brown fox jumps over the lazy dog"),   # natural
+            (3, "abcdefghijklmnopqrstuvwxyz012345"),              # uniform 32
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in char_entropy_stats(docs).collect()}
+    bits = {d: out[d].ent_q / (out[d].n_chars * 2**DSIR_Q) for d in out}
+    assert bits[1] == 0.0
+    assert abs(bits[3] - 5.0) < 1e-4          # log2(32) exactly 5 bits
+    assert 2.0 < bits[2] < 4.5                # natural English text
+    assert bits[1] < bits[2] < bits[3]
