@@ -341,3 +341,22 @@ def test_winnowing_pair_join_is_equi_no_cartesian(spark):
     assert "CartesianProduct" not in nodes
     assert "BroadcastNestedLoopJoin" not in nodes
     assert any("Join" in n for n in nodes)  # the fp equi-join is there
+
+
+def test_dsir_lambda_join_is_broadcast(spark):
+    """ts15's λ table and ta10's ilog2 lookups are tiny driver-built
+    frames — they must broadcast, never sort-merge against the
+    corpus-side counts."""
+    import re
+
+    from omfietser_etl_spark.catalog.textops import (
+        ta10_char_entropy,
+        ts15_dsir_select,
+    )
+
+    for build in (ts15_dsir_select, ta10_char_entropy):
+        plan = _plan(build(spark, SF_SMOKE))
+        nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+        assert "BroadcastHashJoin" in nodes, build.__name__
+        assert "CartesianProduct" not in nodes
+        assert "BroadcastNestedLoopJoin" not in nodes
