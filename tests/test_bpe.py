@@ -1,0 +1,90 @@
+"""Distributed BPE training vs a pure-Python single-machine
+reference: the merge sequences must be EXACTLY equal (same counts,
+same deterministic tie-breaks)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from omfietser_etl_spark.textops.bpe import (
+    END_MARK,
+    bpe_vocab,
+    segment_word_reference,
+    train_bpe,
+)
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new new newer",
+    "wide wider widest wide",
+    "low new wide low new",
+]
+
+
+def _norm_words(texts: list[str]) -> Counter:
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split():
+            words[w] += 1
+    return words
+
+
+def _reference_bpe(texts: list[str], n_merges: int, min_count: int = 2):
+    """Classic single-machine BPE (Sennrich et al. 2016) with the
+    engine's tie-break: count desc, then (a, b) ascending."""
+    hist = {w: (list(w) + [END_MARK], c) for w, c in _norm_words(texts).items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in hist.values():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        a, b = best[0]
+        merges.append((a, b, rank))
+        for w, (syms, c) in hist.items():
+            out, carry = [], None
+            for s in syms:
+                if carry == a and s == b:
+                    out.append(a + b)
+                    carry = None
+                elif carry is None:
+                    carry = s
+                else:
+                    out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            hist[w] = (out, c)
+    return merges
+
+
+def test_train_bpe_matches_reference_exactly(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    got = train_bpe(docs, "text", n_merges=12)
+    want = _reference_bpe(CORPUS, 12)
+    assert got == want
+    assert len(got) >= 5  # the toy corpus supports a real merge chain
+
+
+def test_bpe_vocab_segments_consistently(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, "text", n_merges=10)
+    vocab = {r.term: r.id for r in bpe_vocab(docs, "text", n_merges=10).collect()}
+    assert len(vocab) == len(set(vocab.values()))  # ids unique
+    assert min(vocab.values()) == 1
+    # every segment of every corpus word is in the induced vocab
+    for w in _norm_words(CORPUS):
+        for seg in segment_word_reference(w, merges):
+            assert seg in vocab, (w, seg)
+    # frequent stems actually merged into multi-char units
+    assert any(len(t.replace(END_MARK, "")) >= 3 for t in vocab)
