@@ -95,3 +95,35 @@ def test_char_entropy_orders_degenerate_vs_natural(spark):
     assert abs(bits[3] - 5.0) < 1e-4          # log2(32) exactly 5 bits
     assert 2.0 < bits[2] < 4.5                # natural English text
     assert bits[1] < bits[2] < bits[3]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(min_value=1, max_value=2**62 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_ilog2_monotone_and_bounded(x):
+        """floor(2^Q log2 x) properties: monotone, exact on powers of
+        two, within one quantum of the float log."""
+        v = ilog2_q(x)
+        assert ilog2_q(x + 1) >= v
+        p = x.bit_length() - 1
+        assert (p << DSIR_Q) <= v < ((p + 1) << DSIR_Q)
+        if x & (x - 1) == 0:  # exact power of two
+            assert v == p << DSIR_Q
+
+    @given(st.lists(st.integers(min_value=1, max_value=10**14),
+                    min_size=1, max_size=30, unique=True))
+    @settings(max_examples=30, deadline=None)
+    def test_ilog2_duckdb_equivalence_hypothesis(vals):
+        from omfietser_etl_spark.catalog.textops import dk_ilog2_chain
+
+        lit = ", ".join(f"({v})" for v in vals)
+        sql = (f"WITH vals(x) AS (VALUES {lit}), "
+               + dk_ilog2_chain("vals", DSIR_Q, DSIR_F)
+               + " SELECT x, il FROM il")
+        got = dict(duckdb.connect().execute(sql).fetchall())
+        assert got == {v: ilog2_q(v) for v in vals}
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
