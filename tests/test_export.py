@@ -114,3 +114,23 @@ def test_export_version_claim_is_exclusive(spark, tmp_path):
     os.mkdir(os.path.join(path, f"v_{m1['version'] + 1:08d}"))
     m2 = write_training_shards(df, path, "doc_id", n_shards=2)
     assert m2["version"] == m1["version"] + 2  # skipped the claimed slot
+
+
+def test_dsir_selection_feeds_shard_export(spark, tmp_path):
+    """Integration: importance-select a corpus slice, export the kept
+    docs as training shards — manifest counts match the selection."""
+    from omfietser_etl_spark.sinks.export import read_manifest, write_training_shards
+    from omfietser_etl_spark.textops.selection import dsir_select
+
+    rows = [(i, f"common words plus t{i % 5}", i % 3 == 0) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    sel = dsir_select(docs, "doc_id", "text", "is_t").filter("selected")
+    kept = sel.count()
+    assert kept == 10  # ceil(40/4)
+
+    path = str(tmp_path / "dsir_shards")
+    m = write_training_shards(
+        sel.selectExpr("CAST(doc AS string) AS doc_id"), path, "doc_id", n_shards=2
+    )
+    assert m["total_rows"] == kept
+    assert read_manifest(path)["total_rows"] == kept
