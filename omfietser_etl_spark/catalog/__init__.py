@@ -45,10 +45,12 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a10_drift_report",
     "a11_issue_escalation",
     "a12_mapping_methods",
+    "a13_approx_distinct",
     "a13_distinct_parts",
     "a14_pivot",
     "a15_percentile_bands",
     "a16_profile",
+    "a17_incremental_rollup",
     "a18_grouping_sets",
     "a19_unpivot",
     "a1_status_counters",
@@ -110,7 +112,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "st6_window_counts",
     "st7_sessionize",
     "t_scalar_text",
-    "ta1_token_stats",
+    "ta10_char_entropy",
     "ta2_quality_score",
     "ta3_lang_id",
     "ta4_fingerprint",
@@ -118,6 +120,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "ta6_strip_markup",
     "ta7_relative_length_filter",
     "ta8_bigram_fluency",
+    "ta9_gopher_rules",
     "tc1_doc_chunking",
     "tc2_pii_scrub",
     "td10_quantize",
@@ -129,8 +132,10 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "td16_rh_lsh_pairs",
     "td17_incremental_dedup",
     "td18_bloom_decontam",
+    "td19_winnowing_pairs",
     "td1_exact_dedup",
     "td2_ngram_jaccard",
+    "td2h_jaccard_hashed",
     "td3_minhash_lsh",
     "td4_simhash",
     "td5_embed_neardup",
@@ -138,9 +143,22 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "td7_ivf_ann",
     "td8_kmeans_assign",
     "td9_contamination",
+    "tp1_prepare_corpus",
+    "ts10_unimax_budget",
+    "ts11_unimax_realized",
+    "ts12_token_unimax_realized",
+    "ts13_token_balanced_shards",
+    "ts14_leakage_free_split",
+    "ts15_dsir_select",
     "ts1_hash_sample",
     "ts2_mixture_split",
     "ts3_sequence_pack",
+    "ts4_stratified_sample",
+    "ts5_shuffle_order",
+    "ts6_tokenize",
+    "ts7_weighted_sample",
+    "ts8_temperature_rebalance",
+    "ts9_fixed_size_sample",
     "tv1_top_terms",
     "tv2_tfidf_terms",
     "tv3_cms_heavy_hitters",
@@ -151,6 +169,8 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "u5_intersect_except",
     "x2_online_inference",
     "x3_validation_summary",
+    "x7_skew_report",
+    "x8_nb_inference",
     "x9_nb_train_fit",
 })
 

@@ -15,42 +15,45 @@ def _load_update_certified():
     return mod
 
 
-def test_green_filter_excludes_err_and_mismatch(tmp_path, monkeypatch):
-    """Only rows with rows_match AND schema_match AND no err certify a name.
+def test_green_filter_requires_hash_match():
+    """Only rows with rows_match AND schema_match AND hash_match AND no err
+    certify a name.
 
-    Regression for the round-4 verdict nit: the old code unioned ALL names
-    from every artifact, so a query whose only rows were err:"no_oracle"
-    (a13_approx_distinct) could never rotate back into the driver window.
+    Regression for two verdict items: (round 4) err rows like a13's
+    pre-fix "no_oracle" entries must never certify; (round 5 ADVICE)
+    hash_match=False rows (value mismatch with rows/schema green — the
+    r01 a4/a7/ta1 shape) must not certify either, or a value-mismatched
+    query rotates out of the gate window forever. hash_match=None is
+    acceptable only for rows-only-by-design specs (oracle is None).
     """
-    import json
-
     mod = _load_update_certified()
-    artifact = {
-        "green_q": {"rows_match": True, "schema_match": True, "err": None},
-        "err_q": {"rows_match": None, "schema_match": None, "err": "no_oracle"},
-        "mismatch_q": {"rows_match": False, "schema_match": True, "err": None},
-        "schema_q": {"rows_match": True, "schema_match": False, "err": None},
-    }
-    p = tmp_path / "CORRECTNESS_r99.json"
-    p.write_text(json.dumps(artifact))
-
-    names = set()
-    for name, row in json.loads(p.read_text()).items():
-        if row.get("rows_match") and row.get("schema_match") and not row.get("err"):
-            names.add(name)
-    assert names == {"green_q"}
-    # the module exists and exposes main() (smoke, no file rewrite here)
-    assert callable(mod.main)
+    g = mod.green
+    base = {"rows_match": True, "schema_match": True, "err": None}
+    assert g({**base, "hash_match": True}, rows_only=False)
+    assert not g({**base, "hash_match": False}, rows_only=False)
+    assert not g({**base, "hash_match": None}, rows_only=False)
+    # rows-only-by-design specs have no hash; rows+schema green certifies
+    assert g({**base, "hash_match": None}, rows_only=True)
+    # ... but an actual hash verdict still wins over the rows-only waiver
+    assert not g({**base, "hash_match": False}, rows_only=True)
+    # err / rows / schema failures never certify regardless of hash
+    assert not g({"rows_match": None, "schema_match": None, "hash_match": None,
+                  "err": "no_oracle"}, rows_only=False)
+    assert not g({**base, "rows_match": False, "hash_match": True}, rows_only=False)
+    assert not g({**base, "schema_match": False, "hash_match": True}, rows_only=False)
 
 
-def test_driver_certified_excludes_a13_until_green():
-    """a13_approx_distinct's only driver rows are pre-fix err rows, so the
-    regenerated set must leave it out (it fronts in the round-5 window)."""
+def test_driver_certified_fronts_uncertified():
+    """ta1_token_stats' only driver row is the r01 hash-mismatch, so the
+    regenerated set must leave it out and front it in the gate window
+    (its parity bug was fixed later but never driver-re-verified)."""
     from omfietser_etl_spark.catalog import _DRIVER_CERTIFIED, all_specs
 
-    assert "a13_approx_distinct" not in _DRIVER_CERTIFIED
+    assert "ta1_token_stats" not in _DRIVER_CERTIFIED
+    # a13 finally got its green driver row in r05
+    assert "a13_approx_distinct" in _DRIVER_CERTIFIED
     specs = all_specs()
     fresh = [s.name for s in specs[:50] if s.name not in _DRIVER_CERTIFIED]
     # every never-certified query fits inside the 50-wide driver window
-    assert "a13_approx_distinct" in fresh
+    assert "ta1_token_stats" in fresh
     assert len([s for s in specs if s.name not in _DRIVER_CERTIFIED]) <= 50

@@ -22,15 +22,31 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CATALOG = os.path.join(ROOT, "omfietser_etl_spark", "catalog", "__init__.py")
 
 
+def green(row: dict, rows_only: bool) -> bool:
+    """A row certifies only when rows+schema matched, no error, AND the
+    value hash matched. hash_match=None is acceptable only for queries
+    that are rows-only BY DESIGN (spec.oracle is None) — otherwise a
+    value-mismatched or unhashed row must leave the query eligible to
+    rotate back to the front of the gate window."""
+    if not (row.get("rows_match") and row.get("schema_match") and not row.get("err")):
+        return False
+    hm = row.get("hash_match")
+    if hm is True:
+        return True
+    return hm is None and rows_only
+
+
 def main() -> int:
+    sys.path.insert(0, ROOT)
+    from omfietser_etl_spark.catalog import all_specs
+
+    rows_only_specs = {s.name for s in all_specs() if s.oracle is None}
+
     names: set[str] = set()
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             for name, row in json.load(f).items():
-                # Only a GREEN row certifies a query: rows+schema matched and
-                # no error. err rows (e.g. a13's pre-fix "no_oracle" entries)
-                # must leave the query eligible to rotate back to the front.
-                if row.get("rows_match") and row.get("schema_match") and not row.get("err"):
+                if green(row, name in rows_only_specs):
                     names.add(name)
     if not names:
         print("no CORRECTNESS_r*.json artifacts found", file=sys.stderr)
@@ -53,8 +69,12 @@ def main() -> int:
     with open(CATALOG, "w") as f:
         f.write(out)
 
-    sys.path.insert(0, ROOT)
-    from omfietser_etl_spark.catalog import all_specs, _DRIVER_CERTIFIED
+    import importlib
+
+    import omfietser_etl_spark.catalog as _cat
+
+    importlib.reload(_cat)
+    all_specs, _DRIVER_CERTIFIED = _cat.all_specs, _cat._DRIVER_CERTIFIED
 
     specs = all_specs()
     fresh = [s.name for s in specs if s.name not in _DRIVER_CERTIFIED]
