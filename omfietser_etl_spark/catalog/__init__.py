@@ -174,6 +174,143 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "x9_nb_train_fit",
 })
 
+#: name -> LATEST round whose CORRECTNESS artifact has a green row for
+#: it. Drives the staleness rotation in :func:`all_specs` (certified
+#: tail ordered oldest-green-first). Regenerated alongside
+#: _DRIVER_CERTIFIED by tools/update_certified.py.
+_CERTIFIED_ROUND: dict[str, int] = {
+    "a10_drift_report": 4,
+    "a11_issue_escalation": 4,
+    "a12_mapping_methods": 4,
+    "a13_approx_distinct": 5,
+    "a13_distinct_parts": 5,
+    "a14_pivot": 3,
+    "a15_percentile_bands": 3,
+    "a16_profile": 3,
+    "a17_incremental_rollup": 5,
+    "a18_grouping_sets": 5,
+    "a19_unpivot": 3,
+    "a1_status_counters": 5,
+    "a20_window_suite": 3,
+    "a21_approx_percentile": 5,
+    "a3_type_distribution": 5,
+    "a4_price_stats": 5,
+    "a5_promo_analysis": 4,
+    "a6_job_stats": 4,
+    "a7_event_summary": 5,
+    "a8_version_stats": 5,
+    "ca1_corpus_report": 4,
+    "cube_status_priority": 5,
+    "d1_promo_parse": 3,
+    "d2_quantity_standardize": 3,
+    "d4_price_per_unit": 3,
+    "d5_discount_metrics": 3,
+    "dd1_latest_per_key": 5,
+    "dd2_neardup_groups": 4,
+    "dd3_fuzzy_best_match": 4,
+    "dd4_neardup_components": 4,
+    "ev1_funnel": 4,
+    "ev2_retention": 4,
+    "ev3_moving_sum": 4,
+    "f6_validity_split": 5,
+    "h1_scd2_history": 4,
+    "h2_gapfill": 4,
+    "j10_full_outer_reconcile": 5,
+    "j1_broadcast_enrich": 5,
+    "j3_fuzzy_theta": 5,
+    "j5_multiway_revenue": 5,
+    "j7_asof_lag_delta": 1,
+    "j7_first_last_seen": 5,
+    "j8_range_join": 5,
+    "mm1_feature_extract": 4,
+    "mm2_resize_plan": 4,
+    "mm3_frame_sample": 4,
+    "mm4_decode_roundtrip": 4,
+    "mm5_audio_roundtrip": 4,
+    "mm6_video_probe": 4,
+    "o1_pagination": 5,
+    "o4_argmax_per_group": 5,
+    "o7_topk_per_group": 5,
+    "o9_keyset_pagination": 5,
+    "p1_ah_pipeline": 3,
+    "p2_jumbo_pipeline": 3,
+    "p3_aldi_pipeline": 3,
+    "p4_plus_pipeline": 3,
+    "p5_coalesce_projection": 5,
+    "p6_generic_kruidvat": 3,
+    "q2_quality_report": 3,
+    "rollup_region_nation": 5,
+    "s10_variant_extract": 4,
+    "s1_scan_pushdown": 5,
+    "s3_multi_filter_scan": 4,
+    "s5_point_lookup": 5,
+    "semi_join_active": 5,
+    "st4_changed_rows": 1,
+    "st6_window_counts": 1,
+    "st7_sessionize": 4,
+    "t_scalar_text": 3,
+    "ta10_char_entropy": 5,
+    "ta2_quality_score": 1,
+    "ta3_lang_id": 1,
+    "ta4_fingerprint": 1,
+    "ta5_repetition": 4,
+    "ta6_strip_markup": 4,
+    "ta7_relative_length_filter": 4,
+    "ta8_bigram_fluency": 4,
+    "ta9_gopher_rules": 5,
+    "tc1_doc_chunking": 4,
+    "tc2_pii_scrub": 4,
+    "td10_quantize": 4,
+    "td11_line_dedup": 4,
+    "td12_jaccard_guarded": 3,
+    "td13_semantic_dedup": 4,
+    "td14_substring_dedup": 4,
+    "td15_fuzzy_dedup_e2e": 4,
+    "td16_rh_lsh_pairs": 4,
+    "td17_incremental_dedup": 4,
+    "td18_bloom_decontam": 4,
+    "td19_winnowing_pairs": 5,
+    "td1_exact_dedup": 3,
+    "td2_ngram_jaccard": 3,
+    "td2h_jaccard_hashed": 5,
+    "td3_minhash_lsh": 3,
+    "td4_simhash": 2,
+    "td5_embed_neardup": 2,
+    "td6_ann_topk": 2,
+    "td7_ivf_ann": 1,
+    "td8_kmeans_assign": 4,
+    "td9_contamination": 4,
+    "tp1_prepare_corpus": 5,
+    "ts10_unimax_budget": 5,
+    "ts11_unimax_realized": 5,
+    "ts12_token_unimax_realized": 5,
+    "ts13_token_balanced_shards": 5,
+    "ts14_leakage_free_split": 5,
+    "ts15_dsir_select": 5,
+    "ts1_hash_sample": 4,
+    "ts2_mixture_split": 4,
+    "ts3_sequence_pack": 4,
+    "ts4_stratified_sample": 5,
+    "ts5_shuffle_order": 5,
+    "ts6_tokenize": 5,
+    "ts7_weighted_sample": 5,
+    "ts8_temperature_rebalance": 5,
+    "ts9_fixed_size_sample": 5,
+    "tv1_top_terms": 4,
+    "tv2_tfidf_terms": 4,
+    "tv3_cms_heavy_hitters": 4,
+    "u1_union_distinct": 5,
+    "u3_distinct_per_group": 4,
+    "u4_anti_join_missing": 5,
+    "u4_new_disappeared": 4,
+    "u5_intersect_except": 5,
+    "x2_online_inference": 4,
+    "x3_validation_summary": 3,
+    "x7_skew_report": 5,
+    "x8_nb_inference": 5,
+    "x9_nb_train_fit": 4,
+}
+
 
 def all_specs() -> list[QuerySpec]:
     from . import (
@@ -213,5 +350,11 @@ def all_specs() -> list[QuerySpec]:
     # a rows-only query spends a slot on the weaker check.
     fresh = [s for s in specs if s.name not in _DRIVER_CERTIFIED]
     fresh.sort(key=lambda s: s.oracle is None)
+    # Staleness rotation: with (nearly) the whole catalog certified, the
+    # gate would otherwise re-sample the same first 50 forever and the
+    # other rows would age indefinitely. Order the certified tail by
+    # OLDEST green driver round first (name tiebreak) so the 50-wide
+    # window re-verifies the full catalog every ~3 rounds.
     seen = [s for s in specs if s.name in _DRIVER_CERTIFIED]
+    seen.sort(key=lambda s: (_CERTIFIED_ROUND.get(s.name, 0), s.name))
     return fresh + seen

@@ -57,3 +57,30 @@ def test_driver_certified_fronts_uncertified():
     # every never-certified query fits inside the 50-wide driver window
     assert "ta1_token_stats" in fresh
     assert len([s for s in specs if s.name not in _DRIVER_CERTIFIED]) <= 50
+
+
+def test_staleness_rotation_orders_certified_tail_oldest_first():
+    """The certified tail is ordered by (latest green round, name) so the
+    50-wide gate window re-verifies the whole catalog every ~3 rounds
+    instead of re-sampling the same prefix forever. Order must be fully
+    deterministic (name tiebreak within a round)."""
+    from omfietser_etl_spark.catalog import (
+        _CERTIFIED_ROUND,
+        _DRIVER_CERTIFIED,
+        all_specs,
+    )
+
+    specs = all_specs()
+    tail = [s for s in specs if s.name in _DRIVER_CERTIFIED]
+    keys = [(_CERTIFIED_ROUND.get(s.name, 0), s.name) for s in tail]
+    assert keys == sorted(keys)
+    # two identical calls produce the identical order (pure function of
+    # the committed tables — no runtime artifact IO)
+    assert [s.name for s in all_specs()] == [s.name for s in specs]
+    # the rotation actually rotates: the window is NOT dominated by the
+    # most recently certified round
+    newest = max(_CERTIFIED_ROUND.values())
+    window = specs[:50]
+    assert all(
+        _CERTIFIED_ROUND.get(s.name, 0) < newest for s in window
+    ), "gate window should hold only stale (or fresh-uncertified) queries"

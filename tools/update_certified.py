@@ -42,19 +42,21 @@ def main() -> int:
 
     rows_only_specs = {s.name for s in all_specs() if s.oracle is None}
 
-    names: set[str] = set()
+    latest_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         with open(path) as f:
             for name, row in json.load(f).items():
                 if green(row, name in rows_only_specs):
-                    names.add(name)
-    if not names:
+                    latest_green[name] = max(latest_green.get(name, 0), rnd)
+    if not latest_green:
         print("no CORRECTNESS_r*.json artifacts found", file=sys.stderr)
         return 1
 
     src = open(CATALOG).read()
     body = "\n".join(
-        f'    "{n}",' for n in sorted(names)
+        f'    "{n}",' for n in sorted(latest_green)
     )
     new_block = "_DRIVER_CERTIFIED: frozenset[str] = frozenset({\n" + body + "\n})"
     out, count = re.subn(
@@ -65,6 +67,19 @@ def main() -> int:
     )
     if count != 1:
         print("could not locate the _DRIVER_CERTIFIED block", file=sys.stderr)
+        return 1
+    round_body = "\n".join(
+        f'    "{n}": {r},' for n, r in sorted(latest_green.items())
+    )
+    round_block = "_CERTIFIED_ROUND: dict[str, int] = {\n" + round_body + "\n}"
+    out, count = re.subn(
+        r"_CERTIFIED_ROUND: dict\[str, int\] = \{[^}]*\}",
+        round_block,
+        out,
+        flags=re.S,
+    )
+    if count != 1:
+        print("could not locate the _CERTIFIED_ROUND block", file=sys.stderr)
         return 1
     with open(CATALOG, "w") as f:
         f.write(out)
