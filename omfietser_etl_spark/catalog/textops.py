@@ -335,11 +335,26 @@ def dk_ilog2_chain(src: str, q: int, f: int) -> str:
     return ", ".join(steps)
 
 
-def _ts15_oracle() -> str:
+def ts16_dsir_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-scale DSIR selection path (sketch-bracketed cutoff +
+    exact boundary-band rank — selection.dsir_select_threshold): same
+    selected SET as ts15 with no global rank over the pool. Gated
+    under the same DuckDB model-fit replay; the oracle ranks (DuckDB
+    runs at gate scale) but emits only the selected flag, which is
+    exactly what the threshold path guarantees."""
+    from omfietser_etl_spark.textops.selection import dsir_select_threshold
+
+    docs = load(spark, sf, "documents").withColumn("_t", F.col("lang") == "en")
+    return dsir_select_threshold(docs, "doc_id", "text", "_t",
+                                 frac_num=_DSIR_FRAC[0], frac_den=_DSIR_FRAC[1])
+
+
+def _ts15_oracle(with_rank: bool = True) -> str:
     from omfietser_etl_spark.textops.selection import DSIR_DIM, DSIR_F, DSIR_Q
 
     dim, q, f = DSIR_DIM, DSIR_Q, DSIR_F
     num, den = _DSIR_FRAC
+    rk_col = "rk," if with_rank else ""
     return f"""
 WITH d AS (SELECT doc_id AS doc, lang = 'en' AS is_t,
                   {DK_TOKENS.format(c="text")} AS t FROM documents),
@@ -380,7 +395,7 @@ ranked AS (SELECT doc, n_grams, score_q,
                        AS BIGINT) AS rk
            FROM scored),
 n AS (SELECT count(*) AS n FROM d)
-SELECT doc, n_grams, score_q, rk,
+SELECT doc, n_grams, score_q, {rk_col}
        rk <= (SELECT (n * {num} + {den - 1}) // {den} FROM n) AS selected
 FROM ranked
 """
@@ -1698,6 +1713,10 @@ SPECS = [
     QuerySpec(
         "ts15_dsir_select", ts15_dsir_select, _ts15_oracle(),
         "DSIR importance selection toward a target slice (exact ilog2)",
+    ),
+    QuerySpec(
+        "ts16_dsir_threshold", ts16_dsir_threshold, _ts15_oracle(with_rank=False),
+        "DSIR selection via sketch-bracketed cutoff (the 100 TB path)",
     ),
     QuerySpec("td17_incremental_dedup", td17_incremental_dedup, _td17_oracle(),
               "incremental dedup: new batch vs stored signature state"),

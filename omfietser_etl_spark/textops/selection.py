@@ -34,9 +34,13 @@ Scale shape (100 TB posture):
   same bounded-collect contract as the k-means codebook) and
   broadcast back as the λ table;
 - scoring: broadcast equi-join on bucket + one doc-keyed sum;
-- selection: gate scale ranks exactly (one sort); at corpus scale
-  replace the global sort with the a21 mergeable quantile sketch to
-  find the score threshold, then a map-side filter.
+- selection: :func:`dsir_select` keeps the exact global rank but
+  computes it with the distributed range-partitioned rank (never a
+  single-partition window); :func:`dsir_select_threshold` is the
+  true corpus-scale path — a mergeable quantile sketch brackets the
+  cutoff, map-side filters classify everything outside the boundary
+  band, and only the band is ranked exactly (same selected set,
+  proven equal in tests/test_selection.py).
 """
 
 from __future__ import annotations
@@ -97,26 +101,77 @@ def dsir_gram_counts(
 
 def dsir_lambda_from_counts(
     counts: DataFrame, flags: DataFrame, dim: int
-) -> tuple[list[tuple[int, int]], int]:
+) -> tuple[list[tuple[int, int]], int, int]:
     """Fit the importance table from a (doc, b, c) counts frame and a
-    (doc, _is_t) flag frame: returns (λ rows [(bucket, λ)], K).
+    (doc, _is_t) flag frame: returns (λ rows [(bucket, λ)], K, n_docs).
 
     One bucket-keyed aggregation (≤ dim rows — bounded collect by
-    construction). Raw model = the WHOLE pool."""
-    per_bucket = (
-        counts.join(flags, "doc")
-        .groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("ct"),
-            F.sum("c").alias("cr"),
-        )
-        .collect()
+    construction). Raw model = the WHOLE pool. The pool size rides
+    the same collect as a b=-1 sentinel row (real buckets are ≥ 0),
+    so selection never needs a separate ``df.count()`` job."""
+    per_bucket = counts.join(flags, "doc").groupBy("b").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cr"),
     )
-    t_tot = sum(r.ct for r in per_bucket)
-    r_tot = sum(r.cr for r in per_bucket)
-    lam = [(int(r.b), ilog2_q(r.ct + 1) - ilog2_q(r.cr + 1)) for r in per_bucket]
+    n_row = flags.agg(F.count("*").alias("ct")).select(
+        F.lit(-1).cast(per_bucket.schema["b"].dataType).alias("b"),
+        F.col("ct").cast("long"),
+        F.lit(0).cast("long").alias("cr"),
+    )
+    rows = per_bucket.unionByName(n_row).collect()
+    n_docs = 0
+    t_tot = r_tot = 0
+    lam: list[tuple[int, int]] = []
+    for r in rows:
+        if r.b == -1:
+            n_docs = int(r.ct)
+            continue
+        t_tot += r.ct
+        r_tot += r.cr
+        lam.append((int(r.b), ilog2_q(r.ct + 1) - ilog2_q(r.cr + 1)))
     k_const = ilog2_q(r_tot + dim) - ilog2_q(t_tot + dim)
-    return lam, k_const
+    return lam, k_const, n_docs
+
+
+def _dsir_scores_n(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    dim: int = DSIR_DIM,
+) -> tuple[DataFrame, int]:
+    """((doc, n_grams, score_q) frame, pool size) — the pool size is a
+    by-product of the λ-fit collect (sentinel row), so selection does
+    not pay a separate count job (round-5 verdict item 7)."""
+    from ..cacheutil import release_then_register
+
+    spark = df.sparkSession
+    counts = release_then_register(
+        "selection.dsir_scores",
+        dsir_gram_counts(df, id_col, text_col, dim).cache(),
+    )
+    flags = df.select(F.col(id_col).alias("doc"), F.col(target_col).alias("_is_t"))
+    lam, k_const, n_docs = dsir_lambda_from_counts(counts, flags, dim)
+    lam_df = spark.createDataFrame(lam, "b long, lam long")
+    contrib = (
+        counts.join(F.broadcast(lam_df), "b")
+        .groupBy("doc")
+        .agg(F.sum(F.col("c") * F.col("lam")).alias("dsum"),
+             F.sum("c").alias("n_grams"))
+    )
+    base = df.select(F.col(id_col).alias("doc"))
+    scores = (
+        base.join(contrib, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            (
+                F.coalesce("dsum", F.lit(0))
+                + F.coalesce("n_grams", F.lit(0)) * F.lit(k_const)
+            ).cast("long").alias("score_q"),
+        )
+    )
+    return scores, n_docs
 
 
 def dsir_scores(
@@ -130,34 +185,7 @@ def dsir_scores(
     importance micro-log2-weights (scale 2^DSIR_Q). The featurize
     pass is computed once and cached: the model fit and the scoring
     join both read it (DSIR is inherently two-pass)."""
-    from ..cacheutil import release_then_register
-
-    spark = df.sparkSession
-    counts = release_then_register(
-        "selection.dsir_scores",
-        dsir_gram_counts(df, id_col, text_col, dim).cache(),
-    )
-    flags = df.select(F.col(id_col).alias("doc"), F.col(target_col).alias("_is_t"))
-    lam, k_const = dsir_lambda_from_counts(counts, flags, dim)
-    lam_df = spark.createDataFrame(lam, "b long, lam long")
-    contrib = (
-        counts.join(F.broadcast(lam_df), "b")
-        .groupBy("doc")
-        .agg(F.sum(F.col("c") * F.col("lam")).alias("dsum"),
-             F.sum("c").alias("n_grams"))
-    )
-    base = df.select(F.col(id_col).alias("doc"))
-    return (
-        base.join(contrib, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            (
-                F.coalesce("dsum", F.lit(0))
-                + F.coalesce("n_grams", F.lit(0)) * F.lit(k_const)
-            ).cast("long").alias("score_q"),
-        )
-    )
+    return _dsir_scores_n(df, id_col, text_col, target_col, dim)[0]
 
 
 def dsir_select(
@@ -171,15 +199,119 @@ def dsir_select(
 ) -> DataFrame:
     """Rank the pool by importance and keep the top ceil(N·frac):
     (doc, n_grams, score_q, rk, selected). Deterministic tie-break by
-    doc id. Gate-scale exact sort; see module docstring for the
-    sketch-threshold variant at corpus scale."""
-    scores = dsir_scores(df, id_col, text_col, target_col, dim)
-    w = "(ORDER BY score_q DESC, doc ASC)"
-    n = df.count()
-    k_sel = (n * frac_num + frac_den - 1) // frac_den
-    return scores.select(
-        "doc",
-        "n_grams",
-        "score_q",
-        F.expr(f"row_number() OVER {w}").cast("long").alias("rk"),
-    ).withColumn("selected", F.col("rk") <= F.lit(k_sel))
+    doc id.
+
+    The global rank is exact but never single-partition: it runs
+    through :func:`..operators.rank.distributed_rank` (range
+    repartition → parallel local row_number → bounded offset
+    collect). When the consumer only needs the selected SET (no rank
+    column), :func:`dsir_select_threshold` is cheaper still — it
+    never ranks the full pool at all."""
+    from ..operators.rank import distributed_rank
+
+    scores, n = _dsir_scores_n(df, id_col, text_col, target_col, dim)
+    k_sel = min((n * frac_num + frac_den - 1) // frac_den, n)
+    ranked = distributed_rank(
+        scores,
+        [F.col("score_q").desc(), F.col("doc").asc()],
+        rank_col="rk",
+        scope="selection.dsir_select",
+    )
+    return ranked.select("doc", "n_grams", "score_q", "rk").withColumn(
+        "selected", F.col("rk") <= F.lit(k_sel)
+    )
+
+
+def _score_brackets(
+    scores: DataFrame, q_lo: float, q_hi: float, accuracy: int
+) -> tuple[int, int]:
+    """Bracket the selection cutoff with one mergeable-sketch agg:
+    (t_lo, t_hi) score values at the two quantiles. Separated out so
+    tests can inject deliberately-wrong brackets to exercise the
+    exact-rank fallback guard."""
+    row = scores.agg(
+        F.percentile_approx(
+            "score_q", F.array(F.lit(q_lo), F.lit(q_hi)), F.lit(accuracy)
+        ).alias("t")
+    ).collect()[0]
+    return int(row.t[0]), int(row.t[1])
+
+
+def dsir_select_threshold(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    frac_num: int = 1,
+    frac_den: int = 4,
+    dim: int = DSIR_DIM,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The corpus-scale selection path: (doc, n_grams, score_q,
+    selected) with EXACTLY the same selected set as
+    :func:`dsir_select` — but no global rank is ever computed over
+    the pool.
+
+    Shape: an approx-percentile sketch (mergeable partial agg, no
+    shuffle) brackets the score cutoff with quantiles at
+    q* ± 4/accuracy; rows above the upper bracket are selected
+    map-side, rows below the lower bracket are rejected map-side, and
+    only the boundary BAND (≈ 8N/accuracy rows + cutoff-value tie
+    mass) is ranked exactly — via distributed_rank, so even a
+    pathological tie mass never funnels through one task. If the
+    sketch's rank-error guarantee is violated (counts show the cutoff
+    outside the band), falls back to the exact full ranking — the
+    selected set is correct by construction either way.
+    """
+    from ..cacheutil import release_then_register
+    from ..operators.rank import distributed_rank
+
+    order = [F.col("score_q").desc(), F.col("doc").asc()]
+    scores_raw, n = _dsir_scores_n(df, id_col, text_col, target_col, dim)
+    k_sel = min((n * frac_num + frac_den - 1) // frac_den, n)
+    scores = release_then_register(
+        "selection.dsir_threshold", scores_raw.cache()
+    )
+    if k_sel <= 0:
+        return scores.withColumn("selected", F.lit(False))
+    if k_sel >= n:
+        return scores.withColumn("selected", F.lit(True))
+
+    q_star = (n - k_sel) / n
+    delta = 4.0 / accuracy
+    q_lo, q_hi = max(0.0, q_star - delta), min(1.0, q_star + delta)
+    t_lo, t_hi = _score_brackets(scores, q_lo, q_hi, accuracy)
+
+    cnt = scores.agg(
+        F.sum((F.col("score_q") > t_hi).cast("long")).alias("a"),
+        F.sum(F.col("score_q").between(t_lo, t_hi).cast("long")).alias("b"),
+    ).collect()[0]
+    a, b = int(cnt.a), int(cnt.b)
+
+    if a > k_sel or a + b < k_sel:  # sketch guarantee violated
+        ranked = distributed_rank(
+            scores, order, rank_col="_rk", scope="selection.dsir_threshold_fb"
+        )
+        return ranked.withColumn(
+            "selected", F.col("_rk") <= F.lit(k_sel)
+        ).drop("_rk")
+
+    band = distributed_rank(
+        scores.filter(F.col("score_q").between(t_lo, t_hi)),
+        order,
+        rank_col="_brk",
+        scope="selection.dsir_threshold_band",
+    )
+    return (
+        scores.filter(F.col("score_q") > t_hi)
+        .withColumn("selected", F.lit(True))
+        .unionByName(
+            band.withColumn(
+                "selected", F.col("_brk") <= F.lit(k_sel - a)
+            ).drop("_brk")
+        )
+        .unionByName(
+            scores.filter(F.col("score_q") < t_lo)
+            .withColumn("selected", F.lit(False))
+        )
+    )

@@ -360,3 +360,28 @@ def test_dsir_lambda_join_is_broadcast(spark):
         assert "BroadcastHashJoin" in nodes, build.__name__
         assert "CartesianProduct" not in nodes
         assert "BroadcastNestedLoopJoin" not in nodes
+
+
+def test_global_ranks_never_single_partition(spark):
+    """ts13/ts15/ts16 rank exactly but NEVER through a partition-less
+    window: a `row_number() OVER (ORDER BY ...)` with no PARTITION BY
+    plans as Exchange SinglePartition + one-task WindowExec — the
+    last 'would not survive 100x' shape the round-5 verdict flagged.
+    distributed_rank (range repartition + per-partition local rank +
+    bounded offset collect) must leave ZERO SinglePartition exchanges
+    anywhere in the final plan."""
+    import re
+
+    from omfietser_etl_spark.catalog.textops import (
+        ts15_dsir_select,
+        ts16_dsir_threshold,
+    )
+    from omfietser_etl_spark.catalog.trainprep import ts13_token_balanced_shards
+
+    for build in (ts13_token_balanced_shards, ts15_dsir_select,
+                  ts16_dsir_threshold):
+        plan = _plan(build(spark, SF_SMOKE))
+        assert "SinglePartition" not in plan, build.__name__
+        nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+        # the rank window is still there (exactness), just partitioned
+        assert "Window" in nodes, build.__name__

@@ -65,6 +65,92 @@ def test_dsir_selects_target_like_docs(spark):
     assert sorted(r.rk for r in out.values()) == list(range(1, 10))
 
 
+def _pool(spark, n=60):
+    """A pool with heavy score ties (3 vocab classes) plus unique
+    suffixes — exercises tie-handling across the cutoff."""
+    rows = [
+        (i,
+         ["alpha beta gamma", "alpha zeta", "quokka zephyr xylo"][i % 3]
+         + f" tail{i % 7}",
+         i % 4 == 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+
+def test_dsir_threshold_equals_exact_selection(spark):
+    """The sketch-threshold path must select EXACTLY the same set as
+    the exact-rank path (the boundary band is ranked exactly, so
+    equality is by construction — this pins it), at several keep
+    fractions including tie-heavy cutoffs."""
+    from omfietser_etl_spark.textops.selection import dsir_select_threshold
+
+    docs = _pool(spark)
+    for num, den in [(1, 4), (1, 2), (2, 3), (1, 60)]:
+        exact = dsir_select(docs, "doc_id", "text", "is_t", num, den)
+        want = {r.doc for r in exact.collect() if r.selected}
+        got_rows = dsir_select_threshold(
+            docs, "doc_id", "text", "is_t", num, den
+        ).collect()
+        got = {r.doc for r in got_rows if r.selected}
+        assert got == want, (num, den)
+        assert len(got_rows) == 60  # every pool row classified
+        assert sorted(r.doc for r in got_rows) == list(range(60))
+
+
+def test_dsir_threshold_shortcuts_and_fallback(spark, monkeypatch):
+    """frac >= 1 selects everything with no sketch job; frac 0 selects
+    nothing; and deliberately-wrong brackets (sketch guarantee
+    'violated') must trigger the exact-rank fallback, not a wrong
+    answer."""
+    from omfietser_etl_spark.textops import selection as sel
+
+    docs = _pool(spark, 24)
+    all_in = sel.dsir_select_threshold(docs, "doc_id", "text", "is_t", 1, 1)
+    assert all(r.selected for r in all_in.collect())
+    none_in = sel.dsir_select_threshold(docs, "doc_id", "text", "is_t", 0, 4)
+    assert not any(r.selected for r in none_in.collect())
+
+    exact = {r.doc for r in
+             sel.dsir_select(docs, "doc_id", "text", "is_t").collect()
+             if r.selected}
+    # brackets above every score: a=0, band empty -> a+b < k -> fallback
+    monkeypatch.setattr(
+        sel, "_score_brackets", lambda *a, **k: (2**62, 2**62 + 1)
+    )
+    got = {r.doc for r in
+           sel.dsir_select_threshold(docs, "doc_id", "text", "is_t").collect()
+           if r.selected}
+    assert got == exact
+
+
+def test_distributed_rank_equals_global_window(spark):
+    """distributed_rank == the naive single-partition row_number on
+    arbitrary tie-heavy data, across partition counts (including
+    n_parts > n_rows, which leaves some range partitions empty)."""
+    from pyspark.sql import Window
+
+    from omfietser_etl_spark.operators.rank import distributed_rank
+
+    rows = [(i, (i * 7) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    want = {
+        r.id: r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    for n_parts in (1, 7, 32, 400):
+        got = {
+            r.id: r.rank
+            for r in distributed_rank(
+                df, order, n_parts=n_parts, scope=f"test.rank{n_parts}"
+            ).collect()
+        }
+        assert got == want, n_parts
+
+
 def test_dsir_scores_are_deterministic(spark):
     docs = spark.createDataFrame(
         [(i, f"token{i % 3} shared words here", i % 2 == 0) for i in range(12)],
