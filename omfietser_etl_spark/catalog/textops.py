@@ -522,8 +522,13 @@ def td16_rh_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     per band regardless of dim; verification is exact, so the output
     is the recall<1 SUBSET of td5's pairs, replayed identically by
     the oracle (same ±1 matrix inlined as literals)."""
+    # Gate scale: NEARDUP_TAU=0.45 sits below the dim-64 noise floor
+    # (0.75) — fine on ≤2k vectors, ill-posed at corpus scale; 'warn'
+    # (not 'off') so the signal still fires. Production sizing:
+    # bands, rows = sim.rh_params_for(corpus_n) and tau ≥ the floor.
     return sim.rh_neardup_pairs(
-        load(spark, sf, "embeddings"), "vec_id", "embedding", NEARDUP_TAU, EMB_DIM
+        load(spark, sf, "embeddings"), "vec_id", "embedding", NEARDUP_TAU,
+        EMB_DIM, on_subnoise="warn",
     )
 
 
@@ -620,7 +625,16 @@ SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
 """
 
 
-KMEANS_K = 8
+#: Codebook size derived from the sizing rule the 10× stress proved
+#: (k ∝ N — clustering.semdedup_k_for): the gate certification scale
+#: is the sf0.01 embeddings table (500 vectors), giving k=8 at the
+#: 64-vector cluster target. Pinned via the hint (not live data) so
+#: the oracle literal and the Spark build can never diverge.
+EMB_GATE_N = 500
+from omfietser_etl_spark.textops.clustering import semdedup_k_for  # noqa: E402
+
+KMEANS_K = semdedup_k_for(EMB_GATE_N)
+assert KMEANS_K == 8, "gate codebook size is certified at 8"
 
 
 def td8_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
@@ -680,7 +694,9 @@ def td13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1).cast("int").alias("cid"),
         F.col("embedding").alias("cv"),
     )
-    return semantic_dedup_pairs(emb, centroids, NEARDUP_TAU)
+    # dim + 'warn': tau is sub-floor at gate scale (see td16 comment)
+    return semantic_dedup_pairs(emb, centroids, NEARDUP_TAU,
+                                dim=EMB_DIM, on_subnoise="warn")
 
 
 TD13_ORACLE = f"""

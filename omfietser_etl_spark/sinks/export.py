@@ -107,13 +107,19 @@ def write_training_shards(
         except FileExistsError:
             version += 1
 
+    # Shards land in vdir/data with the NON-destructive default write
+    # mode: an overwrite write straight into vdir would first delete
+    # the directory os.mkdir just claimed, reopening the window where
+    # a concurrent writer re-claims the same v_N (round-5 advisor
+    # finding). The claim dir itself is never removed or recreated.
     ordered = shuffle_order(df, id_col, n_shards, salt)
+    ddir = os.path.join(vdir, "data")
     (
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
-        .write.mode("overwrite")
+        .write.mode("errorifexists")
         .partitionBy("shard")
-        .parquet(vdir)
+        .parquet(ddir)
     )
 
     # Manifest counts come from the files just written — the manifest
@@ -123,7 +129,7 @@ def write_training_shards(
     aggs = [F.count("*").alias("rows")]
     if token_count_col is not None:
         aggs.append(F.sum(F.col(token_count_col)).cast("long").alias("tokens"))
-    per_shard = spark.read.parquet(vdir).groupBy("shard").agg(*aggs).collect()
+    per_shard = spark.read.parquet(ddir).groupBy("shard").agg(*aggs).collect()
 
     empty = {"rows": 0, **({"tokens": 0} if token_count_col is not None else {})}
     shards = {str(s): dict(empty) for s in range(n_shards)}
@@ -171,5 +177,5 @@ def read_training_shard(spark: SparkSession, path: str, shard: int) -> DataFrame
     cheap in-memory guard in case a future writer splits files.
     """
     return spark.read.parquet(
-        os.path.join(_current_dir(path), f"shard={shard}")
+        os.path.join(_current_dir(path), "data", f"shard={shard}")
     ).sortWithinPartitions("pos")

@@ -72,6 +72,7 @@ def write_stats_report(
     skipped: int,
     duration_s: float,
     run_ts: str,
+    deduped: int = 0,
 ) -> dict:
     """Reference-shaped per-shop stats report (K6 companion):
     mirrors `processors/base.ts:669-705` writeStatsReport — rates as
@@ -92,6 +93,9 @@ def write_stats_report(
             "success": success,
             "failed": failed,
             "skipped": skipped,
+            # the reference counts in-run dedup drops (base.ts:680);
+            # 0 in file mode, where the engine has no dedup stage
+            "deduped": deduped,
             "successRate": f"{success * 100 / denom:.2f}%",
             "failureRate": f"{failed * 100 / denom:.2f}%",
             "skipRate": f"{skipped * 100 / denom:.2f}%",

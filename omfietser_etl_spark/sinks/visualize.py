@@ -31,11 +31,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _or_default(col: str, default: str):
+    """JS `||` semantics (visualize-data.ts:105, 185): null AND empty
+    string both fall through to the default — F.coalesce alone would
+    keep '' as a real category (round-5 advisor finding)."""
+    c = F.col(col)
+    return F.when(c.isNull() | (c == ""), F.lit(default)).otherwise(c)
+
+
 def category_distribution(unified: DataFrame) -> DataFrame:
     total = unified.count()
     return (
         unified.groupBy(
-            F.coalesce(F.col("main_category"), F.lit("Uncategorized")).alias("category")
+            _or_default("main_category", "Uncategorized").alias("category")
         )
         .agg(F.count("*").alias("count"))
         .withColumn(
@@ -75,7 +83,7 @@ def promotion_analysis(unified: DataFrame) -> DataFrame:
         unified.filter(F.col("is_promotion"))
         .groupBy(
             F.col("shop_type").alias("shop"),
-            F.coalesce(F.col("promotion_type"), F.lit("Unknown")).alias("ptype"),
+            _or_default("promotion_type", "Unknown").alias("ptype"),
         )
         .agg(F.count("*").alias("n"))
         .groupBy("shop")

@@ -80,6 +80,23 @@ def assign_clusters_multiprobe(
     )
 
 
+#: default per-cluster size target for :func:`semdedup_k_for` — the
+#: gate corpus (500 vectors, k=8) certifies this regime; within-cluster
+#: pair cost stays ~target²/2 per cluster at any corpus size.
+SEMDEDUP_TARGET_CLUSTER = 64
+
+
+def semdedup_k_for(
+    n_hint: int, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER
+) -> int:
+    """Codebook size for a corpus of ~``n_hint`` vectors: within-
+    cluster pair cost is Σcᵢ² ≈ N²/k, so k MUST grow ∝ N to hold
+    per-cluster cost constant (the SemDeDup paper's regime; the
+    round-5 10× stress measured 75×–102× wall growth with a fixed
+    codebook). k = ceil(n / target_cluster_size)."""
+    return max(1, -(-max(1, int(n_hint)) // int(target_cluster_size)))
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     centroids: DataFrame,
@@ -87,6 +104,8 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 1,
+    dim: int | None = None,
+    on_subnoise: str = "raise",
 ) -> DataFrame:
     """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -112,6 +131,10 @@ def semantic_dedup_pairs(
     Embeddings are pre-normalized → cosine is the exact dot fold,
     bit-identical to the DuckDB oracle.
     """
+    if dim is not None:
+        from .similarity import check_noise_floor
+
+        check_noise_floor(tau, dim, on_subnoise, "semantic_dedup_pairs")
     if probes <= 1:
         asg = assign_clusters(emb, centroids, id_col, vec_col)
     else:

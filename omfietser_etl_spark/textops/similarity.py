@@ -306,9 +306,61 @@ def quantize_int8(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 #: signature geometry: 16 planes in 4 bands of 4 — two vectors with
 #: cosine θ collide in ≥1 band with prob 1-(1-( 1-θ_angle/π )^4)^4.
+#: This is the GATE-SCALE geometry (≤ ~10⁴ vectors); size production
+#: runs with :func:`rh_params_for` — the round-5 10× stress measured
+#: ~100× candidate growth when this fixed key space saturates.
 RH_PLANES = 16
 RH_BANDS = 4
 RH_ROWS = 4
+
+
+def cosine_noise_floor(dim: int) -> float:
+    """The smallest scale-stable near-dup threshold for ``dim``:
+    the null cosine of independent vectors is ~N(0, 1/dim), so a
+    threshold below ~6σ = 6/√dim is crossed by RANDOM pairs often
+    enough that matched-pair OUTPUT grows quadratically with corpus
+    size no matter how good the candidate index is (measured 129×
+    output at 10× data in SCALING.md round-5). Statistics, not plan
+    shape."""
+    import math
+
+    return 6.0 / math.sqrt(dim)
+
+
+def rh_params_for(n_hint: int, bands: int = RH_BANDS) -> tuple[int, int]:
+    """(bands, rows) sized so the per-band key space tracks the
+    corpus: junk candidates grow ~bands·N²/2^(rows+1), so ``rows``
+    must be ≥ log₂N to hold junk ~O(N·bands/2). Floor at the
+    gate-scale RH_ROWS; recall is recovered with more ``bands``, not
+    shorter keys. Verified against the round-5 stress geometry
+    (4×16 at the 50k-vector corpus cut candidates 1,880×)."""
+    rows = max(RH_ROWS, (max(2, int(n_hint)) - 1).bit_length())
+    return bands, rows
+
+
+def check_noise_floor(
+    tau: float, dim: int, on_subnoise: str, op: str
+) -> None:
+    """Guard an operator's similarity threshold against the noise
+    floor: ``on_subnoise`` is 'raise' (default for callers — the
+    at-scale footgun should not pass silently), 'warn' (gate-scale /
+    exploratory use), or 'off'."""
+    if on_subnoise == "off" or tau >= cosine_noise_floor(dim):
+        return
+    msg = (
+        f"{op}: tau={tau} is below the random-cosine noise floor "
+        f"{cosine_noise_floor(dim):.3f} for dim={dim} (≈6/√dim): at "
+        "corpus scale the matched-pair OUTPUT grows quadratically "
+        "regardless of index geometry (SCALING.md round-5 measured "
+        "129× output at 10× data). Raise tau, or pass "
+        "on_subnoise='warn'/'off' for small-corpus use."
+    )
+    if on_subnoise == "warn":
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    else:
+        raise ValueError(msg)
 
 
 def rh_coefficients(dim: int, planes: int = RH_PLANES) -> list[list[float]]:
@@ -387,6 +439,7 @@ def rh_neardup_pairs(
     dim: int,
     bands: int = RH_BANDS,
     rows: int = RH_ROWS,
+    on_subnoise: str = "raise",
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH banding +
     exact verification — the recall<1 scale complement to the exact
@@ -400,6 +453,7 @@ def rh_neardup_pairs(
     vectors and checks the exact fold dot ≥ threshold, so no false
     positives survive; recall is the banding collision probability.
     """
+    check_noise_floor(threshold, dim, on_subnoise, "rh_neardup_pairs")
     sig = rh_signature_bits(emb, id_col, vec_col, dim, bands=bands, rows=rows)
     cand = (
         sig.alias("a")

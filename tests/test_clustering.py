@@ -95,10 +95,67 @@ def test_rh_lsh_pairs_subset_of_exact_with_reasonable_recall(spark):
     exact = {(r.id_lo, r.id_hi): r.sim
              for r in cosine_neardup_pairs(emb, "vec_id", "embedding", tau).collect()}
     lsh = {(r.id_lo, r.id_hi): r.sim
-           for r in rh_neardup_pairs(emb, "vec_id", "embedding", tau, 64).collect()}
+           for r in rh_neardup_pairs(emb, "vec_id", "embedding", tau, 64,
+                                     on_subnoise="warn").collect()}
     assert set(lsh) <= set(exact)
     assert all(lsh[k] == exact[k] for k in lsh)  # same verified sims
     if exact:
         assert len(lsh) / len(exact) > 0.2
     high = {k for k, s in exact.items() if s >= 0.9}
     assert high <= set(lsh)
+
+
+def test_noise_floor_guard_and_sizing_helpers(spark):
+    """Round-5 stress findings, pinned as API: (a) sub-noise-floor
+    thresholds raise by default (the output-goes-quadratic footgun),
+    warn on explicit opt-down, pass above the floor; (b) rh_params_for
+    reproduces the stress-proven 4×16 geometry at the 50k corpus and
+    scales rows with log₂N; (c) semdedup_k_for scales k ∝ N and
+    reproduces the gate codebook (k=8 at 500 vectors)."""
+    import warnings
+
+    import pytest
+
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.textops.clustering import (
+        semantic_dedup_pairs,
+        semdedup_k_for,
+    )
+    from omfietser_etl_spark.textops.similarity import (
+        cosine_noise_floor,
+        rh_neardup_pairs,
+        rh_params_for,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    floor = cosine_noise_floor(64)
+    assert abs(floor - 0.75) < 1e-9
+
+    with pytest.raises(ValueError, match="noise floor"):
+        rh_neardup_pairs(emb, "vec_id", "embedding", 0.45, 64)
+    centroids = emb.limit(1).select(
+        F.lit(1).alias("cid"), F.col("embedding").alias("cv"))
+    with pytest.raises(ValueError, match="noise floor"):
+        semantic_dedup_pairs(emb, centroids, 0.45, dim=64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rh_neardup_pairs(emb, "vec_id", "embedding", 0.45, 64,
+                         on_subnoise="warn")
+        assert any("noise floor" in str(x.message) for x in w)
+    # above the floor: no warning, no raise (plan construction only)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rh_neardup_pairs(emb, "vec_id", "embedding", 0.80, 64)
+        assert not w
+
+    assert rh_params_for(50_000) == (4, 16)   # the stress-table geometry
+    assert rh_params_for(500) == (4, 9)
+    assert rh_params_for(10) == (4, 4)        # never below the gate floor
+    assert rh_params_for(10**9) == (4, 30)    # rows tracks log2(N)
+
+    assert semdedup_k_for(500) == 8           # the gate codebook (KMEANS_K)
+    assert semdedup_k_for(5_000) == 79
+    assert semdedup_k_for(50_000) == 782      # ceil(N/64): k grows ∝ N
+    assert semdedup_k_for(6_400_000) == 100_000

@@ -43,7 +43,9 @@ def test_export_manifest_matches_data(spark, tmp_path):
 
     # every shard dir holds ONE file whose row count matches the manifest
     for s in range(N_SHARDS):
-        files = glob.glob(f"{out}/v_00000001/shard={s}/*.parquet")
+        # shards live under v_N/data so the non-destructive parquet
+        # write can never delete the os.mkdir-claimed version dir
+        files = glob.glob(f"{out}/v_00000001/data/shard={s}/*.parquet")
         assert len(files) == 1, files
         got = read_training_shard(spark, out, s)
         assert got.count() == manifest["shards"][str(s)]["rows"]

@@ -190,7 +190,8 @@ def main() -> None:
         emb = load(spark, sf_dir, "embeddings")
         t0 = time.perf_counter()
         rows = sim.rh_neardup_pairs(
-            emb, "vec_id", "embedding", 0.45, 64, bands=4, rows=16
+            emb, "vec_id", "embedding", 0.45, 64,
+            bands=4, rows=16, on_subnoise="warn",
         ).count()
         return time.perf_counter() - t0, rows
 
