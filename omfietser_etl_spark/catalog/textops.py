@@ -358,11 +358,12 @@ def _ts15_oracle(with_rank: bool = True) -> str:
     return f"""
 WITH d AS (SELECT doc_id AS doc, lang = 'en' AS is_t,
                   {DK_TOKENS.format(c="text")} AS t FROM documents),
-g AS (SELECT doc, unnest(list_concat(t,
-        CASE WHEN len(t) >= 2 THEN
-          [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
-        ELSE [] END)) AS g FROM d),
-cnt AS (SELECT doc, {dk_poly('g')} % {dim} AS b, count(*) AS c
+dh AS (SELECT doc, list_transform(t, x -> {dk_poly('x')}) AS th FROM d),
+g AS (SELECT doc, unnest(list_concat(th,
+        CASE WHEN len(th) >= 2 THEN
+          [(th[i] * 31 + th[i + 1]) % {MOD} for i in range(1, len(th))]
+        ELSE [] END)) AS h FROM dh),
+cnt AS (SELECT doc, h % {dim} AS b, count(*) AS c
         FROM g GROUP BY 1, 2),
 bk AS (SELECT b,
          SUM(CASE WHEN d.is_t THEN c ELSE 0 END) AS ct,

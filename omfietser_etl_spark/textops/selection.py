@@ -79,21 +79,32 @@ def dsir_gram_counts(
     df: DataFrame, id_col: str, text_col: str, dim: int = DSIR_DIM
 ) -> DataFrame:
     """(doc, b, c) — per-document counts of hashed unigram+bigram
-    buckets (NOT distinct: multinomial counts). Map-side explode; the
-    poly hash is the engine-portable char fold the oracles replay."""
+    buckets (NOT distinct: multinomial counts). Map-side explode.
+
+    The gram hash is TOKEN-level: each token is char-folded ONCE
+    (the engine-portable poly hash), and a bigram's hash combines the
+    two token hashes in O(1) — ``(h₁·31 + h₂) % MOD`` — instead of
+    re-char-folding the concatenated "w₁ w₂" string. Featurize is the
+    DSIR map-side hot path, and bigrams carry ~2/3 of the char work
+    under string hashing, so this is a ~3× cut in per-doc hash cost
+    at any corpus size. h < MOD ≈ 1e9 keeps 31·h₁+h₂ < 2^35 — exact
+    int64 in both engines; the oracle replays the same construction
+    (catalog/textops._ts15_oracle)."""
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
-    grams = (
-        "concat(t, CASE WHEN size(t) >= 2 THEN "
-        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2))) "
+    th = (
+        f"transform(t, x -> aggregate(split(x, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD}))"
+    )
+    gh = (
+        "concat(th, CASE WHEN size(th) >= 2 THEN "
+        "transform(sequence(1, size(th) - 1), "
+        f"i -> (element_at(th, i) * 31 + element_at(th, i + 1)) % {MOD}) "
         "ELSE array() END)"
     )
-    bucket = (
-        f"aggregate(split(g, ''), CAST({CHAR_SEED} AS BIGINT), "
-        f"(a, c) -> (a * 31 + ascii(c)) % {MOD}) % {dim}"
-    )
     return (
-        toks.select("doc", F.explode(F.expr(grams)).alias("g"))
-        .select("doc", F.expr(bucket).alias("b"))
+        toks.select("doc", F.expr(th).alias("th"))
+        .select("doc", F.explode(F.expr(gh)).alias("h"))
+        .select("doc", (F.col("h") % dim).alias("b"))
         .groupBy("doc", "b")
         .agg(F.count("*").alias("c"))
     )
