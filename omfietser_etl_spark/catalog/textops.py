@@ -266,13 +266,19 @@ def td19_winnowing_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _td19_oracle() -> str:
     k, w = dd.WINNOW_K, dd.WINNOW_W
-    gram = f"array_to_string(t[i:i+{k - 1}], ' ')"
+    # two-level fold, identical to winnow_fingerprints: per-token poly
+    # hash once, then fold the k token hashes per positional gram
+    gram_fold = (
+        f"list_reduce(list_prepend(CAST({CHAR_SEED} AS BIGINT), "
+        f"th[i:i+{k - 1}]), (a, b) -> (a * 31 + b) % {MOD})"
+    )
     return f"""
 WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+dh AS (SELECT doc, list_transform(t, x -> {dk_poly('x')}) AS th FROM d),
 h AS (SELECT doc,
-  CASE WHEN len(t) >= {k} THEN
-    [{dk_poly(gram)} for i in range(1, len(t) - {k - 2})]
-  ELSE [] END AS hs FROM d),
+  CASE WHEN len(th) >= {k} THEN
+    [{gram_fold} for i in range(1, len(th) - {k - 2})]
+  ELSE [] END AS hs FROM dh),
 f0 AS (SELECT doc,
   CASE WHEN len(hs) >= {w} THEN
     list_distinct([list_aggregate(hs[j:j+{w - 1}], 'min')

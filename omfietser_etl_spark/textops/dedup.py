@@ -722,20 +722,26 @@ def winnow_fingerprints(
     hash per gram, then fp_j = min(h_j..h_{j+w-1}) for every window;
     array_distinct before the explode. Docs shorter than k tokens emit
     nothing; docs with 1..w-1 gram hashes emit their single min (every
-    short doc stays representable). The hash is the same
-    engine-portable poly fold the oracle replays (no xxhash needed;
-    swap in ``F.xxhash64`` per-gram for production byte savings — the
-    downstream join is already on an 8-byte key either way).
+    short doc stays representable).
+
+    The gram hash is TOKEN-level (same construction as
+    selection.dsir_gram_counts): each token is char-folded ONCE, and
+    a k-gram's hash folds the k token hashes — O(k) int ops instead
+    of re-folding ~k·token_len chars per gram (every char was being
+    hashed k times). Engine-portable exact int64; the oracle replays
+    the identical two-level fold.
     """
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
-    grams = (
-        f"CASE WHEN size(t) >= {k} THEN "
-        f"transform(sequence(1, size(t) - {k - 1}), i -> concat_ws(' ', slice(t, i, {k}))) "
-        f"ELSE array() END"
+    th = (
+        f"transform(t, x -> aggregate(split(x, ''), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {MOD}))"
     )
     hashes = (
-        f"transform({grams}, g -> aggregate(split(g, ''), CAST({CHAR_SEED} AS BIGINT), "
-        f"(a, c) -> (a * 31 + ascii(c)) % {MOD}))"
+        f"CASE WHEN size(th) >= {k} THEN "
+        f"transform(sequence(1, size(th) - {k - 1}), "
+        f"i -> aggregate(slice(th, i, {k}), CAST({CHAR_SEED} AS BIGINT), "
+        f"(a, h) -> (a * 31 + h) % {MOD})) "
+        f"ELSE array() END"
     )
     fps = (
         f"CASE WHEN size(hs) >= {w} THEN "
@@ -745,7 +751,8 @@ def winnow_fingerprints(
         f"ELSE array() END"
     )
     return (
-        toks.select("doc", F.expr(hashes).alias("hs"))
+        toks.select("doc", F.expr(th).alias("th"))
+        .select("doc", F.expr(hashes).alias("hs"))
         .select("doc", F.explode(F.expr(fps)).alias("fp"))
     )
 
