@@ -777,6 +777,63 @@ FROM a ORDER BY tf DESC, term ASC LIMIT {TV1_TOP_K}
 """
 
 
+TV4_QUERY = ["spark", "vector", "merge", "customer"]
+TV4_TOP_K = 20
+
+
+def tv4_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact fixed-point BM25 retrieval (textops/retrieval.py): the
+    keyword-search primitive for targeted corpus slicing. Every log
+    is the integer ilog2_q and the tf normalization is quantized
+    per-mille, so the DuckDB oracle replays the score bit-for-bit —
+    no float idf anywhere (the x8/ts15 exact-integer discipline)."""
+    from omfietser_etl_spark.textops.retrieval import bm25_topk
+
+    docs = load(spark, sf, "documents")
+    return bm25_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
+
+
+def _tv4_oracle() -> str:
+    from omfietser_etl_spark.textops.retrieval import BM25_S
+    from omfietser_etl_spark.textops.selection import DSIR_F, DSIR_Q
+
+    q_vals = ", ".join(f"('{t}')" for t in TV4_QUERY)
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+base AS (SELECT doc, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt
+        FROM base),
+q(term) AS (VALUES {q_vals}),
+e AS (SELECT doc, dl, unnest(t) AS term FROM base),
+hits AS (SELECT e.doc, e.dl, e.term FROM e JOIN q USING (term)),
+dfv AS (SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS dfd
+        FROM hits GROUP BY term),
+vals AS (SELECT DISTINCT 2 * dfd + 1 AS x FROM dfv
+         UNION SELECT 2 * n + 2 FROM tot),
+{dk_ilog2_chain('vals', DSIR_Q, DSIR_F)},
+idf AS (SELECT dfv.term, i2.il - i1.il AS idf_q
+        FROM dfv
+        JOIN il i1 ON i1.x = 2 * dfv.dfd + 1
+        CROSS JOIN tot
+        JOIN il i2 ON i2.x = 2 * tot.n + 2),
+tf AS (SELECT doc, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM hits GROUP BY 1, 2, 3),
+sc AS (SELECT tf.doc,
+         CAST(SUM((idf.idf_q * 22000 * tf.tf * {BM25_S}) //
+                  (10000 * tf.tf + 3000 +
+                   9 * ((1000 * tf.dl * tot.n) // tot.tt))) AS BIGINT)
+           AS score_q
+       FROM tf JOIN idf USING (term) CROSS JOIN tot
+       GROUP BY tf.doc),
+top AS (SELECT doc, score_q FROM sc
+        ORDER BY score_q DESC, doc ASC LIMIT {TV4_TOP_K})
+SELECT doc, score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, doc ASC) AS BIGINT)
+         AS rank
+FROM top
+"""
+
+
 TV2_TOP_N = 5
 
 
@@ -1765,6 +1822,8 @@ SPECS = [
               "count-min sketch heavy hitters (mergeable, bit-replayable)"),
     QuerySpec("tv2_tfidf_terms", tv2_tfidf_terms, TV2_ORACLE,
               "per-source TF-IDF distinctive terms (exact-integer score)"),
+    QuerySpec("tv4_bm25_topk", tv4_bm25_topk, _tv4_oracle(),
+              "BM25 ranked retrieval (exact fixed-point ilog2 idf)"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

@@ -1,0 +1,112 @@
+"""BM25 ranked retrieval over the corpus — the keyword-search
+primitive a training-data pipeline uses for targeted slicing (pull
+documents about X), eval-set curation, and retrieval-augmented
+filtering. Robertson/Spärck Jones BM25 in the Lucene formulation
+(public: Robertson et al. TREC-3; Lucene's BM25Similarity docs):
+
+    score(D, Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))        [always > 0]
+
+EXACTNESS (the oracle story, same discipline as x8/ts15): floats
+from ln() are the cross-engine parity hazard, so the whole score is
+fixed-point integer:
+
+- idf_q(t) = ilog2_q(2N+2) − ilog2_q(2df+1)  — exact integer log2
+  (selection.ilog2_q square-and-compare; note
+  1 + (N−df+½)/(df+½) = (2N+2)/(2df+1), both positive ints), and the
+  Lucene 1+ keeps idf_q ≥ 0, so integer division below never sees a
+  negative numerator (Spark `div` truncates toward zero, DuckDB `//`
+  floors — they only agree on non-negatives).
+- dl/avgdl is quantized per-mille: r = (1000·dl·N) div T with
+  T = total corpus tokens. With k1 = 6/5, b = 3/4 the term
+  contribution becomes the exact integer
+      (idf_q · 22000 · tf · S) div (10000·tf + 3000 + 9·r),  S = 2^10
+  and the doc score is the exact int64 sum over query terms.
+  Magnitudes: idf_q < 64·2^20, tf ≤ dl, so the numerator stays well
+  inside int64 for any realistic tf.
+
+Scale shape (100 TB posture):
+- one corpus agg for (N, T) rides the SAME bounded collect as the
+  per-query-term document frequencies (|Q|+1 rows — the ts15 λ-fit
+  sentinel pattern, no extra job);
+- idf table is computed driver-side from those |Q| integers and
+  broadcast back (KBs);
+- tf is a map-side explode FILTERED to the query terms before any
+  shuffle (a |Q|-term IN-list prunes the token stream to ~|Q|/vocab
+  of its volume), then one (doc, term) agg;
+- top-k is orderBy+limit (TakeOrdered — never a global sort
+  materialization); the rank column is a window over the k-row
+  result only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analysis import tokens
+from .selection import ilog2_q
+
+BM25_S = 1024  # fixed-point scale of the per-term contribution
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """(doc, score_q, rank): the ``top_k`` documents by exact
+    fixed-point BM25 against ``query_terms`` (docs matching no query
+    term never rank). Deterministic tie-break by doc id."""
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    base = toks.select("doc", F.size("t").cast("long").alias("dl"), "t")
+    hits = base.select(
+        "doc", "dl", F.explode("t").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+
+    # one bounded collect: per-term doc frequency + corpus (N, T) as a
+    # sentinel row (the ts15 λ-fit pattern — no separate count job)
+    dfs = hits.groupBy("term").agg(F.countDistinct("doc").alias("dfd"))
+    sentinel = base.agg(
+        F.count("*").alias("dfd"), F.sum("dl").alias("tt")
+    ).select(F.lit(None).cast("string").alias("term"), "dfd", "tt")
+    rows = dfs.withColumn("tt", F.lit(0).cast("long")).unionByName(sentinel).collect()
+    n_docs = t_tokens = 0
+    df_by_term: dict[str, int] = {}
+    for r in rows:
+        if r.term is None:
+            n_docs, t_tokens = int(r.dfd), int(r.tt)
+        else:
+            df_by_term[r.term] = int(r.dfd)
+    if n_docs == 0 or t_tokens == 0 or not df_by_term:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "doc long, score_q long, rank long")
+
+    base_il = ilog2_q(2 * n_docs + 2)
+    idf = [(t, base_il - ilog2_q(2 * d + 1)) for t, d in df_by_term.items()]
+    idf_df = F.broadcast(
+        df.sparkSession.createDataFrame(idf, "term string, idf_q long")
+    )
+
+    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(idf_df, "term")
+        .withColumn("r", F.expr(f"(1000 * dl * {n_docs}) div {t_tokens}"))
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"(idf_q * 22000 * tf * {BM25_S}) div "
+                "(10000 * tf + 3000 + 9 * r)"
+            ),
+        )
+        .groupBy("doc")
+        .agg(F.sum("contrib").cast("long").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc"))
+        .limit(top_k)
+    )
+    # rank over the k-row result only (bounded single-partition window
+    # — the o7 top-k convention, never the corpus)
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1,0 +1,72 @@
+"""BM25 retrieval (textops/retrieval.py): ranking semantics the
+oracle's replay can't check by itself."""
+
+from __future__ import annotations
+
+import math
+
+from omfietser_etl_spark.textops.retrieval import bm25_topk
+from omfietser_etl_spark.textops.selection import DSIR_Q
+
+
+def _score_map(df):
+    return {r.doc: r for r in df.collect()}
+
+
+def test_bm25_ranking_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler"),       # tf=3
+            (2, "spark filler filler filler filler filler"),     # tf=1
+            (3, "filler filler filler filler filler filler"),    # no hit
+            (4, "spark spark filler filler filler filler"),      # tf=2
+            (5, "vector filler filler filler filler filler"),    # rarer term
+        ],
+        "doc_id long, text string",
+    )
+    out = _score_map(bm25_topk(docs, "doc_id", "text", ["spark", "vector"]))
+    # docs with no query term never appear
+    assert 3 not in out
+    # same dl: score monotone in tf
+    assert out[1].score_q > out[4].score_q > out[2].score_q
+    # rarer term (df=1 vs df=3) gets higher idf: tf=1 'vector' beats
+    # tf=1 'spark' at identical dl
+    assert out[5].score_q > out[2].score_q
+    # ranks are 1..n, aligned with (score desc, doc asc)
+    ranked = sorted(out.values(), key=lambda r: r.rank)
+    assert [r.rank for r in ranked] == list(range(1, len(out) + 1))
+    assert all(
+        (a.score_q, -a.doc) >= (b.score_q, -b.doc)
+        for a, b in zip(ranked, ranked[1:])
+    )
+
+
+def test_bm25_fixed_point_tracks_float_formula(spark):
+    """The integer fixed-point score must approximate the float Lucene
+    BM25 (k1=1.2, b=0.75) within quantization error — the exactness
+    trick changes the arithmetic, not the function."""
+    rows = [(i, ("spark " * (1 + i % 4)) + ("filler " * (3 + i % 5)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _score_map(bm25_topk(docs, "doc_id", "text", ["spark"], top_k=30))
+
+    texts = dict(rows)
+    toks = {d: texts[d].split() for d in texts}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfd = sum(1 for t in toks.values() if "spark" in t)
+    idf = math.log(1 + (n - dfd + 0.5) / (dfd + 0.5))
+    for d, r in out.items():
+        tf = toks[d].count("spark")
+        dl = len(toks[d])
+        want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        got = (r.score_q / 1024) * math.log(2) / 2**DSIR_Q
+        assert abs(got - want) / want < 0.01, (d, got, want)
+
+
+def test_bm25_no_hits_returns_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["nonexistent"]).collect()
+    assert out == []
