@@ -632,6 +632,69 @@ SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
 """
 
 
+PQ_M = 4  # subspaces → 4-byte codes for 64-dim (256-byte) vectors
+PQ_KSUB = 16  # centroids per subspace; codebook = vec_id < 16 slices
+
+
+def td20_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC approximate top-k (textops/pq.py::pq_adc_topk): the
+    memory-bound billion-vector path — M-byte codes instead of
+    d-float vectors, per-query broadcast LUT, corpus codes never
+    shuffle. Deterministic codebook (ksub lowest-id vectors' slices,
+    td8's convention); int64 micro-unit distances so the M-way sum is
+    order-free and the oracle replays it bit-for-bit."""
+    from omfietser_etl_spark.textops.pq import pq_adc_topk
+
+    emb = load(spark, sf, "embeddings")
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_BOUND),
+        "vec_id", "embedding", ANN_K, EMB_DIM, PQ_M, PQ_KSUB,
+    )
+
+
+def _pq_l2(a: str, b: str, n: int) -> str:
+    # td8's engine-portable left fold, parameterized to slice length.
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n} + 1), "
+        f"k -> ({a}[k]::DOUBLE - {b}[k]::DOUBLE) * ({a}[k]::DOUBLE - {b}[k]::DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _td20_oracle() -> str:
+    sub = EMB_DIM // PQ_M
+    l2 = _pq_l2("es", "cs", sub)
+    l2q = _pq_l2("qs", "cs", sub)
+    return f"""
+WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (SELECT ms.m, CAST(vec_id AS INT) AS cid,
+              embedding[ms.m*{sub}+1 : ms.m*{sub}+{sub}] AS cs
+       FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_KSUB}),
+enc0 AS (SELECT e.vec_id AS vid, cb.m, cb.cid, cb.cs,
+                e.embedding[cb.m*{sub}+1 : cb.m*{sub}+{sub}] AS es
+         FROM embeddings e CROSS JOIN cb),
+enc1 AS (SELECT vid, m, cid, {l2} AS d2 FROM enc0),
+codes AS (SELECT vid, m, cid AS code FROM (
+    SELECT vid, m, cid,
+           row_number() OVER (PARTITION BY vid, m ORDER BY d2 ASC, cid ASC) AS r
+    FROM enc1) WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {ANN_QUERY_BOUND}),
+lut0 AS (SELECT q.qid, cb.m, cb.cid, q.qv[cb.m*{sub}+1 : cb.m*{sub}+{sub}] AS qs, cb.cs
+         FROM q CROSS JOIN cb),
+lut AS (SELECT qid, m, cid,
+               CAST(floor({l2q} * 1000000) AS BIGINT) AS pd2_q
+        FROM lut0),
+s AS (SELECT l.qid, c.vid AS nid, CAST(SUM(l.pd2_q) AS BIGINT) AS d2adc_q
+      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code AND c.vid <> l.qid
+      GROUP BY l.qid, c.vid),
+r AS (SELECT qid, nid, d2adc_q,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY d2adc_q ASC, nid ASC) AS INT) AS rank
+      FROM s)
+SELECT qid, rank, nid, d2adc_q FROM r WHERE rank <= {ANN_K}
+"""
+
+
 #: Codebook size derived from the sizing rule the 10× stress proved
 #: (k ∝ N — clustering.semdedup_k_for): the gate certification scale
 #: is the sf0.01 embeddings table (500 vectors), giving k=8 at the
@@ -1806,6 +1869,8 @@ SPECS = [
               "random-hyperplane LSH cosine near-dup (banded candidates)"),
     QuerySpec("td6_ann_topk", td6_ann_topk, TD6_ORACLE, "brute-force cosine top-k"),
     QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
+    QuerySpec("td20_pq_adc_topk", td20_pq_adc_topk, _td20_oracle(),
+              "product-quantization ADC top-k (M-byte codes, broadcast LUT)"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
     QuerySpec("td13_semantic_dedup", td13_semantic_dedup, TD13_ORACLE,

@@ -385,3 +385,21 @@ def test_global_ranks_never_single_partition(spark):
         nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
         # the rank window is still there (exactness), just partitioned
         assert "Window" in nodes, build.__name__
+
+
+def test_pq_adc_scan_is_broadcast_only(spark):
+    """td20's search side must be: codes table (the only corpus
+    shuffle is the encode's N-row partial-agg exchange) scanned
+    map-side against BROADCAST LUT/codebook frames — never a
+    sort-merge join or an unconditioned cartesian over the corpus."""
+    import re
+
+    from omfietser_etl_spark.catalog.textops import td20_pq_adc_topk
+
+    plan = _plan(td20_pq_adc_topk(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "CartesianProduct" not in nodes
+    assert "SortMergeJoin" not in nodes
+    # the vid != qid LUT fan-out is a broadcast nested loop by design
+    # (bounded |Q| side broadcast), and the codebook joins broadcast
+    assert "BroadcastNestedLoopJoin" in nodes
