@@ -666,6 +666,73 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------- #
+# tk1 — distributed BPE encode under the committed merge artifact
+# ---------------------------------------------------------------- #
+
+#: 40-merge BPE table trained ONCE at sf0.001 by
+#: textops/bpe.py::train_bpe (deterministic: weighted pair argmax,
+#: ties by pair) and committed as a model artifact — the x8/x9 NB
+#: pattern: the catalog query applies the FIXED artifact, and the
+#: fit itself is gated by tests/test_bpe.py::test_artifact_matches_fit
+#: re-deriving this exact list from the corpus.
+BPE_MERGES = [
+    ("e", "r", 0), ("e", "</w>", 1), ("n", "</w>", 2), ("o", "r", 3),
+    ("t", "</w>", 4), ("er", "</w>", 5), ("o", "w", 6), ("ow", "</w>", 7),
+    ("l", "u", 8), ("i", "n", 9), ("y", "</w>", 10), ("a", "r", 11),
+    ("p", "ar", 12), ("g", "</w>", 13), ("a", "s", 14), ("h", "</w>", 15),
+    ("a", "</w>", 16), ("s", "t", 17), ("a", "t", 18), ("a", "n</w>", 19),
+    ("c", "an</w>", 20), ("s", "can</w>", 21), ("c", "o", 22),
+    ("co", "lu", 23), ("colu", "m", 24), ("colum", "n</w>", 25),
+    ("d", "ow</w>", 26), ("in", "dow</w>", 27), ("w", "indow</w>", 28),
+    ("d", "er</w>", 29), ("or", "der</w>", 30), ("or", "t</w>", 31),
+    ("s", "ort</w>", 32), ("p", "</w>", 33), ("par", "t</w>", 34),
+    ("u", "p</w>", 35), ("a", "g", 36), ("ag", "g</w>", 37),
+    ("a", "lu", 38), ("alu", "e</w>", 39),
+]
+
+
+def tk1_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the committed BPE merge table to every document
+    (textops/bpe.py::bpe_encode): segmentation computed once per
+    DISTINCT word as a codegen replace-chain, broadcast-joined back
+    to the corpus token stream — the tokenizer-apply step between
+    BPE training (unit-gated) and sequence packing (ts3)."""
+    from omfietser_etl_spark.textops.bpe import bpe_encode
+
+    return bpe_encode(load(spark, sf, "documents"), BPE_MERGES)
+
+
+def _tk1_oracle() -> str:
+    sep, end = "|", "</w>"
+    s = (
+        f"concat(regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g'), "
+        f"'{sep}{end}{sep}')"
+    )
+    for a, b, _ in sorted(BPE_MERGES, key=lambda m: m[2]):
+        s = f"replace({s}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    seg = (
+        f"list_filter(string_split(substring({s}, 2, length({s}) - 2), "
+        f"'{sep}{sep}'), x -> x <> '')"
+    )
+    dk = DK_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {dk} AS t FROM documents),
+tw AS (SELECT doc, unnest(list_transform(range(0, len(t)),
+           i -> struct_pack(pos := i, word := t[i + 1]))) AS s FROM d),
+toks AS (SELECT doc, s.pos AS pos, s.word AS word FROM tw),
+w AS (SELECT DISTINCT word FROM toks),
+seg AS (SELECT word, {seg} AS syms FROM w),
+j AS (SELECT t.doc, t.pos, seg.syms FROM toks t JOIN seg ON seg.word = t.word)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+       array_to_string(flatten(list_transform(
+           list_sort(list(struct_pack(pos := pos, syms := syms))),
+           s -> s.syms)), ' ') AS subs_csv
+FROM j GROUP BY doc
+"""
+
+
 SPECS = [
     QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
               "deterministic hash sampling (retry-stable, monotone)"),
@@ -699,4 +766,7 @@ SPECS = [
               "token-balanced shard assignment (snake over tokens-desc rank)"),
     QuerySpec("ts14_leakage_free_split", ts14_leakage_free_split, _ts14_oracle(),
               "dedup-aware split: near-dup components assigned atomically"),
+    QuerySpec("tk1_bpe_encode", tk1_bpe_encode, _tk1_oracle(),
+              "distributed BPE encode (fixed merge artifact, broadcast "
+              "distinct-word segmentation)"),
 ]

@@ -198,3 +198,82 @@ def segment_word_reference(word: str, merges: list[tuple[str, str, int]]) -> lis
             out.append(carry)
         syms = out
     return syms
+
+
+# ------------------------------------------------------------------ #
+# Distributed ENCODE: apply a learned merge table to a corpus
+# ------------------------------------------------------------------ #
+
+SEP = "|"  # never occurs in tokens (alnum-only) or END_MARK
+
+
+def segment_words_expr(word_col: str, merges: list[tuple[str, str, int]]) -> str:
+    """SQL expression segmenting ``word_col`` under a FIXED merge list
+    — pure codegen string ops, no fold, no shuffle.
+
+    Wrapped-string trick: render the symbol list as ``|s1||s2||…|``
+    (every symbol individually wrapped in separators). Applying merge
+    (a, b) is then ONE literal ``replace(s, '|a||b|', '|ab|')``:
+    leftmost non-overlapping replacement with resume-after-replacement
+    is exactly the greedy left-to-right pass of the reference encoder
+    (a merged symbol is consumed — its trailing ``|`` is single, so it
+    can never seed a new match for the same rule), and a match can
+    only occur at a genuine symbol boundary because ``||`` never
+    appears inside a symbol. Chaining the merges in rank order gives
+    the full segmentation as one nested expression both engines
+    (Spark `replace`, DuckDB `replace`) evaluate identically.
+    """
+    s = (
+        f"concat(regexp_replace({word_col}, '(.)', '{SEP}$1{SEP}'), "
+        f"'{SEP}{END_MARK}{SEP}')"
+    )
+    for a, b, _ in sorted(merges, key=lambda m: m[2]):
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        s = f"replace({s}, '{SEP}{qa}{SEP}{SEP}{qb}{SEP}', '{SEP}{qa}{qb}{SEP}')"
+    return (
+        f"filter(split(substring({s}, 2, length({s}) - 2), '\\\\{SEP}\\\\{SEP}'), "
+        "x -> x <> '')"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document into its BPE subword stream under a fixed
+    trained merge table: (doc, n_words, n_subwords, subs_csv) with the
+    subwords in original word order (space-joined for engine-portable
+    gate hashing — symbols are alnum + '</w>', never spaces).
+
+    Scale shape (how real tokenizer-apply jobs run): segmentation is
+    computed ONCE per DISTINCT word — model-sized work, pure codegen
+    string ops — and the corpus pass is a map-side explode + BROADCAST
+    join on word + one doc-keyed ordered reassembly (the same
+    one-shuffle contract as chunking.tokenize_to_ids; zero shuffles if
+    the caller keeps the exploded (doc, pos, subwords) form, which is
+    what a training-shard export writes).
+    """
+    from .analysis import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "word"),
+    )
+    seg = (
+        toks.select("word")
+        .distinct()
+        .select("word", F.expr(segment_words_expr("word", merges)).alias("syms"))
+    )
+    joined = toks.join(F.broadcast(seg), "word").select("doc", "pos", "syms")
+    return joined.groupBy("doc").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size("syms")).cast("long").alias("n_subwords"),
+        F.array_join(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(pos, syms))), s -> s.syms)")
+            ),
+            " ",
+        ).alias("subs_csv"),
+    )

@@ -88,3 +88,64 @@ def test_bpe_vocab_segments_consistently(spark):
             assert seg in vocab, (w, seg)
     # frequent stems actually merged into multi-char units
     assert any(len(t.replace(END_MARK, "")) >= 3 for t in vocab)
+
+
+def test_artifact_matches_fit(spark):
+    """The committed BPE_MERGES artifact (catalog/trainprep.py) must
+    be EXACTLY what train_bpe derives from the sf0.001 corpus — the
+    x9 pattern: the catalog query applies a fixed artifact, this test
+    gates the fit."""
+    from omfietser_etl_spark.catalog.trainprep import BPE_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert train_bpe(docs, "text", n_merges=len(BPE_MERGES)) == BPE_MERGES
+
+
+def test_segment_expr_matches_reference(spark):
+    """The codegen replace-chain segmentation must equal the
+    single-machine greedy encoder word-for-word — including the
+    adversarial shapes (self-merges, cascading merges, merge-output
+    prefixes of other merges)."""
+    from pyspark.sql import functions as F
+
+    from omfietser_etl_spark.catalog.trainprep import BPE_MERGES
+    from omfietser_etl_spark.textops.bpe import segment_words_expr
+
+    words = [
+        "window", "order", "sort", "column", "scan", "aggregate",
+        "value", "partition", "aaa", "aaaa", "er", "e", "x",
+        "windowing", "parterre", "lulu", "colucolumn", "scans",
+        "sscan", "partpart",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: list(r.syms)
+        for r in df.select(
+            "word", F.expr(segment_words_expr("word", BPE_MERGES)).alias("syms")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == segment_word_reference(w, BPE_MERGES), w
+        # lossless: concatenating the subwords reconstructs the word
+        assert "".join(got[w]).replace(END_MARK, "") == w
+
+
+def test_bpe_encode_stream_order_and_counts(spark):
+    """bpe_encode's per-doc stream must concatenate the word
+    segmentations in original word order, and the counters must be
+    consistent with the csv."""
+    from omfietser_etl_spark.catalog.trainprep import BPE_MERGES
+    from omfietser_etl_spark.textops.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "window sort window"), (2, "Sort, WINDOW!"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in bpe_encode(docs, BPE_MERGES).collect()}
+    seg = lambda w: segment_word_reference(w, BPE_MERGES)  # noqa: E731
+    want1 = seg("window") + seg("sort") + seg("window")
+    assert out[1].subs_csv.split(" ") == want1
+    assert out[1].n_words == 3 and out[1].n_subwords == len(want1)
+    # normalization folds case/punct; empty doc yields no row
+    assert out[2].subs_csv.split(" ") == seg("sort") + seg("window")
+    assert 3 not in out

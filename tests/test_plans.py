@@ -403,3 +403,19 @@ def test_pq_adc_scan_is_broadcast_only(spark):
     # the vid != qid LUT fan-out is a broadcast nested loop by design
     # (bounded |Q| side broadcast), and the codebook joins broadcast
     assert "BroadcastNestedLoopJoin" in nodes
+
+
+def test_bpe_encode_segmentation_is_broadcast(spark):
+    """tk1's distinct-word segmentation table is model-sized — it
+    must broadcast back onto the corpus token stream, never
+    sort-merge; the segmentation itself is codegen string ops (no
+    fold, no shuffle on the corpus side beyond the doc reassembly)."""
+    import re
+
+    from omfietser_etl_spark.catalog.trainprep import tk1_bpe_encode
+
+    plan = _plan(tk1_bpe_encode(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+    assert "CartesianProduct" not in nodes
