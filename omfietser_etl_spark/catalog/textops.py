@@ -695,6 +695,72 @@ SELECT qid, rank, nid, d2adc_q FROM r WHERE rank <= {ANN_K}
 """
 
 
+def td21_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ top-k (textops/pq.py::ivfpq_topk): faiss's deployment
+    composition of td7's coarse probe (prune to n_probe clusters)
+    with td20's ADC code scoring (M-byte codes, broadcast LUT) — the
+    index table (vid, cid, codes) is ONE corpus shuffle and at scale
+    is stored cid-bucketed for partition-pruned probes."""
+    from omfietser_etl_spark.textops.pq import ivfpq_topk
+
+    emb = load(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0),
+        emb.filter(F.col("vec_id") < ANN_QUERY_BOUND),
+        "vec_id", "embedding", ANN_K, EMB_DIM, PQ_M, PQ_KSUB, IVF_PROBES,
+    )
+
+
+def _td21_oracle() -> str:
+    sub = EMB_DIM // PQ_M
+    l2 = _pq_l2("es", "cs", sub)
+    l2q = _pq_l2("qs", "cs", sub)
+    return f"""
+WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (SELECT ms.m, CAST(vec_id AS INT) AS pqc,
+              embedding[ms.m*{sub}+1 : ms.m*{sub}+{sub}] AS cs
+       FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_KSUB}),
+enc0 AS (SELECT e.vec_id AS vid, cb.m, cb.pqc, cb.cs,
+                e.embedding[cb.m*{sub}+1 : cb.m*{sub}+{sub}] AS es
+         FROM embeddings e CROSS JOIN cb),
+enc1 AS (SELECT vid, m, pqc, {l2} AS d2 FROM enc0),
+codes AS (SELECT vid, m, pqc AS code FROM (
+    SELECT vid, m, pqc,
+           row_number() OVER (PARTITION BY vid, m ORDER BY d2 ASC, pqc ASC) AS r
+    FROM enc1) WHERE r = 1),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+asg AS (SELECT vid, cid FROM (
+    SELECT e.vec_id AS vid, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dk_dot('e.embedding', 'c.cv')} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN c) WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {ANN_QUERY_BOUND}),
+probes AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY {dk_dot('q.qv', 'c.cv')} DESC, c.cid ASC) AS pr
+    FROM q CROSS JOIN c) WHERE pr <= {IVF_PROBES}),
+lut0 AS (SELECT q.qid, cb.m, cb.pqc, q.qv[cb.m*{sub}+1 : cb.m*{sub}+{sub}] AS qs, cb.cs
+         FROM q CROSS JOIN cb),
+lut AS (SELECT qid, m, pqc,
+               CAST(floor({l2q} * 1000000) AS BIGINT) AS pd2_q
+        FROM lut0),
+s AS (SELECT p.qid, a.vid AS nid, CAST(SUM(l.pd2_q) AS BIGINT) AS d2adc_q
+      FROM probes p
+      JOIN asg a ON a.cid = p.cid AND a.vid <> p.qid
+      JOIN codes cd ON cd.vid = a.vid
+      JOIN lut l ON l.qid = p.qid AND l.m = cd.m AND l.pqc = cd.code
+      GROUP BY p.qid, a.vid),
+r AS (SELECT qid, nid, d2adc_q,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY d2adc_q ASC, nid ASC) AS INT) AS rank
+      FROM s)
+SELECT qid, rank, nid, d2adc_q FROM r WHERE rank <= {ANN_K}
+"""
+
+
 #: Codebook size derived from the sizing rule the 10× stress proved
 #: (k ∝ N — clustering.semdedup_k_for): the gate certification scale
 #: is the sf0.01 embeddings table (500 vectors), giving k=8 at the
@@ -1871,6 +1937,8 @@ SPECS = [
     QuerySpec("td7_ivf_ann", td7_ivf_ann, TD7_ORACLE, "IVF approximate top-k"),
     QuerySpec("td20_pq_adc_topk", td20_pq_adc_topk, _td20_oracle(),
               "product-quantization ADC top-k (M-byte codes, broadcast LUT)"),
+    QuerySpec("td21_ivfpq_topk", td21_ivfpq_topk, _td21_oracle(),
+              "IVF-PQ top-k (coarse probe prune + ADC code scoring)"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
     QuerySpec("td13_semantic_dedup", td13_semantic_dedup, TD13_ORACLE,

@@ -419,3 +419,18 @@ def test_bpe_encode_segmentation_is_broadcast(spark):
     assert "BroadcastHashJoin" in nodes
     assert "SortMergeJoin" not in nodes
     assert "CartesianProduct" not in nodes
+
+
+def test_ivfpq_search_has_no_corpus_sortmerge(spark):
+    """td21: the probe and LUT joins against the code table must be
+    broadcast (probes and LUT are bounded |Q|-sized frames); the only
+    corpus exchange is the index build's partial-agg groupBy."""
+    import re
+
+    from omfietser_etl_spark.catalog.textops import td21_ivfpq_topk
+
+    plan = _plan(td21_ivfpq_topk(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "SortMergeJoin" not in nodes
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastHashJoin" in nodes

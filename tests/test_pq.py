@@ -130,3 +130,62 @@ def test_deterministic(spark):
     b = sorted(map(tuple, pq_adc_topk(emb, q, "vec_id", "embedding",
                                       K, DIM, M, KSUB).collect()))
     assert a == b
+
+
+def test_ivfpq_equals_adc_restricted_to_probes(spark):
+    """td21 must be EXACTLY td20's ADC scoring restricted to the
+    IVF-probed clusters: recompute coarse assignment (argmax dot,
+    ties by cid), the top-P probe set per query, and the ADC scores
+    in numpy, and require the full (nid, score) ranking to match."""
+    from omfietser_etl_spark.textops.pq import ivfpq_topk
+
+    P = 2
+    MOD = 25  # gate centroid rule: vec_id % 25 == 0
+    emb = _emb(spark)
+    ids, mat = _mat(emb)
+    sub = DIM // M
+    cent = mat[ids < KSUB]
+    coarse_ids = ids[ids % MOD == 0]
+    coarse = mat[ids % MOD == 0]
+
+    def np_codes(v):
+        return [
+            int(np.argmin([((v[m * sub:(m + 1) * sub] - c[m * sub:(m + 1) * sub]) ** 2).sum()
+                           for c in cent]))
+            for m in range(M)
+        ]
+
+    # coarse assignment: argmax dot, ties by centroid id ascending
+    dots = mat @ coarse.T
+    asg = {int(v): int(coarse_ids[np.lexsort((coarse_ids, -dots[i]))[0]])
+           for i, v in enumerate(ids)}
+
+    out = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") % MOD == 0),
+        emb.filter(F.col("vec_id") < QB),
+        "vec_id", "embedding", K, DIM, M, KSUB, P,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+
+    for qid in range(QB):
+        q = mat[ids == qid][0]
+        qd = coarse @ q
+        probe_set = set(int(c) for c in
+                        coarse_ids[np.lexsort((coarse_ids, -qd))[:P]])
+        lut = np.array(
+            [[math.floor(((q[m * sub:(m + 1) * sub] - c[m * sub:(m + 1) * sub]) ** 2).sum()
+                         * PQ_SCALE) for c in cent] for m in range(M)],
+            dtype=np.int64,
+        )
+        scores = {
+            int(v): int(sum(lut[m][c] for m, c in enumerate(np_codes(mat[i]))))
+            for i, v in enumerate(ids)
+            if v != qid and asg[int(v)] in probe_set
+        }
+        expect = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:K]
+        got = [(r.nid, r.d2adc_q) for r in sorted(by_q.get(qid, []),
+                                                  key=lambda r: r.rank)]
+        assert got == expect, qid

@@ -131,6 +131,18 @@ def main() -> None:
         "td13_semantic_dedup",
         "td17_incremental_dedup",
         "dd4_neardup_components",
+        # round-6 additions: the de-single-partitioned rank family and
+        # BM25 — ts15 (full distributed rank) vs ts16 (sketch cutoff,
+        # band-only rank) is the measured claim that the threshold
+        # path wins as N grows
+        "ts13_token_balanced_shards",
+        "ts15_dsir_select",
+        "ts16_dsir_threshold",
+        "tv4_bm25_topk",
+        # round-6 operators: PQ-ADC (linear code scan by construction)
+        # and BPE encode (distinct-word segmentation + broadcast join)
+        "td20_pq_adc_topk",
+        "tk1_bpe_encode",
     ]
     specs = {s.name: s for s in all_specs()}
 
