@@ -634,6 +634,7 @@ SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
 
 PQ_M = 4  # subspaces → 4-byte codes for 64-dim (256-byte) vectors
 PQ_KSUB = 16  # centroids per subspace; codebook = vec_id < 16 slices
+PQ_RERANK = 3 * ANN_K  # ADC shortlist size for the exact re-rank stage
 
 
 def td20_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -758,6 +759,63 @@ r AS (SELECT qid, nid, d2adc_q,
       CAST(row_number() OVER (PARTITION BY qid ORDER BY d2adc_q ASC, nid ASC) AS INT) AS rank
       FROM s)
 SELECT qid, rank, nid, d2adc_q FROM r WHERE rank <= {ANN_K}
+"""
+
+
+def td22_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage retrieval (textops/pq.py::pq_rerank_topk): td20's
+    ADC shortlist (3k candidates, M-byte codes, corpus never
+    shuffles) re-ranked EXACTLY by full-precision dot product —
+    faiss's IndexRefineFlat serving shape. Output schema ≡ td6, so
+    the oracle re-ranks the replayed ADC shortlist with the same
+    left-fold dot td6 gates."""
+    from omfietser_etl_spark.textops.pq import pq_rerank_topk
+
+    emb = load(spark, sf, "embeddings")
+    return pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_BOUND),
+        "vec_id", "embedding", ANN_K, PQ_RERANK, EMB_DIM, PQ_M, PQ_KSUB,
+    )
+
+
+def _td22_oracle() -> str:
+    sub = EMB_DIM // PQ_M
+    l2 = _pq_l2("es", "cs", sub)
+    l2q = _pq_l2("qs", "cs", sub)
+    return f"""
+WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (SELECT ms.m, CAST(vec_id AS INT) AS cid,
+              embedding[ms.m*{sub}+1 : ms.m*{sub}+{sub}] AS cs
+       FROM embeddings CROSS JOIN ms WHERE vec_id < {PQ_KSUB}),
+enc0 AS (SELECT e.vec_id AS vid, cb.m, cb.cid, cb.cs,
+                e.embedding[cb.m*{sub}+1 : cb.m*{sub}+{sub}] AS es
+         FROM embeddings e CROSS JOIN cb),
+enc1 AS (SELECT vid, m, cid, {l2} AS d2 FROM enc0),
+codes AS (SELECT vid, m, cid AS code FROM (
+    SELECT vid, m, cid,
+           row_number() OVER (PARTITION BY vid, m ORDER BY d2 ASC, cid ASC) AS r
+    FROM enc1) WHERE r = 1),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {ANN_QUERY_BOUND}),
+lut0 AS (SELECT q.qid, cb.m, cb.cid, q.qv[cb.m*{sub}+1 : cb.m*{sub}+{sub}] AS qs, cb.cs
+         FROM q CROSS JOIN cb),
+lut AS (SELECT qid, m, cid,
+               CAST(floor({l2q} * 1000000) AS BIGINT) AS pd2_q
+        FROM lut0),
+s AS (SELECT l.qid, c.vid AS nid, CAST(SUM(l.pd2_q) AS BIGINT) AS d2adc_q
+      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code AND c.vid <> l.qid
+      GROUP BY l.qid, c.vid),
+sl AS (SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2adc_q ASC, nid ASC) AS r
+    FROM s) WHERE r <= {PQ_RERANK}),
+x AS (SELECT sl.qid, sl.nid, {dk_dot('q.qv', 'e.embedding')} AS dot
+      FROM sl JOIN q ON q.qid = sl.qid
+      JOIN embeddings e ON e.vec_id = sl.nid),
+rr AS (SELECT qid, nid, dot,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS INT) AS rank
+       FROM x)
+SELECT qid, rank, nid, round(dot, 6) AS sim FROM rr WHERE rank <= {ANN_K}
 """
 
 
@@ -1939,6 +1997,8 @@ SPECS = [
               "product-quantization ADC top-k (M-byte codes, broadcast LUT)"),
     QuerySpec("td21_ivfpq_topk", td21_ivfpq_topk, _td21_oracle(),
               "IVF-PQ top-k (coarse probe prune + ADC code scoring)"),
+    QuerySpec("td22_pq_rerank", td22_pq_rerank, _td22_oracle(),
+              "two-stage retrieval: ADC shortlist + exact re-rank"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
     QuerySpec("td13_semantic_dedup", td13_semantic_dedup, TD13_ORACLE,

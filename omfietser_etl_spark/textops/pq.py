@@ -180,6 +180,55 @@ def pq_adc_topk(
     )
 
 
+def pq_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank: int,
+    dim: int,
+    m_sub: int = 4,
+    ksub: int = 16,
+) -> DataFrame:
+    """Two-stage retrieval: ADC shortlist of ``rerank`` candidates
+    per query (td20's M-byte-code path), then EXACT full-precision
+    re-rank of the shortlist by dot product — faiss's
+    ``IndexRefineFlat`` composition, the standard billion-scale
+    serving shape: the compressed index prunes N → |Q|·rerank, and
+    only those rows' full vectors are consulted.
+
+    Output: (qid, rank, nid, sim) — td6's exact schema, so recall
+    against the brute-force baseline is directly measurable.
+
+    Plan: shortlist = :func:`pq_adc_topk` (corpus codes never
+    shuffle); fetch = the bounded |Q|·rerank shortlist BROADCAST
+    against the full-precision table — a map-side semi-join over the
+    corpus scan, zero corpus exchange (at 100 TB this is the "read
+    ~k·|Q| rows from cold storage by id" step; Spark expresses it as
+    a broadcast join the scan's row-group pruning can exploit) —
+    then the same per-qid rank window as td6, over |Q|·rerank rows.
+    """
+    from .similarity import dot_expr
+
+    shortlist = pq_adc_topk(
+        emb, queries, id_col, vec_col, rerank, dim, m_sub, ksub
+    ).select("qid", "nid")
+    v = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    scored = (
+        v.join(F.broadcast(shortlist), "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn("dot", F.expr(dot_expr("qv", "nv")))
+    )
+    w = "(PARTITION BY qid ORDER BY dot DESC, nid ASC)"
+    return (
+        scored.withColumn("rank", F.expr(f"row_number() OVER {w}").cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", F.round("dot", 6).alias("sim"))
+    )
+
+
 def ivfpq_index(
     emb: DataFrame,
     centroids: DataFrame,

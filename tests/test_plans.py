@@ -434,3 +434,18 @@ def test_ivfpq_search_has_no_corpus_sortmerge(spark):
     assert "SortMergeJoin" not in nodes
     assert "CartesianProduct" not in nodes
     assert "BroadcastHashJoin" in nodes
+
+
+def test_pq_rerank_fetch_is_broadcast(spark):
+    """td22: both the shortlist fetch against the full-precision
+    table and the query-vector join must be broadcast — the corpus
+    never shuffles for the re-rank stage."""
+    import re
+
+    from omfietser_etl_spark.catalog.textops import td22_pq_rerank
+
+    plan = _plan(td22_pq_rerank(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "SortMergeJoin" not in nodes
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastHashJoin" in nodes

@@ -189,3 +189,62 @@ def test_ivfpq_equals_adc_restricted_to_probes(spark):
         got = [(r.nid, r.d2adc_q) for r in sorted(by_q.get(qid, []),
                                                   key=lambda r: r.rank)]
         assert got == expect, qid
+
+
+def test_rerank_equals_exact_dot_over_adc_shortlist(spark):
+    """td22 must be EXACTLY: take the ADC top-R shortlist (ties by
+    (score, nid) — td20's order), score those candidates with the
+    same left-fold float64 dot product td6 uses, re-rank. Recompute
+    both stages in plain Python/numpy and require the full
+    (nid, sim) ranking to match."""
+    from omfietser_etl_spark.textops.pq import pq_rerank_topk
+
+    R = 3 * K
+    emb = _emb(spark)
+    ids, mat = _mat(emb)
+    cent = mat[ids < KSUB]
+    sub = DIM // M
+
+    def np_codes(v):
+        return [
+            int(np.argmin([((v[m * sub:(m + 1) * sub] - c[m * sub:(m + 1) * sub]) ** 2).sum()
+                           for c in cent]))
+            for m in range(M)
+        ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    out = pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < QB),
+        "vec_id", "embedding", K, R, DIM, M, KSUB,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+
+    all_codes = [np_codes(mat[i]) for i in range(len(ids))]
+    for qid in range(QB):
+        q = mat[ids == qid][0]
+        lut = np.array(
+            [[math.floor(((q[m * sub:(m + 1) * sub] - c[m * sub:(m + 1) * sub]) ** 2).sum()
+                         * PQ_SCALE) for c in cent] for m in range(M)],
+            dtype=np.int64,
+        )
+        adc = {
+            int(v): int(sum(lut[m][c] for m, c in enumerate(all_codes[i])))
+            for i, v in enumerate(ids) if v != qid
+        }
+        shortlist = [nid for nid, _ in
+                     sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:R]]
+        rer = sorted(
+            ((nid, fold_dot(q, mat[ids == nid][0])) for nid in shortlist),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:K]
+        expect = [(nid, round(dot, 6)) for nid, dot in rer]
+        got = [(r.nid, r.sim) for r in sorted(by_q.get(qid, []),
+                                              key=lambda r: r.rank)]
+        assert got == expect, qid
