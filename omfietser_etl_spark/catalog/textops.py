@@ -980,13 +980,15 @@ def tv4_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
 
 
-def _tv4_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 oracle CTE chain, ending at `top` (doc, score_q,
+    top-k by score) — shared by tv4 (ranked output) and tv5 (RRF
+    fusion input)."""
     from omfietser_etl_spark.textops.retrieval import BM25_S
     from omfietser_etl_spark.textops.selection import DSIR_F, DSIR_Q
 
     q_vals = ", ".join(f"('{t}')" for t in TV4_QUERY)
-    return f"""
-WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+    return f"""d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
 base AS (SELECT doc, CAST(len(t) AS BIGINT) AS dl, t FROM d),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt
         FROM base),
@@ -1013,11 +1015,66 @@ sc AS (SELECT tf.doc,
        FROM tf JOIN idf USING (term) CROSS JOIN tot
        GROUP BY tf.doc),
 top AS (SELECT doc, score_q FROM sc
-        ORDER BY score_q DESC, doc ASC LIMIT {TV4_TOP_K})
+        ORDER BY score_q DESC, doc ASC LIMIT {TV4_TOP_K})"""
+
+
+def _tv4_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()}
 SELECT doc, score_q,
        CAST(row_number() OVER (ORDER BY score_q DESC, doc ASC) AS BIGINT)
          AS rank
 FROM top
+"""
+
+
+RRF_QVEC = 0  # dense-list query vector for the fusion gate
+
+
+def tv5_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (textops/retrieval.py::rrf_fuse): fuse the tv4 BM25 lexical
+    top-20 with a dense exact top-20 (td6's brute_topk for query
+    vector RRF_QVEC) on the shared doc/vec id space — integer RRF
+    contributions (1e6 div (60+rank)) so the oracle replays the
+    fused scores exactly."""
+    from omfietser_etl_spark.textops import similarity as sim
+    from omfietser_etl_spark.textops.retrieval import bm25_topk, rrf_fuse
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    lex = bm25_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
+    den = sim.brute_topk(
+        emb, emb.filter(F.col("vec_id") == RRF_QVEC),
+        "vec_id", "embedding", TV4_TOP_K,
+    ).select(F.col("nid").alias("doc"), "rank")
+    return rrf_fuse([lex.select("doc", "rank"), den], top_k=TV4_TOP_K)
+
+
+def _tv5_oracle() -> str:
+    from omfietser_etl_spark.textops.retrieval import RRF_K, RRF_SCALE
+
+    return f"""
+WITH {_bm25_ctes()},
+lex AS (SELECT doc,
+               row_number() OVER (ORDER BY score_q DESC, doc ASC) AS r
+        FROM top),
+dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QVEC}),
+ds AS (SELECT e.vec_id AS doc, {dk_dot('dq.qv', 'e.embedding')} AS dot
+       FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> {RRF_QVEC}),
+den AS (SELECT doc, r FROM (
+    SELECT doc, row_number() OVER (ORDER BY dot DESC, doc ASC) AS r
+    FROM ds) WHERE r <= {TV4_TOP_K}),
+u AS (SELECT doc, r FROM lex UNION ALL SELECT doc, r FROM den),
+f AS (SELECT doc, CAST(SUM({RRF_SCALE} // ({RRF_K} + r)) AS BIGINT) AS rrf_q,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY doc),
+ftop AS (SELECT doc, rrf_q, n_lists FROM f
+         ORDER BY rrf_q DESC, doc ASC LIMIT {TV4_TOP_K})
+SELECT doc, rrf_q, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_q DESC, doc ASC) AS BIGINT)
+         AS rank
+FROM ftop
 """
 
 
@@ -2017,6 +2074,8 @@ SPECS = [
               "per-source TF-IDF distinctive terms (exact-integer score)"),
     QuerySpec("tv4_bm25_topk", tv4_bm25_topk, _tv4_oracle(),
               "BM25 ranked retrieval (exact fixed-point ilog2 idf)"),
+    QuerySpec("tv5_rrf_fusion", tv5_rrf_fusion, _tv5_oracle(),
+              "hybrid retrieval: reciprocal-rank fusion of BM25 + dense lists"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

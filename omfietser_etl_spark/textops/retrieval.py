@@ -110,3 +110,57 @@ def bm25_topk(
     # — the o7 top-k convention, never the corpus)
     w = Window.orderBy(F.col("score_q").desc(), F.col("doc"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+#: RRF constants. k=60 is the canonical damping constant from the RRF
+#: paper; the fixed-point scale makes every contribution an exact
+#: integer (1e6 div (60+rank)) so fused scores are engine-portable —
+#: float 1/(k+r) sums would re-order under different summation orders.
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    k_rrf: int = RRF_K,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009): the standard hybrid-retrieval
+    combiner — fuse a lexical (BM25) and a dense (embedding) list
+    without score calibration, since only RANKS enter the formula:
+
+        rrf(d) = Σ_lists floor(SCALE / (k + rank_list(d)))
+
+    Output: (doc, rrf_q, n_lists, rank) — top_k by fused score,
+    ties by doc id; n_lists = how many input lists ranked the doc.
+
+    Scale shape: each input list is already a bounded top-k frame
+    (the expensive corpus work happened upstream); fusion is a
+    union + one groupBy over Σ|lists| ≤ L·k rows, then the o7
+    TakeOrdered top-k. Per-query fusion at scale is the same plan
+    with the query id prepended to every key.
+    """
+    u = None
+    for df in lists:
+        part = df.select(
+            F.col(id_col).alias("doc"),
+            F.col(rank_col).cast("long").alias("r"),
+        )
+        u = part if u is None else u.unionByName(part)
+    top = (
+        u.withColumn("c", F.expr(f"{RRF_SCALE} div ({k_rrf} + r)"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("rrf_q"),
+            F.count("*").cast("long").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_q").desc(), F.col("doc"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("rrf_q").desc(), F.col("doc"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc", "rrf_q", "n_lists", "rank"
+    )
