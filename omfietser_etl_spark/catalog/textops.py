@@ -875,6 +875,43 @@ SELECT vec_id, cid, round(d2, 6) AS d2 FROM a WHERE r = 1
 """
 
 
+PROTO_N = 8  # per-cluster quota for the prototype-selection gate
+
+
+def ts17_cluster_prototypes(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced prototype selection
+    (textops/clustering.py::cluster_prototypes): per-cluster top-n
+    closest-to-centroid — equal semantic quotas so tail topics
+    survive curation. Assignment replays td8's exact-fold map pass;
+    selection is a cid-partitioned window (parallel across clusters,
+    never a global sort)."""
+    from omfietser_etl_spark.textops.clustering import cluster_prototypes
+
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    return cluster_prototypes(emb, centroids, PROTO_N, "vec_id", "embedding")
+
+
+TS17_ORACLE = f"""
+WITH c AS (SELECT CAST(vec_id + 1 AS INTEGER) AS cid, embedding AS cv
+           FROM embeddings WHERE vec_id < {KMEANS_K}),
+a AS (SELECT e.vec_id, c.cid, {_td8_l2('e.embedding', 'c.cv')} AS d2,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_td8_l2('e.embedding', 'c.cv')} ASC, c.cid ASC) AS r
+      FROM embeddings e CROSS JOIN c),
+asg AS (SELECT vec_id, cid, d2 FROM a WHERE r = 1),
+p AS (SELECT cid, vec_id, d2,
+             CAST(row_number() OVER (PARTITION BY cid
+                 ORDER BY d2 ASC, vec_id ASC) AS INTEGER) AS rank
+      FROM asg)
+SELECT cid, rank, vec_id AS id, round(d2, 6) AS d2
+FROM p WHERE rank <= {PROTO_N}
+"""
+
+
 def td13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs
     (textops/clustering.py::semantic_dedup_pairs): nearest-centroid
@@ -2058,6 +2095,8 @@ SPECS = [
               "two-stage retrieval: ADC shortlist + exact re-rank"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
+    QuerySpec("ts17_cluster_prototypes", ts17_cluster_prototypes, TS17_ORACLE,
+              "cluster-balanced prototype selection (per-cluster top-n)"),
     QuerySpec("td13_semantic_dedup", td13_semantic_dedup, TD13_ORACLE,
               "SemDeDup cluster-blocked cosine near-dup pairs"),
     QuerySpec("td9_contamination", td9_contamination, TD9_ORACLE,

@@ -208,3 +208,43 @@ def lloyd_kmeans(
         )
         centroids = F.broadcast(spark.createDataFrame(means.collect(), means.schema))
     return assigned.drop("_d2"), inertia
+
+
+def cluster_prototypes(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """Cluster-balanced prototype selection: the ``n_per_cluster``
+    vectors CLOSEST to their assigned centroid, per cluster — the
+    diversity-preserving curation counterpart of SemDeDup's
+    within-cluster pruning. An equal per-semantic-cluster quota keeps
+    tail topics represented where a corpus-wide global top-n would be
+    dominated by the head cluster (the standard coreset/
+    prototype-sampling move in embedding-space data curation).
+
+    Output: (cid, rank, id, d2) — rank 1 = the cluster's medoid-most
+    member; d2 rounded to 6dp (ranking uses the raw double fold, ties
+    by id — td8's exact-fold discipline, bit-replayable by DuckDB).
+
+    Plan shape: assignment is the td8 map-side broadcast pass (corpus
+    never shuffles to find its centroid); selection is ONE window
+    PARTITIONED BY cid — parallel across the k clusters, never a
+    global sort; output is ≤ k·n rows.
+    """
+    a = assign_clusters(emb, centroids, id_col, vec_col, cid_col, cvec_col)
+    w = Window.partitionBy(cid_col).orderBy("_d2", id_col)
+    return (
+        a.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n_per_cluster)
+        .select(
+            cid_col,
+            "rank",
+            F.col(id_col).alias("id"),
+            F.round("_d2", 6).alias("d2"),
+        )
+    )

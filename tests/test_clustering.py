@@ -159,3 +159,39 @@ def test_noise_floor_guard_and_sizing_helpers(spark):
     assert semdedup_k_for(5_000) == 79
     assert semdedup_k_for(50_000) == 782      # ceil(N/64): k grows ∝ N
     assert semdedup_k_for(6_400_000) == 100_000
+
+
+def test_cluster_prototypes_match_numpy(spark):
+    """Prototype selection = per-cluster top-n by distance to the
+    assigned centroid (assignment ties by cid, selection ties by id)
+    — recomputed independently in numpy."""
+    import numpy as np
+
+    from omfietser_etl_spark.textops.clustering import cluster_prototypes
+
+    K, N = 8, 3
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cent = mat[ids < K]
+
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    asg = d2.argmin(axis=1)  # ties: argmin → lowest index ≡ lowest cid
+    expect = {}
+    for cid in range(K):
+        members = [(float(d2[i, cid]), int(ids[i]))
+                   for i in range(len(ids)) if asg[i] == cid]
+        expect[cid + 1] = [v for _, v in sorted(members)[:N]]
+
+    centroids = emb.filter(F.col("vec_id") < K).select(
+        (F.col("vec_id") + 1).cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    out = cluster_prototypes(emb, centroids, N, "vec_id", "embedding").collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.cid, r.rank)):
+        got.setdefault(r.cid, []).append(r.id)
+    assert got == {c: v for c, v in expect.items() if v}
