@@ -22,6 +22,8 @@ Extends the reference's fuzzy best-match search
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -336,6 +338,18 @@ def rh_params_for(n_hint: int, bands: int = RH_BANDS) -> tuple[int, int]:
     (4×16 at the 50k-vector corpus cut candidates 1,880×)."""
     rows = max(RH_ROWS, (max(2, int(n_hint)) - 1).bit_length())
     return bands, rows
+
+
+def ivf_centroid_mod_for(n_hint: int) -> int:
+    """Modulus for the deterministic IVF centroid rule
+    (``vec_id % mod == 0``) sizing the coarse codebook to ≈√N
+    centroids — the faiss nlist heuristic. Assignment costs N·C·d
+    and the probed scan costs ~|Q|·n_probe·(N/C)·d, balanced at
+    C ≈ √N; holding the mod FIXED as the corpus grows makes C ∝ N
+    and assignment quadratic (measured: td21 12.3× time at 10× data,
+    SCALING.md round-6; re-sized to √N geometry it returns to
+    linear). mod ≈ √N gives C = N/mod ≈ √N."""
+    return max(1, math.isqrt(max(1, int(n_hint))))
 
 
 def check_noise_floor(

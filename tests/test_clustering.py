@@ -160,6 +160,16 @@ def test_noise_floor_guard_and_sizing_helpers(spark):
     assert semdedup_k_for(50_000) == 782      # ceil(N/64): k grows ∝ N
     assert semdedup_k_for(6_400_000) == 100_000
 
+    # round-6: IVF centroid sizing — C = N/mod ≈ √N (faiss nlist rule;
+    # a fixed mod makes coarse assignment quadratic, measured 12.3×
+    # time at 10× data in SCALING.md round-6)
+    from omfietser_etl_spark.textops.similarity import ivf_centroid_mod_for
+
+    assert ivf_centroid_mod_for(500) == 22    # C ≈ 23 at gate scale
+    assert ivf_centroid_mod_for(50_000) == 223
+    assert ivf_centroid_mod_for(10**9) == 31_622
+    assert ivf_centroid_mod_for(0) == 1       # degenerate corpus safe
+
 
 def test_cluster_prototypes_match_numpy(spark):
     """Prototype selection = per-cluster top-n by distance to the

@@ -143,7 +143,37 @@ def main() -> None:
         # and BPE encode (distinct-word segmentation + broadcast join)
         "td20_pq_adc_topk",
         "tk1_bpe_encode",
+        # round-6 late additions: composed ANN deployment shapes and
+        # the cluster-quota selection (outputs constant by contract —
+        # the measured claim is that TIME stays linear in corpus size)
+        "td21_ivfpq_topk",
+        "td22_pq_rerank",
+        "tv5_rrf_fusion",
+        "ts17_cluster_prototypes",
     ]
+    only = {a for a in sys.argv[2:]}
+    if only:
+        FAMILY = [n for n in FAMILY if n in only]
+
+    def run_ivfpq_sized(sf_dir: str) -> tuple[float, int]:
+        # td21 with the √N centroid rule (similarity.ivf_centroid_mod_for):
+        # the gate's fixed mod makes the codebook grow ∝ N and coarse
+        # assignment quadratic (N·C·d); sizing C ≈ √N restores linearity.
+        from omfietser_etl_spark.catalog.textops import (
+            ANN_K, ANN_QUERY_BOUND, EMB_DIM, PQ_KSUB, PQ_M, IVF_PROBES,
+        )
+        from omfietser_etl_spark.textops.pq import ivfpq_topk
+
+        emb = load(spark, sf_dir, "embeddings")
+        mod = sim.ivf_centroid_mod_for(emb.count())
+        t0 = time.perf_counter()
+        rows = ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") % mod == 0),
+            emb.filter(F.col("vec_id") < ANN_QUERY_BOUND),
+            "vec_id", "embedding", ANN_K, EMB_DIM, PQ_M, PQ_KSUB, IVF_PROBES,
+        ).count()
+        return time.perf_counter() - t0, rows
     specs = {s.name: s for s in all_specs()}
 
     def run(name: str, sf_dir: str) -> tuple[float, int]:
@@ -217,19 +247,28 @@ def main() -> None:
             f"| {name} | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
             f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
         )
-    t1, r1 = run_rh_scaled(BASE)
-    t10, r10 = run_rh_scaled(STRESS)
-    print(
-        f"| td16 scaled (rows=16, tau=.7) | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
-        f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
-    )
+    if not only or "td21_sized" in only:
+        t1, r1 = run_ivfpq_sized(BASE)
+        t10, r10 = run_ivfpq_sized(STRESS)
+        print(
+            f"| td21 sized (mod=√N) | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
+            f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
+        )
 
-    c1 = cand_counts(BASE)
-    c10 = cand_counts(STRESS)
-    print("\n| blocking candidates (Σ C(bucket,2)) | 1x | 10x | ratio |")
-    print("|---|---|---|---|")
-    for k in c1:
-        print(f"| {k} | {c1[k]} | {c10[k]} | {c10[k] / max(1, c1[k]):.1f}x |")
+    if not only:
+        t1, r1 = run_rh_scaled(BASE)
+        t10, r10 = run_rh_scaled(STRESS)
+        print(
+            f"| td16 scaled (rows=16, tau=.7) | {t1:.1f} | {t10:.1f} | {t10 / t1:.1f}x "
+            f"| {r1} | {r10} | {r10 / max(1, r1):.1f}x |"
+        )
+
+        c1 = cand_counts(BASE)
+        c10 = cand_counts(STRESS)
+        print("\n| blocking candidates (Σ C(bucket,2)) | 1x | 10x | ratio |")
+        print("|---|---|---|---|")
+        for k in c1:
+            print(f"| {k} | {c1[k]} | {c10[k]} | {c10[k] / max(1, c1[k]):.1f}x |")
     spark.stop()
 
 
