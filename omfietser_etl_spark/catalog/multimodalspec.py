@@ -264,6 +264,96 @@ FROM documents
 """
 
 
+MM7_OFF = 10_000_000
+MM7_MAX_HAMMING = 3  # ≤ bands−1 → banded recall is EXACT (pigeonhole)
+
+
+def mm7_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup (multimodal/phash.py): valid
+    9×8 binary-PPM payloads synthesized in SQL (pixels from sha256
+    hex — the mm4 convention) plus a PERTURBED twin per image (two
+    pixel R-bytes overwritten → ≤3 dHash bits flip), REAL-decoded
+    and dHashed in mapInPandas, paired by the banded hamming join.
+    The oracle recomputes every dHash band from the same hex with
+    independent arithmetic and takes literal all-pairs hamming ≤ 3 —
+    equivalent to the banded join exactly because max_hamming <
+    bands (pigeonhole), so the blocking plan itself is under test."""
+    from omfietser_etl_spark.multimodal.phash import (
+        dhash_images,
+        phash_neardup_pairs,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    shas = ", ".join(
+        "sha2(text, 256)" if i == 0 else f"sha2(concat(text, '{i}'), 256)"
+        for i in range(7)
+    )
+    hx = F.expr(f"substring(concat({shas}), 1, 432)")
+    docs = docs.withColumn("hx", hx).withColumn(
+        "hxp",
+        F.concat(
+            F.lit("00"), F.expr("substring(hx, 3, 244)"),
+            F.lit("ff"), F.expr("substring(hx, 249, 184)"),
+        ),
+    )
+    hdr = F.unhex(F.lit(b"P6\n9 8\n255\n".hex()))
+    orig = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(hdr, F.unhex("hx")).alias("data"),
+    )
+    twin = docs.select(
+        (F.col("doc_id") + MM7_OFF).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(hdr, F.unhex("hxp")).alias("data"),
+    )
+    return phash_neardup_pairs(
+        dhash_images(orig.unionByName(twin)), MM7_MAX_HAMMING
+    )
+
+
+def _mm7_oracle() -> str:
+    hv = "(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+    shas = " || ".join(
+        "sha256(text)" if i == 0 else f"sha256(text || '{i}')"
+        for i in range(7)
+    )
+    bands = ",\n      ".join(
+        f"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN "
+        f"gray[((16*{k}+j)//8)*9 + ((16*{k}+j)%8) + 1] > "
+        f"gray[((16*{k}+j)//8)*9 + ((16*{k}+j)%8) + 2] "
+        f"THEN (1::BIGINT << j) ELSE 0 END)) AS INT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}::BIGINT, b.b{k}::BIGINT))" for k in range(4)
+    )
+    return f"""
+WITH d0 AS (SELECT doc_id, substr({shas}, 1, 432) AS hx
+            FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT doc_id AS media_id, hx FROM d0
+  UNION ALL
+  SELECT doc_id + {MM7_OFF},
+         '00' || substr(hx, 3, 244) || 'ff' || substr(hx, 249, 184)
+  FROM d0),
+g AS (SELECT media_id,
+        list_transform(range(0, 72),
+            p -> 16 * {hv.format(i="6*p + 1")} + {hv.format(i="6*p + 2")})
+          AS gray
+      FROM base),
+bb AS (SELECT media_id,
+      {bands}
+       FROM g),
+pr AS (SELECT a.media_id AS id_lo, b.media_id AS id_hi,
+              CAST({ham} AS INT) AS hamming
+       FROM bb a JOIN bb b ON a.media_id < b.media_id)
+SELECT id_lo, id_hi, hamming FROM pr WHERE hamming <= {MM7_MAX_HAMMING}
+"""
+
+
 SPECS = [
     QuerySpec("mm1_feature_extract", mm1_feature_extract, MM1_ORACLE,
               "multimodal mapInPandas feature extraction shape"),
@@ -277,4 +367,6 @@ SPECS = [
               "REAL WAV PCM-16 decode vs independent oracle"),
     QuerySpec("mm6_video_probe", mm6_video_probe, MM6_ORACLE,
               "REAL AVI container probe vs arithmetic oracle"),
+    QuerySpec("mm7_phash_neardup", mm7_phash_neardup, _mm7_oracle(),
+              "dHash image near-dup via banded hamming join"),
 ]

@@ -83,3 +83,79 @@ def test_frame_sample_plan(media):
     ).first()
     assert sorted(one.ts)[0] == 0
     assert max(one.ts) < one.d
+
+
+def test_dhash_matches_numpy_and_perturbation_is_local(spark):
+    """dHash bands recomputed in numpy from the same pixel grid;
+    a single-pixel R perturbation flips ≤2 bits (the locality that
+    makes dHash a NEAR-dup hash, unlike cryptographic avalanche)."""
+    import numpy as np
+
+    from omfietser_etl_spark.multimodal.codecs import make_image_tools
+    from omfietser_etl_spark.multimodal.phash import dhash_images
+
+    _, _, _, encode_ppm = make_image_tools()
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    arr2 = arr.copy()
+    arr2[4, 5, 0] = 255 - int(arr2[4, 5, 0])  # one R byte
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm(arr))),
+         (2, "image", bytearray(encode_ppm(arr2))),
+         (3, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, data binary",
+    )
+    got = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in dhash_images(media).collect()}
+
+    def np_bands(a):
+        g = a[:, :, 0].astype(np.int64)
+        bits = (g[:, :-1] > g[:, 1:]).astype(int).ravel()
+        return tuple(sum(int(bits[16 * k + j]) << j for j in range(16))
+                     for k in range(4))
+
+    assert got[1] == np_bands(arr)
+    assert got[2] == np_bands(arr2)
+    assert got[3] == (None, None, None, None)  # undecodable kept as NULLs
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(got[1], got[2]))
+    assert ham <= 2
+
+
+def test_phash_banded_pairs_equal_brute_force(spark):
+    """At max_hamming ≤ bands−1 the banded join must equal literal
+    all-pairs hamming filtering (pigeonhole recall) — verified against
+    a brute-force recomputation over the collected hashes."""
+    import numpy as np
+
+    from omfietser_etl_spark.multimodal.codecs import make_image_tools
+    from omfietser_etl_spark.multimodal.phash import (
+        dhash_images,
+        phash_neardup_pairs,
+    )
+
+    _, _, _, encode_ppm = make_image_tools()
+    rng = np.random.default_rng(11)
+    rows = []
+    base = rng.integers(0, 256, size=(10, 8, 9, 3), dtype=np.uint8)
+    for i in range(10):
+        rows.append((i, "image", bytearray(encode_ppm(base[i]))))
+        tw = base[i].copy()
+        tw[0, 0, 0] ^= 0xFF
+        rows.append((100 + i, "image", bytearray(encode_ppm(tw))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, data binary")
+    hashes = dhash_images(media)
+    hs = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in hashes.collect()}
+    brute = set()
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(hs[a], hs[b]))
+            if h <= 3:
+                brute.add((a, b, h))
+    got = {(r.id_lo, r.id_hi, r.hamming)
+           for r in phash_neardup_pairs(hashes, 3).collect()}
+    assert got == brute
+    # every planted twin pair is present
+    assert all(any(p[:2] == (i, 100 + i) for p in got) for i in range(10))
