@@ -354,6 +354,110 @@ SELECT id_lo, id_hi, hamming FROM pr WHERE hamming <= {MM7_MAX_HAMMING}
 """
 
 
+MM8_N_SAMPLES = 130  # (64 bits + 1) frames × 2 samples
+MM8_HEX = 4 * MM8_N_SAMPLES  # 520 hex chars of PCM payload
+
+
+def _mm8_header_hex() -> str:
+    from omfietser_etl_spark.multimodal.codecs import make_audio_tools
+
+    _, encode_wav = make_audio_tools()
+    return encode_wav([0] * MM8_N_SAMPLES, MM5_RATE)[:44].hex()
+
+
+def mm8_audio_fp_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio fingerprint near-dup (multimodal/audiofp.py): PCM-16
+    payloads synthesized in SQL (mm5's convention, 130 samples from
+    sha256 hex) plus a perturbed twin per stream (ONE sample forced
+    to 0x7fff → one frame energy moves → ≤2 fingerprint bits flip),
+    REAL-decoded and fingerprinted in mapInPandas, then paired by the
+    SAME banded hamming join mm7 uses. The oracle replays the signed
+    int16 samples, the exact frame energies, and every band from the
+    same hex — literal all-pairs hamming ≤ 3 ≡ the banded join
+    (pigeonhole)."""
+    from omfietser_etl_spark.multimodal.audiofp import audio_fingerprint
+    from omfietser_etl_spark.multimodal.phash import phash_neardup_pairs
+
+    docs = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    shas = ", ".join(
+        "sha2(text, 256)" if i == 0 else f"sha2(concat(text, '{i}'), 256)"
+        for i in range(9)
+    )
+    docs = docs.withColumn(
+        "hx", F.expr(f"substring(concat({shas}), 1, {MM8_HEX})")
+    ).withColumn(
+        "hxp",
+        F.concat(
+            F.expr("substring(hx, 1, 240)"), F.lit("ff7f"),
+            F.expr(f"substring(hx, 245, {MM8_HEX - 244})"),
+        ),
+    )
+    hdr = F.unhex(F.lit(_mm8_header_hex()))
+    orig = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(hdr, F.unhex("hx")).alias("data"),
+    )
+    twin = docs.select(
+        (F.col("doc_id") + MM7_OFF).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(hdr, F.unhex("hxp")).alias("data"),
+    )
+    return phash_neardup_pairs(
+        audio_fingerprint(orig.unionByName(twin)), MM7_MAX_HAMMING
+    )
+
+
+def _mm8_oracle() -> str:
+    shas = " || ".join(
+        "sha256(text)" if i == 0 else f"sha256(text || '{i}')"
+        for i in range(9)
+    )
+    s16 = (
+        "CASE WHEN (16 * {h3} + {h4}) >= 128 "
+        "THEN (16 * {h1} + {h2}) + 256 * (16 * {h3} + {h4}) - 65536 "
+        "ELSE (16 * {h1} + {h2}) + 256 * (16 * {h3} + {h4}) END"
+    ).format(
+        h1=_B.format(i="4*k + 1"), h2=_B.format(i="4*k + 2"),
+        h3=_B.format(i="4*k + 3"), h4=_B.format(i="4*k + 4"),
+    )
+    bands = ",\n      ".join(
+        f"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN "
+        f"e[16*{k}+j + 1] > e[16*{k}+j + 2] "
+        f"THEN (1::BIGINT << j) ELSE 0 END)) AS INT) AS b{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{k}::BIGINT, b.b{k}::BIGINT))" for k in range(4)
+    )
+    return f"""
+WITH d0 AS (SELECT doc_id, substr({shas}, 1, {MM8_HEX}) AS hx
+            FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT doc_id AS media_id, hx FROM d0
+  UNION ALL
+  SELECT doc_id + {MM7_OFF},
+         substr(hx, 1, 240) || 'ff7f' || substr(hx, 245, {MM8_HEX - 244})
+  FROM d0),
+v AS (SELECT media_id,
+        list_transform(range(0, {MM8_N_SAMPLES}), k -> {s16}) AS s
+      FROM base),
+en AS (SELECT media_id,
+        list_transform(range(0, 65),
+            i -> s[2*i + 1] * s[2*i + 1] + s[2*i + 2] * s[2*i + 2]) AS e
+       FROM v),
+bb AS (SELECT media_id,
+      {bands}
+       FROM en),
+pr AS (SELECT a.media_id AS id_lo, b.media_id AS id_hi,
+              CAST({ham} AS INT) AS hamming
+       FROM bb a JOIN bb b ON a.media_id < b.media_id)
+SELECT id_lo, id_hi, hamming FROM pr WHERE hamming <= {MM7_MAX_HAMMING}
+"""
+
+
 SPECS = [
     QuerySpec("mm1_feature_extract", mm1_feature_extract, MM1_ORACLE,
               "multimodal mapInPandas feature extraction shape"),
@@ -369,4 +473,6 @@ SPECS = [
               "REAL AVI container probe vs arithmetic oracle"),
     QuerySpec("mm7_phash_neardup", mm7_phash_neardup, _mm7_oracle(),
               "dHash image near-dup via banded hamming join"),
+    QuerySpec("mm8_audio_fp_neardup", mm8_audio_fp_neardup, _mm8_oracle(),
+              "audio energy-delta fingerprint near-dup (shared band join)"),
 ]

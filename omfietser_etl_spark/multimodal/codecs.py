@@ -173,6 +173,9 @@ def make_audio_tools():
             "duration_ms": int(n * 1000 // sample_rate),
             "sum_sq": int((samples.astype(np.int64) ** 2).sum()),
             "peak": int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0,
+            # raw interleaved int16 stream — fingerprinting needs the
+            # samples themselves, not just the aggregate stats
+            "samples": samples.astype(np.int64),
         }
 
     def encode_wav(samples, sample_rate):

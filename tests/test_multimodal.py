@@ -159,3 +159,42 @@ def test_phash_banded_pairs_equal_brute_force(spark):
     assert got == brute
     # every planted twin pair is present
     assert all(any(p[:2] == (i, 100 + i) for p in got) for i in range(10))
+
+
+def test_audio_fingerprint_matches_numpy_and_is_local(spark):
+    """Energy-delta fingerprint recomputed in numpy from the same
+    PCM; a single corrupted sample flips ≤2 bits; undecodable and
+    too-short streams yield NULL bands."""
+    import numpy as np
+
+    from omfietser_etl_spark.multimodal.audiofp import audio_fingerprint
+    from omfietser_etl_spark.multimodal.codecs import make_audio_tools
+
+    _, encode_wav = make_audio_tools()
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, size=130, dtype=np.int64)
+    s2 = s.copy()
+    s2[60] = 32767  # one sample → one frame energy → ≤2 bits
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(s.tolist(), 8000))),
+         (2, "audio", bytearray(encode_wav(s2.tolist(), 8000))),
+         (3, "audio", bytearray(b"RIFFgarbage")),
+         (4, "audio", bytearray(encode_wav([5] * 10, 8000)))],
+        "media_id long, kind string, data binary",
+    )
+    got = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in audio_fingerprint(media).collect()}
+
+    def np_bands(x):
+        e = (x.reshape(65, 2) ** 2).sum(axis=1)
+        flags = (e[:-1] > e[1:]).astype(int)
+        return tuple(sum(int(flags[16 * k + j]) << j for j in range(16))
+                     for k in range(4))
+
+    assert got[1] == np_bands(s)
+    assert got[2] == np_bands(s2)
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)  # shorter than 130 samples
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(got[1], got[2]))
+    assert ham <= 2
