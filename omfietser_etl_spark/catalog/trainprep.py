@@ -733,6 +733,50 @@ FROM j GROUP BY doc
 """
 
 
+def tk2_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE decode / roundtrip audit (textops/bpe.py::bpe_decode_expr):
+    detokenize tk1's subword stream and compare against the original
+    normalized word stream — the lossless-roundtrip invariant every
+    tokenizer-apply pipeline asserts before writing training shards.
+    Decode is pure map-side string ops on top of tk1's plan; the
+    comparison join is doc-keyed (one shuffle)."""
+    from omfietser_etl_spark.textops.analysis import tokens
+    from omfietser_etl_spark.textops.bpe import bpe_decode_expr, bpe_encode
+
+    docs = load(spark, sf, "documents")
+    enc = bpe_encode(docs, BPE_MERGES).withColumn(
+        "decoded", F.expr(bpe_decode_expr("subs_csv"))
+    )
+    orig = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_join(tokens("text"), " ").alias("orig"),
+    )
+    return (
+        enc.join(orig, "doc")
+        .select(
+            "doc",
+            "n_words",
+            "n_subwords",
+            (F.col("decoded") == F.col("orig")).cast("int").alias("roundtrip_ok"),
+        )
+    )
+
+
+def _tk2_oracle() -> str:
+    dk = DK_TOKENS.format(c="text")
+    dec = (
+        "trim(replace(replace(subs_csv, ' ', ''), '</w>', ' '))"
+    )
+    return f"""
+WITH enc AS ({_tk1_oracle()}),
+orig AS (SELECT doc_id AS doc, array_to_string({dk}, ' ') AS orig
+         FROM documents)
+SELECT enc.doc, enc.n_words, enc.n_subwords,
+       CAST({dec} = orig AS INT) AS roundtrip_ok
+FROM enc JOIN orig ON enc.doc = orig.doc
+"""
+
+
 SPECS = [
     QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
               "deterministic hash sampling (retry-stable, monotone)"),
@@ -769,4 +813,6 @@ SPECS = [
     QuerySpec("tk1_bpe_encode", tk1_bpe_encode, _tk1_oracle(),
               "distributed BPE encode (fixed merge artifact, broadcast "
               "distinct-word segmentation)"),
+    QuerySpec("tk2_bpe_roundtrip", tk2_bpe_roundtrip, _tk2_oracle(),
+              "BPE decode + lossless-roundtrip audit"),
 ]

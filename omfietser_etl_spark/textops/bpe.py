@@ -277,3 +277,14 @@ def bpe_encode(
             " ",
         ).alias("subs_csv"),
     )
+
+
+def bpe_decode_expr(col: str) -> str:
+    """SQL decoding a space-joined BPE subword stream back to the
+    normalized word stream (detokenization): symbols are alnum +
+    '</w>' and never contain spaces, so dropping the joins and
+    turning each end-of-word marker into a space is EXACTLY the
+    greedy encoder's inverse — BPE merges never cross word
+    boundaries, so the roundtrip is lossless by construction.
+    Engine-portable (replace/trim only), map-side, zero shuffles."""
+    return f"trim(replace(replace({col}, ' ', ''), '</w>', ' '))"

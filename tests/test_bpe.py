@@ -149,3 +149,13 @@ def test_bpe_encode_stream_order_and_counts(spark):
     # normalization folds case/punct; empty doc yields no row
     assert out[2].subs_csv.split(" ") == seg("sort") + seg("window")
     assert 3 not in out
+
+
+def test_decode_roundtrips_every_doc(spark):
+    """bpe_decode_expr must losslessly invert bpe_encode for the whole
+    smoke corpus (merges never cross word boundaries), and the tk2
+    audit column must certify it."""
+    from omfietser_etl_spark.catalog.trainprep import tk2_bpe_roundtrip
+
+    out = tk2_bpe_roundtrip(spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r.roundtrip_ok == 1 for r in out)
