@@ -46,14 +46,31 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment by squared L2, deterministic
     tiebreak on centroid id. Broadcast codebook → map-side pass; the
-    corpus never shuffles for assignment."""
-    w = Window.partitionBy(id_col).orderBy("_d2", cid_col)
-    return (
+    argmin is a groupBy min over a (d2, cid, …) struct — lexicographic
+    struct ordering ≡ ORDER BY d2 ASC, cid ASC, and partial (map-side)
+    aggregation collapses each vector's C candidate rows BEFORE the
+    exchange, so the only shuffle is N one-row groups. (The previous
+    row_number window shuffled and sorted the full N×C joined frame —
+    at corpus scale that exchange dwarfs the assignment itself.)"""
+    others = [c for c in emb.columns if c not in (id_col, vec_col)]
+    best = F.min(
+        F.struct(
+            F.col("_d2"), F.col(cid_col), F.col(vec_col).alias("_v"),
+            *[F.col(c).alias(f"_o_{c}") for c in others],
+        )
+    ).alias("_best")
+    picked = (
         emb.crossJoin(F.broadcast(centroids))
         .withColumn("_d2", F.expr(l2_expr(vec_col, cvec_col)))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r", cvec_col)
+        .groupBy(id_col)
+        .agg(best)
+    )
+    return picked.select(
+        id_col,
+        F.col(f"_best._v").alias(vec_col),
+        *[F.col(f"_best._o_{c}").alias(c) for c in others],
+        F.col(f"_best.{cid_col}").alias(cid_col),
+        F.col("_best._d2").alias("_d2"),
     )
 
 

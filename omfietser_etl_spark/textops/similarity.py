@@ -222,11 +222,18 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) 
     scored = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).join(
         F.broadcast(c)
     ).withColumn("cdot", F.expr(dot_expr("v", "cv")))
-    w = "(PARTITION BY vid ORDER BY cdot DESC, cid ASC)"
+    # argmax as a groupBy min over (-dot, cid, v): lexicographic struct
+    # ordering ≡ ORDER BY cdot DESC, cid ASC, and partial aggregation
+    # collapses each vector's C candidate rows map-side — the shuffle
+    # carries N rows, not the N×C joined frame a row_number window
+    # would exchange and sort.
+    best = F.min(
+        F.struct((-F.col("cdot")).alias("_nd"), F.col("cid"), F.col("v").alias("_v"))
+    ).alias("_best")
     return (
-        scored.withColumn("r", F.expr(f"row_number() OVER {w}"))
-        .filter(F.col("r") == 1)
-        .select("vid", "v", "cid")
+        scored.groupBy("vid")
+        .agg(best)
+        .select("vid", F.col("_best._v").alias("v"), F.col("_best.cid").alias("cid"))
     )
 
 

@@ -449,3 +449,34 @@ def test_pq_rerank_fetch_is_broadcast(spark):
     assert "SortMergeJoin" not in nodes
     assert "CartesianProduct" not in nodes
     assert "BroadcastHashJoin" in nodes
+
+
+def test_cluster_assignment_has_no_window_exchange(spark):
+    """Nearest-centroid assignment (td7/td8/td13/td21/ts17) must be a
+    groupBy argmin/argmax — partial aggregation collapses the N×C
+    joined frame map-side, so the exchange carries N rows. A
+    row_number window here would shuffle AND sort all N×C rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.textops.clustering import assign_clusters
+    from omfietser_etl_spark.textops.similarity import ivf_assign
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cent = emb.limit(8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    for df in (
+        assign_clusters(emb, cent, "vec_id", "embedding", "cid", "cv"),
+        ivf_assign(emb, emb.filter(F.col("vec_id") % 25 == 0),
+                   "vec_id", "embedding"),
+    ):
+        plan = _plan(df)
+        nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+        assert "Window" not in nodes
+        # min(struct(..., array)) plans as SortAggregate (struct with an
+        # array field has no mutable hash buffer); the property under
+        # test is the MAP-SIDE partial min before the vid exchange.
+        assert "partial_min" in plan
+        assert "SortMergeJoin" not in nodes
