@@ -264,7 +264,10 @@ FROM documents
 """
 
 
-MM7_OFF = 10_000_000
+#: Twin media ids are -(doc_id) - 1: negative, so they can never
+#: alias a real doc_id on ANY corpus (an additive offset collides the
+#: moment doc_id reaches it — e.g. the 10x stress corpus reuses
+#: id + k*10_000_000).
 MM7_MAX_HAMMING = 3  # ≤ bands−1 → banded recall is EXACT (pigeonhole)
 
 
@@ -305,7 +308,7 @@ def mm7_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(hdr, F.unhex("hx")).alias("data"),
     )
     twin = docs.select(
-        (F.col("doc_id") + MM7_OFF).alias("media_id"),
+        (-F.col("doc_id") - 1).alias("media_id"),
         F.lit("image").alias("kind"),
         F.concat(hdr, F.unhex("hxp")).alias("data"),
     )
@@ -336,7 +339,7 @@ WITH d0 AS (SELECT doc_id, substr({shas}, 1, 432) AS hx
 base AS (
   SELECT doc_id AS media_id, hx FROM d0
   UNION ALL
-  SELECT doc_id + {MM7_OFF},
+  SELECT -doc_id - 1,
          '00' || substr(hx, 3, 244) || 'ff' || substr(hx, 249, 184)
   FROM d0),
 g AS (SELECT media_id,
@@ -401,7 +404,7 @@ def mm8_audio_fp_neardup(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(hdr, F.unhex("hx")).alias("data"),
     )
     twin = docs.select(
-        (F.col("doc_id") + MM7_OFF).alias("media_id"),
+        (-F.col("doc_id") - 1).alias("media_id"),
         F.lit("audio").alias("kind"),
         F.concat(hdr, F.unhex("hxp")).alias("data"),
     )
@@ -438,7 +441,7 @@ WITH d0 AS (SELECT doc_id, substr({shas}, 1, {MM8_HEX}) AS hx
 base AS (
   SELECT doc_id AS media_id, hx FROM d0
   UNION ALL
-  SELECT doc_id + {MM7_OFF},
+  SELECT -doc_id - 1,
          substr(hx, 1, 240) || 'ff7f' || substr(hx, 245, {MM8_HEX - 244})
   FROM d0),
 v AS (SELECT media_id,

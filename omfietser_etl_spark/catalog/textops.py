@@ -850,7 +850,9 @@ def td8_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1).cast("int").alias("cid"),
         F.col("embedding").alias("cv"),
     )
-    out = assign_clusters(emb, centroids, "vec_id", "embedding", "cid", "cv")
+    out = assign_clusters(
+        emb, centroids, "vec_id", "embedding", "cid", "cv", keep_vec=False
+    )
     return out.select("vec_id", "cid", F.round(F.col("_d2"), 6).alias("d2"))
 
 

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .phash import DHASH_BANDS, DHASH_SCHEMA
+from .phash import band_schema
 
 #: frame size (samples) and bit count of the fingerprint.
 AFP_FRAME = 2
@@ -41,6 +41,8 @@ def audio_fingerprint(
     fingerprint channel 0."""
     from .codecs import make_audio_tools
 
+    if bits % 16 != 0:
+        raise ValueError(f"audio_fingerprint: bits={bits} not 16-divisible")
     decode_wav, _enc = make_audio_tools()
     need = (bits + 1) * frame
     n_bands = bits // 16
@@ -69,7 +71,6 @@ def audio_fingerprint(
                     out[f"b{k}"].append(band)
             yield pd.DataFrame(out)
 
-    assert bits == 16 * DHASH_BANDS, "band schema is fixed at 4×16"
     return media.filter(F.col("kind") == "audio").select(
         "media_id", "data"
-    ).mapInPandas(run, DHASH_SCHEMA)
+    ).mapInPandas(run, band_schema(n_bands))

@@ -38,21 +38,31 @@ from pyspark.sql import types as T
 
 #: dHash grid: 8 rows × 8 comparisons per row over a 9-wide resample.
 DHASH_GRID = 8
-#: bands = 64 bits / 16 — fixed by the int16-band representation.
+#: gate-geometry band count (64 bits / 16).
 DHASH_BANDS = 4
 
-DHASH_SCHEMA = T.StructType(
-    [T.StructField("media_id", T.LongType(), False)]
-    + [T.StructField(f"b{k}", T.IntegerType(), True) for k in range(DHASH_BANDS)]
-)
+
+def band_schema(n_bands: int) -> T.StructType:
+    """(media_id, b0..b{n-1}) — the fingerprint frame shared by the
+    image and audio hashers and the banded pair join."""
+    return T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{k}", T.IntegerType(), True) for k in range(n_bands)]
+    )
+
+
+DHASH_SCHEMA = band_schema(DHASH_BANDS)
 
 
 def dhash_images(media: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
-    """(media_id, b0..b3): the 64-bit dHash of every decodable image
-    as four 16-bit bands; undecodable payloads yield NULL bands (kept,
-    the td18 NULL-key discipline — a filter drops them explicitly)."""
+    """(media_id, b0..b{n-1}): the grid²-bit dHash of every decodable
+    image as 16-bit bands; undecodable payloads yield NULL bands
+    (kept, the td18 NULL-key discipline — a filter drops them
+    explicitly)."""
     from .codecs import make_image_tools
 
+    if (grid * grid) % 16 != 0:
+        raise ValueError(f"dhash_images: grid²={grid * grid} not 16-divisible")
     _decode, to_array, resize, _enc = make_image_tools()
     n_bands = (grid * grid) // 16
 
@@ -79,20 +89,29 @@ def dhash_images(media: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "data"
-    ).mapInPandas(run, DHASH_SCHEMA)
+    ).mapInPandas(run, band_schema(n_bands))
 
 
 def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(id_lo, id_hi, hamming): unordered image pairs with dHash
+    """(id_lo, id_hi, hamming): unordered pairs with fingerprint
     hamming distance ≤ ``max_hamming``, found via the banded equi-join
-    (exact recall for max_hamming ≤ DHASH_BANDS − 1 by pigeonhole)."""
-    h = hashes.na.drop(subset=[f"b{k}" for k in range(DHASH_BANDS)])
+    (exact recall for max_hamming ≤ n_bands − 1 by pigeonhole). Band
+    columns are inferred from the input frame, so any band_schema
+    geometry works."""
+    import re
+
+    band_cols = sorted(
+        (c for c in hashes.columns if re.fullmatch(r"b\d+", c)),
+        key=lambda c: int(c[1:]),
+    )
+    n_bands = len(band_cols)
+    h = hashes.na.drop(subset=band_cols)
     stacked = h.select(
         F.col("media_id").alias("id"),
         F.expr(
             "stack({n}, {args}) AS (band, key)".format(
-                n=DHASH_BANDS,
-                args=", ".join(f"{k}, b{k}" for k in range(DHASH_BANDS)),
+                n=n_bands,
+                args=", ".join(f"{k}, {c}" for k, c in enumerate(band_cols)),
             )
         ),
     )
@@ -109,14 +128,14 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
     ha = h.select(
         F.col("media_id").alias("id_lo"),
-        *[F.col(f"b{k}").alias(f"xa{k}") for k in range(DHASH_BANDS)],
+        *[F.col(c).alias(f"xa{k}") for k, c in enumerate(band_cols)],
     )
     hb = h.select(
         F.col("media_id").alias("id_hi"),
-        *[F.col(f"b{k}").alias(f"xb{k}") for k in range(DHASH_BANDS)],
+        *[F.col(c).alias(f"xb{k}") for k, c in enumerate(band_cols)],
     )
     dist = " + ".join(
-        f"bit_count(xa{k} ^ xb{k})" for k in range(DHASH_BANDS)
+        f"bit_count(xa{k} ^ xb{k})" for k in range(n_bands)
     )
     return (
         cand.join(ha, "id_lo")

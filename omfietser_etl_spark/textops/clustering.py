@@ -43,6 +43,7 @@ def assign_clusters(
     vec_col: str = "embedding",
     cid_col: str = "cid",
     cvec_col: str = "cv",
+    keep_vec: bool = True,
 ) -> DataFrame:
     """Nearest-centroid assignment by squared L2, deterministic
     tiebreak on centroid id. Broadcast codebook → map-side pass; the
@@ -51,24 +52,41 @@ def assign_clusters(
     aggregation collapses each vector's C candidate rows BEFORE the
     exchange, so the only shuffle is N one-row groups. (The previous
     row_number window shuffled and sorted the full N×C joined frame —
-    at corpus scale that exchange dwarfs the assignment itself.)"""
-    others = [c for c in emb.columns if c not in (id_col, vec_col)]
-    best = F.min(
-        F.struct(
-            F.col("_d2"), F.col(cid_col), F.col(vec_col).alias("_v"),
-            *[F.col(c).alias(f"_o_{c}") for c in others],
-        )
-    ).alias("_best")
+    at corpus scale that exchange dwarfs the assignment itself.)
+
+    ``keep_vec=False`` returns only (id, cid, _d2): callers that
+    discard the vector (td8/ts17 — assignment IS the output) should
+    pass it so the min struct carries no array field — the exchange
+    sheds ~98% of its bytes and the aggregate hash-buffers instead of
+    sort-aggregating. NULL vectors are dropped up front (a NULL d2
+    would otherwise win every struct-min); NaN components are out of
+    contract corpus-wide (they poison every cosine/L2 fold the same
+    way — td5/td6 included)."""
+    e = emb.filter(F.col(vec_col).isNotNull())
+    c = centroids.filter(F.col(cvec_col).isNotNull())
+    others = [x for x in emb.columns if x not in (id_col, vec_col)]
+    payload = (
+        [F.col(vec_col).alias("_v")]
+        + [F.col(x).alias(f"_o_{x}") for x in others]
+        if keep_vec
+        else []
+    )
+    best = F.min(F.struct(F.col("_d2"), F.col(cid_col), *payload)).alias("_best")
     picked = (
-        emb.crossJoin(F.broadcast(centroids))
+        e.crossJoin(F.broadcast(c))
         .withColumn("_d2", F.expr(l2_expr(vec_col, cvec_col)))
         .groupBy(id_col)
         .agg(best)
     )
+    out_payload = (
+        [F.col("_best._v").alias(vec_col)]
+        + [F.col(f"_best._o_{x}").alias(x) for x in others]
+        if keep_vec
+        else []
+    )
     return picked.select(
         id_col,
-        F.col(f"_best._v").alias(vec_col),
-        *[F.col(f"_best._o_{c}").alias(c) for c in others],
+        *out_payload,
         F.col(f"_best.{cid_col}").alias(cid_col),
         F.col("_best._d2").alias("_d2"),
     )
@@ -86,7 +104,16 @@ def assign_clusters_multiprobe(
     """Top-``probes`` nearest-centroid assignment (one row per
     (vector, probe)): the multi-probe generalization of
     assign_clusters — same broadcast codebook map pass, the window
-    keeps ranks 1..p instead of 1."""
+    keeps ranks 1..p instead of 1.
+
+    SCALE CAVEAT: exact top-p has no partial-aggregation form in
+    declarative Spark (a bounded top-k merge buffer isn't expressible
+    without a custom JVM aggregate), so this window exchanges the
+    full N×C joined frame — the shape assign_clusters (p=1) was
+    measured 17× faster without (SCALING.md round-6). Not on any
+    certified catalog path; at corpus scale prefer probes=1, or run
+    the argmin pass per centroid shard if multi-probe recall is
+    required."""
     w = Window.partitionBy(id_col).orderBy("_d2", cid_col)
     return (
         emb.crossJoin(F.broadcast(centroids))
@@ -253,7 +280,9 @@ def cluster_prototypes(
     PARTITIONED BY cid — parallel across the k clusters, never a
     global sort; output is ≤ k·n rows.
     """
-    a = assign_clusters(emb, centroids, id_col, vec_col, cid_col, cvec_col)
+    a = assign_clusters(
+        emb, centroids, id_col, vec_col, cid_col, cvec_col, keep_vec=False
+    )
     w = Window.partitionBy(cid_col).orderBy("_d2", id_col)
     return (
         a.withColumn("rank", F.row_number().over(w).cast("int"))

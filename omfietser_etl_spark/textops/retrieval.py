@@ -143,6 +143,8 @@ def rrf_fuse(
     TakeOrdered top-k. Per-query fusion at scale is the same plan
     with the query id prepended to every key.
     """
+    if not lists:
+        raise ValueError("rrf_fuse: at least one ranked list is required")
     u = None
     for df in lists:
         part = df.select(

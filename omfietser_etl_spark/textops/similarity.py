@@ -218,15 +218,22 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) 
     Centroid codebook is broadcast; assignment is map-side only —
     zero shuffle over the corpus.
     """
-    c = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    scored = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).join(
-        F.broadcast(c)
-    ).withColumn("cdot", F.expr(dot_expr("v", "cv")))
+    c = centroids.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(c))
+        .withColumn("cdot", F.expr(dot_expr("v", "cv")))
+    )
     # argmax as a groupBy min over (-dot, cid, v): lexicographic struct
     # ordering ≡ ORDER BY cdot DESC, cid ASC, and partial aggregation
     # collapses each vector's C candidate rows map-side — the shuffle
     # carries N rows, not the N×C joined frame a row_number window
-    # would exchange and sort.
+    # would exchange and sort. NULL vectors are dropped up front (a
+    # NULL dot would otherwise sort first in the min and capture every
+    # assignment); NaN components are out of contract corpus-wide.
     best = F.min(
         F.struct((-F.col("cdot")).alias("_nd"), F.col("cid"), F.col("v").alias("_v"))
     ).alias("_best")

@@ -24,8 +24,12 @@ every within-copy cosine exactly and scrambles cross-copy cosines to
 background level.
 
 Run:  python tools/stress_scale.py  [base_sf_dir (default sf0.1)]
-Writes nothing to the repo — paste the printed markdown into
-SCALING.md. Stress corpus is cached under /tmp/spark_graft_stress.
+                                    [query_name ...]
+Query names (scoped mode) are only read AFTER the base dir argument;
+unknown names abort with the known list ("td21_sized" selects the
+√N-geometry IVF-PQ run). Writes nothing to the repo — paste the
+printed markdown into SCALING.md. Stress corpus is cached under
+/tmp/spark_graft_stress.
 """
 
 from __future__ import annotations
@@ -94,6 +98,11 @@ def build_corpus() -> None:
 
 
 def main() -> None:
+    if not os.path.isdir(BASE):
+        raise SystemExit(
+            f"base_sf_dir '{BASE}' is not a directory — the dir comes "
+            "FIRST, query-name filters after it"
+        )
     build_corpus()
 
     from pyspark.sql import SparkSession
@@ -152,6 +161,12 @@ def main() -> None:
         "ts17_cluster_prototypes",
     ]
     only = {a for a in sys.argv[2:]}
+    known = set(FAMILY) | {"td21_sized"}
+    unknown = only - known
+    if unknown:
+        raise SystemExit(
+            f"unknown stress queries {sorted(unknown)}; known: {sorted(known)}"
+        )
     if only:
         FAMILY = [n for n in FAMILY if n in only]
 
