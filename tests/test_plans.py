@@ -480,3 +480,23 @@ def test_cluster_assignment_has_no_window_exchange(spark):
         # test is the MAP-SIDE partial min before the vid exchange.
         assert "partial_min" in plan
         assert "SortMergeJoin" not in nodes
+
+
+def test_catalog_wide_no_single_partition_or_cartesian(spark):
+    """Catalog-wide plan hygiene, zero exceptions: no query in the
+    entire catalog may plan an `Exchange SinglePartition` (the
+    one-task wall no cluster size fixes — the shape the round-6
+    distributed-rank work eliminated) or a `CartesianProduct`
+    (unbounded all-pairs). Broadcast nested-loop joins over bounded
+    literals/codebooks are fine and not flagged; this pins the two
+    shapes that are never acceptable at corpus scale."""
+    from omfietser_etl_spark.catalog import all_specs
+
+    offenders = {}
+    for s in all_specs():
+        plan = _plan(s.build(spark, SF_SMOKE))
+        n_sp = plan.count("Exchange SinglePartition")
+        n_cp = plan.count("CartesianProduct")
+        if n_sp or n_cp:
+            offenders[s.name] = (n_sp, n_cp)
+    assert not offenders, offenders
