@@ -159,6 +159,11 @@ def main() -> None:
         "td22_pq_rerank",
         "tv5_rrf_fusion",
         "ts17_cluster_prototypes",
+        # perceptual near-dup (image dHash / audio fingerprint): pair
+        # output should scale ~linearly (per-doc planted twins + the
+        # within-copy text-dup cliques, both ∝ N)
+        "mm7_phash_neardup",
+        "mm8_audio_fp_neardup",
     ]
     only = {a for a in sys.argv[2:]}
     known = set(FAMILY) | {"td21_sized"}
