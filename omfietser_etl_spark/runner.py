@@ -15,7 +15,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .pipelines import ah, aldi, generic, jumbo, plus
@@ -23,7 +23,6 @@ from .sinks.files import (
     write_errors,
     write_reports,
     write_stats_report,
-    write_unified_parquet,
 )
 from .sources.files import input_filename, read_shop_json
 
@@ -76,11 +75,19 @@ def run_file_mode(
         else:
             good, corrupt = read_shop_json(spark, path, shop)
             unified, errors = PIPELINES[shop](good, predictions=predictions)
-        out = os.path.join(output_dir, "unified")
         unified.write.mode("overwrite").parquet(
             os.path.join(output_dir, "unified", shop)
         )
-        write_errors(errors, os.path.join(output_dir, "errors"))
+        # Count the error rows on the SAME job that writes them
+        # (Observation rides the write) — a separate errors.count()
+        # re-executed the whole scan→transform→split lineage per shop
+        # (review round-6 finding; sinks/audit.py is the same pattern).
+        err_obs = Observation()
+        write_errors(
+            errors.observe(err_obs, F.count(F.lit(1)).alias("n")),
+            os.path.join(output_dir, "errors"),
+        )
+        n_errors = int(err_obs.get["n"])
         unified_back = spark.read.parquet(os.path.join(output_dir, "unified", shop))
         report = (
             write_reports(unified_back, os.path.join(output_dir, "reports"), shop)
@@ -88,7 +95,6 @@ def run_file_mode(
             else {}
         )
         n_unified = unified_back.count()
-        n_errors = errors.count()
         n_corrupt = corrupt.count()
         if write_reports_flag:
             # reference-shaped stats report (base.ts:669-705): run_ts
@@ -122,6 +128,11 @@ def run_file_mode(
             *[os.path.join(output_dir, "unified", r.shop) for r in results]
         )
         write_visualization(union, os.path.join(output_dir, "visualization"))
+    # free the last shop's cached JSON parse (the per-shop scope only
+    # releases on the NEXT call)
+    from .cacheutil import release
+
+    release("sources.read_shop_json")
     return {
         "shops": {
             r.shop: {

@@ -38,6 +38,13 @@ def z_order_key(col_a: Column | str, col_b: Column | str, bits: int) -> Column:
     each input (values must fit in ``bits`` bits — pre-bucket raw
     domains first, e.g. `F.floor(x / bucket_width)`).
     """
+    if not 0 < bits <= 31:
+        # 2·bits interleaved bit positions must stay below the int64
+        # sign bit: bits=32 puts col_b's top bit at position 63
+        # (negative z values break the Morton sort order), and ≥33
+        # wraps the JVM shift count mod 64 — both silently corrupt
+        # the clustering (review round-6 finding).
+        raise ValueError(f"z_order_key: bits={bits} out of range 1..31")
     a = F.col(col_a) if isinstance(col_a, str) else col_a
     b = F.col(col_b) if isinstance(col_b, str) else col_b
     a, b = a.cast("long"), b.cast("long")

@@ -155,7 +155,20 @@ def write_training_shards(
 
     # Retention: current + (keep_versions - 1) predecessors survive so
     # readers mid-flight on the previous export finish cleanly.
-    for old in _versions(path)[: -max(1, keep_versions)]:
+    # Only COMMITTED versions (manifest present) count toward the
+    # window and only committed ones are pruned: counting raw dirs
+    # would let a crashed writer's dangling claim push the previous
+    # committed export out of the window, and pruning dangling dirs
+    # could delete a slower concurrent writer's in-flight claim (it
+    # would later flip _CURRENT to a gutted dir). Dangling claims are
+    # left in place — they are unreferenced, empty-ish, and reclaimed
+    # only by operator action, never silently (review round-6
+    # finding).
+    committed = [
+        v for v in _versions(path)
+        if os.path.isfile(os.path.join(path, f"v_{v:08d}", MANIFEST_NAME))
+    ]
+    for old in committed[: -max(1, keep_versions)]:
         shutil.rmtree(os.path.join(path, f"v_{old:08d}"), ignore_errors=True)
     return manifest
 

@@ -69,6 +69,14 @@ def _ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def _qualified(name: str) -> str:
+    """Quote a possibly schema-qualified table name part-by-part
+    ("public.order" -> "public"."order") — table names must be quoted
+    with the same discipline as columns, or a reserved-word/mixed-case
+    table the quoted DDL created fails at merge time."""
+    return ".".join(_ident(part) for part in name.split("."))
+
+
 @dataclass(frozen=True)
 class UpsertSpec:
     """One target table's upsert contract."""
@@ -112,8 +120,8 @@ def upsert_merge_sql(spec: UpsertSpec, dialect: str = "postgresql") -> str:
             sets.append(f"t.{_ident(spec.touch_col)} = CURRENT_TIMESTAMP")
         ins_vals = ", ".join(f"s.{_ident(c)}" for c in spec.columns)
         return (
-            f"MERGE INTO {spec.table} t\n"
-            f"USING {staging} s\n"
+            f"MERGE INTO {_qualified(spec.table)} t\n"
+            f"USING {_qualified(staging)} s\n"
             f"ON ({on})\n"
             f"WHEN MATCHED THEN UPDATE SET\n  " + ",\n  ".join(sets) + "\n"
             f"WHEN NOT MATCHED THEN INSERT ({cols})\n"
@@ -129,8 +137,8 @@ def upsert_merge_sql(spec: UpsertSpec, dialect: str = "postgresql") -> str:
     # to the reference adapter's grammar.
     where = " WHERE true" if dialect == "sqlite" else ""
     return (
-        f"INSERT INTO {spec.table} ({cols})\n"
-        f"SELECT {cols} FROM {staging}{where}\n"
+        f"INSERT INTO {_qualified(spec.table)} ({cols})\n"
+        f"SELECT {cols} FROM {_qualified(staging)}{where}\n"
         f"ON CONFLICT ({keys})\n"
         f"DO UPDATE SET\n  {set_sql}"
     )
@@ -148,7 +156,7 @@ def upsert_values_sql(spec: UpsertSpec) -> str:
         sets.append(f"{_ident(spec.touch_col)} = CURRENT_TIMESTAMP")
     set_sql = ",\n  ".join(sets)
     return (
-        f"INSERT INTO {spec.table} ({cols})\n"
+        f"INSERT INTO {_qualified(spec.table)} ({cols})\n"
         f"VALUES ({params})\n"
         f"ON CONFLICT ({keys})\n"
         f"DO UPDATE SET\n  {set_sql}"
@@ -180,7 +188,8 @@ def jdbc_upsert(
     ``dialect`` defaults to what :func:`dialect_for_url` infers.
 
     Dedupe the batch on the conflict key FIRST (latest-wins is the
-    caller's policy — see ``streaming.incremental.latest_per_key``):
+    caller's policy — a row_number window over the key ordered by the
+    recency column, the dd1_latest_per_key pattern):
     Postgres raises ``ON CONFLICT DO UPDATE command cannot affect row
     a second time`` if one statement hits the same key twice.
     """
@@ -203,7 +212,7 @@ def jdbc_upsert(
         stmt = conn.createStatement()
         try:
             stmt.executeUpdate(merge)
-            stmt.executeUpdate(f"DROP TABLE {staging}")
+            stmt.executeUpdate(f"DROP TABLE {_qualified(staging)}")
         finally:
             stmt.close()
     finally:

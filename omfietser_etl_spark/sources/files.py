@@ -53,8 +53,14 @@ def read_shop_json(
     )
     # Spark refuses queries that reference ONLY _corrupt_record on a
     # raw JSON scan; cache materializes the parse once for both the
-    # good and dead-letter branches (a fan-out anyway).
-    df = df.cache()
+    # good and dead-letter branches (a fan-out anyway). Scoped so each
+    # call frees the PREVIOUS shop's cached parse — callers hold only
+    # derived frames, whose unpersist() would be a silent no-op (the
+    # round-5 lesson), so without the scope a multi-shop run leaks one
+    # cached JSON parse per shop for the session lifetime.
+    from ..cacheutil import release_then_register
+
+    df = release_then_register("sources.read_shop_json", df.cache())
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.lit(shop).alias("shop_type"),

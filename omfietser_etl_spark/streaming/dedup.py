@@ -47,7 +47,7 @@ def dedup_stream(
     """
     with_ts = stream.withColumn(
         "_event_time",
-        F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         if ts_is_nanos
         else F.col(ts_col).cast("timestamp"),
     )

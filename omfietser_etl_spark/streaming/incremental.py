@@ -101,12 +101,19 @@ def _commit_manifest(state_dir: str, manifest: dict) -> None:
 
 def _gc_versions(state_dir: str, manifest: dict) -> None:
     """Best-effort removal of version dirs no longer referenced by the
-    committed manifest (superseded states + crashed-run residue)."""
+    committed manifest (superseded states + crashed-run residue).
+
+    The immediately-superseded version is RETAINED one extra cycle: a
+    reader that resolved the old manifest just before this commit may
+    still be scanning its files (single-writer ≠ zero-reader); it is
+    collected by the next merge's GC, by which point any such scan
+    has long finished — the export sink's keep_versions=2 contract."""
     import shutil
 
     live = set(manifest["partitions"].values())
+    grace = {f"v{manifest['version'] - 1}"}
     for name in os.listdir(state_dir):
-        if name.startswith("v") and name not in live:
+        if name.startswith("v") and name not in live and name not in grace:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
 
@@ -167,6 +174,18 @@ def _merge_parquet(
 
     batch = batch.withColumn("_src", F.lit(1))
     state = read_state(spark, state_dir)
+    # Legacy (pre-versioned) stores have no manifest: the first
+    # versioned merge must carry EVERY legacy partition into v1, not
+    # just the ones the batch touches — old_parts below is empty for
+    # them, so a filtered rewrite would orphan the absent shops'
+    # rows forever (the manifest, once committed, disables the legacy
+    # read fallback).
+    legacy_migration = partitioned and manifest is None and state is not None
+    if legacy_migration:
+        shops = sorted(
+            set(shops)
+            | {r[0] for r in state.select("shop_type").distinct().collect()}
+        )
     if state is not None:
         state = state.withColumn("_src", F.lit(0))
         if partitioned:
@@ -220,9 +239,22 @@ def upsert_stream(
     keys: list[str],
     order_col: str = "scraped_at",
     hash_cols: list[str] | None = None,
+    skip_unchanged_batches: bool = False,
 ):
     """K2/K3/ST3: foreachBatch latest-wins MERGE of a landing stream
-    into the state store, with optional ST4 change skipping.
+    into the state store, with content hashing for ST4 semantics.
+
+    Every non-empty batch merges IN FULL by default: content-unchanged
+    rows must still advance ``order_col`` in state, or a later
+    out-of-order row with an older order but different content beats
+    the stale stored order and overwrites newer state (review round-6
+    finding — the old behavior dropped unchanged rows before the
+    merge). ``skip_unchanged_batches=True`` restores the
+    reference-parity no-op optimization (a batch where NOTHING
+    changed skips the version write entirely); safe only when batches
+    arrive in order per key, e.g. the reference's sequential job
+    loop, because a wholly-unchanged batch then leaves the stored
+    order stale.
 
     Returns the started StreamingQuery (availableNow trigger: drain
     everything currently in the landing zone, then stop — the batch-
@@ -231,7 +263,11 @@ def upsert_stream(
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if hash_cols:
             batch = with_content_hash(batch, *hash_cols)
-            batch = skip_unchanged(batch, state_dir, keys)
+            if (
+                skip_unchanged_batches
+                and skip_unchanged(batch, state_dir, keys).isEmpty()
+            ):
+                return
         if batch.isEmpty():
             return
         _merge_parquet(batch, state_dir, keys, order_col)
@@ -268,14 +304,14 @@ def stream_stream_interval_join(
     the test asserts streaming output == batch output.
     """
     lt = left.withColumn(
-        "_lt", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        "_lt", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     ).select(
         F.col(key).alias("_lk"),
         "_lt",
         F.col("event_id").alias("left_event_id"),
     )
     rt = right.withColumn(
-        "_rt", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        "_rt", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     ).select(
         F.col(key).alias("_rk"),
         "_rt",
@@ -446,7 +482,7 @@ def session_window_stats(
     timestamps here (same convention as windowed_event_counts).
     """
     with_ts = events.withColumn(
-        "_event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        "_event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("_event_time", watermark)
@@ -483,7 +519,7 @@ def windowed_event_counts(
     events table stores epoch-nanos; convert to timestamp first.
     """
     with_ts = events.withColumn(
-        "_event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        "_event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("_event_time", watermark)

@@ -59,17 +59,32 @@ def changed_rows_stream(
             cur_order, cur_hash = state.get
         else:
             cur_order, cur_hash = None, None
+        # Materialize ALL Arrow chunks before sorting: a group's batch
+        # rows arrive as multiple chunks in ARBITRARY order, so a
+        # per-chunk sort would process same-batch updates out of order
+        # nondeterministically (review round-6 finding).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter(())
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            order_col, kind="stable"
+        )
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col, kind="stable")
-            for row in pdf.itertuples(index=False):
-                o, h = row[order_ix], row[hash_ix]
-                if cur_order is not None and o < cur_order:
-                    continue  # late arrival — state already newer
-                if h == cur_hash:
-                    continue  # unchanged payload — skip (ST4)
-                cur_order, cur_hash = o, h
-                out.append(row)
+        for row in rows.itertuples(index=False):
+            o, h = row[order_ix], row[hash_ix]
+            if cur_order is not None and o < cur_order:
+                continue  # late arrival — state already newer
+            if h == cur_hash:
+                # unchanged payload — skip the emit (ST4), but STILL
+                # advance the stored order: otherwise a later
+                # out-of-order row with older order and different
+                # hash would pass the lateness check and overwrite
+                # newer state (review round-6 finding).
+                if cur_order is None or o > cur_order:
+                    cur_order = o
+                continue
+            cur_order, cur_hash = o, h
+            out.append(row)
         if cur_order is not None:
             state.update((cur_order, cur_hash))
         if not out:

@@ -127,3 +127,17 @@ def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
     got = sorted((r.shop, r.ext) for r in spark.read.parquet(out_dir).collect())
     # AH/1's re-delivery suppressed; AH/2 and AH/3 pass through once
     assert got == [("AH", "1"), ("AH", "2"), ("AH", "3")]
+
+
+def test_z_order_key_rejects_sign_bit_geometry(spark):
+    """bits > 31 silently corrupts the Morton order (position 63 is
+    the int64 sign bit; shifts >= 64 wrap mod 64 in the JVM) — must
+    raise instead (review round-6 finding)."""
+    import pytest
+
+    from omfietser_etl_spark.sinks.clustered import z_order_key
+
+    for bad in (0, 32, 33, 64):
+        with pytest.raises(ValueError, match="bits"):
+            z_order_key("a", "b", bad)
+    z_order_key("a", "b", 31)  # boundary accepted

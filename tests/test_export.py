@@ -136,3 +136,29 @@ def test_dsir_selection_feeds_shard_export(spark, tmp_path):
     )
     assert m["total_rows"] == kept
     assert read_manifest(path)["total_rows"] == kept
+
+
+def test_retention_counts_only_committed_versions(spark, tmp_path):
+    """A crashed writer's dangling claim must NOT push the previous
+    committed export out of the retention window, and must never be
+    deleted itself (a slower concurrent writer may still be filling
+    it) — review round-6 finding."""
+    import os
+
+    path = str(tmp_path / "exp")
+    df = spark.range(20).selectExpr("id", "cast(id as string) as doc_id")
+    m1 = write_training_shards(df, path, "doc_id", n_shards=2)
+    # dangling claim between the two committed versions
+    dangling = os.path.join(path, f"v_{m1['version'] + 1:08d}")
+    os.mkdir(dangling)
+    m2 = write_training_shards(df, path, "doc_id", n_shards=2)
+    # committed versions are [1, 3]; keep_versions=2 keeps BOTH — the
+    # dangling v2 must not have evicted committed v1, and must survive
+    assert (tmp_path / "exp" / f"v_{m1['version']:08d}" / "_MANIFEST.json").exists()
+    assert os.path.isdir(dangling)
+    m3 = write_training_shards(df, path, "doc_id", n_shards=2)
+    # now committed [1, 3, 4] → v1 pruned, v3 kept, dangling v2 still intact
+    assert not (tmp_path / "exp" / f"v_{m1['version']:08d}").exists()
+    assert (tmp_path / "exp" / f"v_{m2['version']:08d}").exists()
+    assert os.path.isdir(dangling)
+    assert m3["version"] == m2["version"] + 1

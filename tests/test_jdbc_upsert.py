@@ -63,12 +63,13 @@ def test_dialect_inference_and_variants():
     # disambiguator — documents that the SQLite execution test covers
     # the Postgres statement shape
     assert lite == pg.replace(
-        "FROM staging_products__stage\n", "FROM staging_products__stage WHERE true\n"
+        'FROM "staging_products__stage"\n',
+        'FROM "staging_products__stage" WHERE true\n',
     )
     assert "WHERE true" not in pg
 
     ansi = upsert_merge_sql(spec, "ansi")
-    assert ansi.startswith("MERGE INTO staging_products t")
+    assert ansi.startswith('MERGE INTO "staging_products" t')
     assert 'ON (t."shop_type" = s."shop_type" AND t."external_id" = s."external_id")' in ansi
     assert "WHEN MATCHED THEN UPDATE SET" in ansi
     assert "WHEN NOT MATCHED THEN INSERT" in ansi

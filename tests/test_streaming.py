@@ -37,7 +37,7 @@ def _land(path: str, name: str, rows: list[dict]) -> None:
             f.write(json.dumps(r) + "\n")
 
 
-def _run_drain(spark, landing, state, ckpt):
+def _run_drain(spark, landing, state, ckpt, **kw):
     stream = read_landing_stream(spark, landing, LANDING_SCHEMA)
     q = upsert_stream(
         stream,
@@ -46,6 +46,7 @@ def _run_drain(spark, landing, state, ckpt):
         keys=["shop_type", "external_id"],
         order_col="scraped_at",
         hash_cols=["title", "current_price"],
+        **kw,
     )
     q.awaitTermination(120)
 
@@ -75,8 +76,10 @@ def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
         ("JUMBO", "1"): ("Thee", 4.0, 100),
     }
 
-    # batch 2: price change for AH/1, unchanged AH/2 (skipped → keeps
-    # scraped_at 100), new PLUS/9
+    # batch 2: price change for AH/1, unchanged AH/2 (content kept but
+    # scraped_at ADVANCES to 200 — late-arrival protection: a stale
+    # stored order would let an older out-of-order row with different
+    # content overwrite newer state), new PLUS/9
     _land(landing, "batch2.json", [
         {"shop_type": "AH", "external_id": "1", "title": "Cola",
          "current_price": 1.5, "scraped_at": 200},
@@ -93,7 +96,7 @@ def test_upsert_stream_latest_wins_and_skips_unchanged(spark, tmp_path):
     }
     assert got == {
         ("AH", "1"): ("Cola", 1.5, 200),
-        ("AH", "2"): ("Sap", 3.0, 100),  # unchanged → not rewritten
+        ("AH", "2"): ("Sap", 3.0, 200),  # unchanged content, order advanced
         ("JUMBO", "1"): ("Thee", 4.0, 100),
         ("PLUS", "9"): ("Koek", 1.0, 200),
     }
@@ -403,3 +406,99 @@ def test_merge_into_bucketed_state(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_legacy_migration_preserves_absent_shops(spark, tmp_path):
+    """First versioned merge over a legacy store must carry EVERY
+    legacy partition into v1 — a batch touching only AH must not
+    orphan JUMBO's rows (once the manifest commits, the legacy read
+    fallback is disabled forever; review round-6 finding)."""
+    from omfietser_etl_spark.streaming.incremental import _merge_parquet
+
+    state = str(tmp_path / "state")
+    legacy = spark.createDataFrame(
+        [("AH", "1", 2.0, 100), ("JUMBO", "7", 4.0, 100)],
+        "shop_type string, external_id string, current_price double, scraped_at long",
+    )
+    legacy.write.partitionBy("shop_type").parquet(state)
+
+    batch = spark.createDataFrame(
+        [("AH", "2", 3.0, 200)],
+        "shop_type string, external_id string, current_price double, scraped_at long",
+    )
+    _merge_parquet(batch, state, ["shop_type", "external_id"], "scraped_at")
+    got = {(r.shop_type, r.external_id) for r in read_state(spark, state).collect()}
+    assert got == {("AH", "1"), ("AH", "2"), ("JUMBO", "7")}
+
+
+def test_late_older_changed_row_cannot_overwrite_newer_state(spark, tmp_path):
+    """Out-of-order delivery: after a newer-but-unchanged observation
+    advanced the stored order, a late older row with DIFFERENT content
+    must lose the merge (review round-6 finding: the old skip kept the
+    stale order, letting the late row win)."""
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(landing, "b1.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 2.0, "scraped_at": 100},
+    ])
+    _run_drain(spark, landing, state, ckpt)
+    # newer, content-unchanged → order must advance to 500
+    _land(landing, "b2.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 2.0, "scraped_at": 500},
+    ])
+    _run_drain(spark, landing, state, ckpt)
+    # late re-delivery: older order, different content → must lose
+    _land(landing, "b3.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 9.9, "scraped_at": 300},
+    ])
+    _run_drain(spark, landing, state, ckpt)
+    row = read_state(spark, state).collect()[0]
+    assert (row.current_price, row.scraped_at) == (2.0, 500)
+
+
+def test_fully_unchanged_batch_skips_version_bump(spark, tmp_path):
+    """The opt-in ST4 no-op save: with skip_unchanged_batches=True a
+    batch where NOTHING changed must not write a new state version
+    (the default is the always-merge late-arrival-safe mode)."""
+    import json as _json
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land(landing, "b1.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 2.0, "scraped_at": 100},
+    ])
+    _run_drain(spark, landing, state, ckpt)
+    with open(os.path.join(state, "_CURRENT")) as f:
+        v1 = _json.load(f)["version"]
+    _land(landing, "b2.json", [
+        {"shop_type": "AH", "external_id": "1", "title": "Cola",
+         "current_price": 2.0, "scraped_at": 100},
+    ])
+    _run_drain(spark, landing, state, ckpt, skip_unchanged_batches=True)
+    with open(os.path.join(state, "_CURRENT")) as f:
+        assert _json.load(f)["version"] == v1
+
+
+def test_gc_retains_superseded_version_one_cycle(spark, tmp_path):
+    """Reader grace: the immediately-superseded version dir survives
+    one merge cycle (a reader that resolved the old manifest may
+    still be scanning it) and is collected by the following merge."""
+    from omfietser_etl_spark.streaming.incremental import _merge_parquet
+
+    state = str(tmp_path / "state")
+    schema = "shop_type string, external_id string, current_price double, scraped_at long"
+    for i, price in enumerate([1.0, 2.0, 3.0], start=1):
+        batch = spark.createDataFrame([("AH", "1", price, i * 100)], schema)
+        _merge_parquet(batch, state, ["shop_type", "external_id"], "scraped_at")
+        dirs = {d for d in os.listdir(state) if d.startswith("v")}
+        if i == 2:
+            assert dirs == {"v1", "v2"}  # v1 in grace
+    assert {d for d in os.listdir(state) if d.startswith("v")} == {"v2", "v3"}
