@@ -225,7 +225,10 @@ def td3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text")
 
 
-def _td3_oracle() -> str:
+def _td3_ctes() -> str:
+    """The MinHash-LSH oracle CTE chain through ``sig`` (per-doc
+    signatures) and ``cand`` (banded candidate pairs) — shared by td3
+    (exact-Jaccard verify) and td23 (signature-agreement estimate)."""
     mins = ", ".join(
         f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MOD}) AS mh{i}"
         for i in range(len(MINHASH_A))
@@ -243,7 +246,43 @@ def _td3_oracle() -> str:
         + f", bands AS ({bands})"
         + ", cand AS (SELECT DISTINCT a.doc AS doc_lo, b.doc AS doc_hi FROM bands a "
         "JOIN bands b ON a.band_id = b.band_id AND a.key = b.key AND a.doc < b.doc)"
-        + _JACCARD_TAIL
+    )
+
+
+def _td3_oracle() -> str:
+    return _td3_ctes() + _JACCARD_TAIL
+
+
+# ---------------------------------------------------------------- #
+# td23 — MinHash signature-agreement estimation: td3 without the
+# exact-verify join back to shingle sets. At 100 TB the verify join
+# is td3's dominant shuffle (O(doc length) bytes per doc); the
+# estimate reads only the constant-width signature frame.
+# ---------------------------------------------------------------- #
+
+
+def td23_minhash_est_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by MinHash signature agreement
+    (textops/dedup.py::minhash_estimate_pairs): Broder's estimator —
+    P[min-hashes agree] = Jaccard — scored as the exact integer
+    agreement count over the 16-hash signature, so the gate replays
+    it bit-for-bit (no float estimate under the hash)."""
+    return dd.minhash_estimate_pairs(
+        load(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
+def _td23_oracle() -> str:
+    n = len(MINHASH_A)
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return (
+        _td3_ctes()
+        + f""", est AS (SELECT c.doc_lo, c.doc_hi, CAST({agree} AS BIGINT) AS agree
+       FROM cand c JOIN sig a ON a.doc = c.doc_lo
+                   JOIN sig b ON b.doc = c.doc_hi)
+SELECT doc_lo, doc_hi, agree FROM est WHERE agree >= {n // 2}"""
     )
 
 
@@ -1117,6 +1156,59 @@ FROM ftop
 """
 
 
+def tv6_query_likelihood_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (textops/
+    retrieval.py::query_likelihood_topk) over the tv4 query — the
+    LM-based ranking complement to BM25. Every log is ilog2_q (the
+    per-row ones through the engine-side ilog2_q_expr primitive), so
+    the score — a possibly-negative exact int64 log-probability —
+    replays bit-for-bit in the oracle's CTE chain."""
+    from omfietser_etl_spark.textops.retrieval import query_likelihood_topk
+
+    docs = load(spark, sf, "documents")
+    return query_likelihood_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
+
+
+def _tv6_oracle() -> str:
+    from omfietser_etl_spark.textops.retrieval import QL_MU
+    from omfietser_etl_spark.textops.selection import DSIR_F, DSIR_Q
+
+    mu = QL_MU
+    q_vals = ", ".join(f"('{t}')" for t in TV4_QUERY)
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+base AS (SELECT doc, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt
+        FROM base),
+q(term) AS (VALUES {q_vals}),
+e AS (SELECT doc, dl, unnest(t) AS term FROM base),
+hits AS (SELECT e.doc, e.dl, e.term FROM e JOIN q USING (term)),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM hits GROUP BY term),
+tf AS (SELECT doc, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM hits GROUP BY 1, 2, 3),
+vals AS (SELECT DISTINCT tf.tf * tot.tt + {mu} * cf.cf AS x
+           FROM tf JOIN cf USING (term) CROSS JOIN tot
+         UNION SELECT {mu} * cf FROM cf
+         UNION SELECT DISTINCT tot.tt * (tf.dl + {mu}) FROM tf CROSS JOIN tot),
+{dk_ilog2_chain('vals', DSIR_Q, DSIR_F)},
+b AS (SELECT CAST(SUM(il.il) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS nq
+      FROM cf JOIN il ON il.x = {mu} * cf.cf),
+corr AS (SELECT tf.doc, tf.dl, CAST(SUM(i1.il - i2.il) AS BIGINT) AS corr
+         FROM tf JOIN cf USING (term) CROSS JOIN tot
+         JOIN il i1 ON i1.x = tf.tf * tot.tt + {mu} * cf.cf
+         JOIN il i2 ON i2.x = {mu} * cf.cf
+         GROUP BY 1, 2),
+sc AS (SELECT corr.doc,
+              CAST(corr.corr + b.b - b.nq * i3.il AS BIGINT) AS score_q
+       FROM corr CROSS JOIN b CROSS JOIN tot
+       JOIN il i3 ON i3.x = tot.tt * (corr.dl + {mu}))
+SELECT doc, score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, doc ASC) AS BIGINT)
+         AS rank
+FROM sc ORDER BY score_q DESC, doc ASC LIMIT {TV4_TOP_K}
+"""
+
+
 TV2_TOP_N = 5
 
 
@@ -1540,6 +1632,33 @@ SELECT d.doc,
        CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(coalesce(fluency_bp, 0) AS BIGINT) AS fluency_bp
 FROM d LEFT JOIN pd ON d.doc = pd.doc
+"""
+
+
+def ts18_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (textops/
+    selection.py::perplexity_buckets): rank by the ta8 exact-integer
+    bigram fluency, cut at integer thirds. The rank runs through the
+    distributed exact rank (never a single-partition window); the
+    oracle replays the LM, the global row_number and the
+    cross-multiplied third boundaries bit-for-bit."""
+    from omfietser_etl_spark.textops.selection import perplexity_buckets
+
+    return perplexity_buckets(load(spark, sf, "documents"), "doc_id", "text")
+
+
+TS18_ORACLE = f"""
+WITH f AS ({TA8_ORACLE}),
+r AS (SELECT doc, n_bigrams, fluency_bp,
+             CAST(row_number() OVER (ORDER BY fluency_bp DESC, doc ASC)
+                  AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM f)
+SELECT doc, n_bigrams, fluency_bp, rk,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
 """
 
 
@@ -2069,6 +2188,8 @@ SPECS = [
         "Jaccard near-dup with degenerate-shingle DF guard",
     ),
     QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
+    QuerySpec("td23_minhash_est_pairs", td23_minhash_est_pairs, _td23_oracle(),
+              "near-dup pairs by MinHash signature agreement (no verify join)"),
     QuerySpec(
         "td19_winnowing_pairs", td19_winnowing_pairs, _td19_oracle(),
         "winnowing-fingerprint (MOSS) local near-dup pairs",
@@ -2115,6 +2236,8 @@ SPECS = [
               "per-source TF-IDF distinctive terms (exact-integer score)"),
     QuerySpec("tv4_bm25_topk", tv4_bm25_topk, _tv4_oracle(),
               "BM25 ranked retrieval (exact fixed-point ilog2 idf)"),
+    QuerySpec("tv6_query_likelihood", tv6_query_likelihood_topk, _tv6_oracle(),
+              "Dirichlet query-likelihood retrieval (exact ilog2 LM score)"),
     QuerySpec("tv5_rrf_fusion", tv5_rrf_fusion, _tv5_oracle(),
               "hybrid retrieval: reciprocal-rank fusion of BM25 + dense lists"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
@@ -2127,6 +2250,8 @@ SPECS = [
               "character-entropy degeneracy signal (exact integer log2)"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
+    QuerySpec("ts18_perplexity_buckets", ts18_perplexity_buckets, TS18_ORACLE,
+              "CCNet head/middle/tail perplexity bucketing (integer thirds)"),
     QuerySpec("ta8_bigram_fluency", ta8_bigram_fluency, TA8_ORACLE,
               "CCNet-style bigram LM fluency score (exact integers)"),
     QuerySpec("td11_line_dedup", td11_line_dedup, TD11_ORACLE,

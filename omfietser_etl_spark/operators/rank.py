@@ -55,6 +55,20 @@ def distributed_rank(
     passed explicitly to ``repartitionByRange`` so AQE cannot re-plan
     the exchange between the counts job and the ranking job.
     """
+    return distributed_rank_n(df, order_cols, rank_col, n_parts, scope)[0]
+
+
+def distributed_rank_n(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    n_parts: int | None = None,
+    scope: str = "operators.distributed_rank",
+) -> tuple[DataFrame, int]:
+    """:func:`distributed_rank` plus the TOTAL row count, which the
+    offset prefix-sum already computes — consumers that need N for
+    quantile-style bucketing (e.g. thirds) get it without a separate
+    ``count()`` job (the ts15 sentinel-row discipline)."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -71,8 +85,9 @@ def distributed_rank(
     off_df = spark.createDataFrame(off, "_pid int, _off long")
 
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    return (
+    ranked = (
         rp.join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, (F.col("_off") + local).cast("long"))
         .drop("_pid", "_off")
     )
+    return ranked, acc

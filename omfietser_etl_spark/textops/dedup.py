@@ -239,6 +239,55 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """MinHash near-dup pairs scored by SIGNATURE AGREEMENT — the
+    estimation-only twin of :func:`minhash_lsh_pairs` (Broder 1997:
+    P[min-hashes agree] = Jaccard, so ``agree / N_HASHES`` is an
+    unbiased Jaccard estimate). Output (doc_lo, doc_hi, agree) for
+    LSH candidates with ``agree >= min_agree`` (default: half the
+    signature, i.e. estimated J >= 0.5); ``agree`` is the exact
+    integer #{i : mh_i(lo) == mh_i(hi)} — no float enters the gate.
+
+    THE POINT AT 100 TB: td3's verify stage joins candidates back to
+    the full shingle sets — a shuffle carrying O(doc length) bytes
+    per doc. Here verification reads only the signature frame
+    (N_HASHES·8 bytes per doc, constant regardless of document size),
+    so the candidate-scoring joins shuffle ~|doc|/128 of the bytes.
+    The trade is exactness: agreement is a 1/N_HASHES-granular
+    estimate with binomial error, the standard large-corpus operating
+    point (exact-verify only the survivors if downstream needs true
+    Jaccard).
+    """
+    if min_agree is None:
+        min_agree = len(MINHASH_A) // 2
+    sig = release_then_register(
+        "dedup.minhash_estimate_pairs",
+        minhash_signatures(df, id_col, text_col).cache(),
+    )
+    cand = lsh_candidate_pairs(sig)
+    lo = sig.withColumnsRenamed(
+        {"doc": "doc_lo", **{f"mh{i}": f"lo{i}" for i in range(len(MINHASH_A))}}
+    )
+    hi = sig.withColumnsRenamed(
+        {"doc": "doc_hi", **{f"mh{i}": f"hi{i}" for i in range(len(MINHASH_A))}}
+    )
+    agree = None
+    for i in range(len(MINHASH_A)):
+        term = (F.col(f"lo{i}") == F.col(f"hi{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(lo, "doc_lo")
+        .join(hi, "doc_hi")
+        .select("doc_lo", "doc_hi", agree.cast("long").alias("agree"))
+        .filter(F.col("agree") >= min_agree)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc 32-bit SimHash over distinct-token hashes.
 

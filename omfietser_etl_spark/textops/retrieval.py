@@ -166,3 +166,103 @@ def rrf_fuse(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc", "rrf_q", "n_lists", "rank"
     )
+
+
+#: Dirichlet pseudo-count for query-likelihood smoothing (μ). 200 is
+#: inside the 100–2000 range Zhai & Lafferty found robust; an integer
+#: so every smoothed count stays integral under the fixed-point logs.
+QL_MU = 200
+
+
+def query_likelihood_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    top_k: int = 20,
+    mu: int = QL_MU,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001, "A Study of Smoothing Methods for Language Models Applied
+    to Ad Hoc Information Retrieval" — public) — the language-model
+    complement to BM25 (:func:`bm25_topk`):
+
+        score(D, Q) = Σ_{t∈Q} log[ (tf(t,D) + μ·cf(t)/T) / (dl + μ) ]
+
+    with cf(t) the corpus frequency and T total corpus tokens.
+    Multiplying through by T makes every log argument a positive
+    integer, and the whole score decomposes as
+
+        score_q(D) = Σ_{t∈Q∩D} [il(tf·T + μ·cf_t) − il(μ·cf_t)]
+                   + Σ_{t∈Q} il(μ·cf_t)  −  |Q|·il(T·(dl+μ))
+
+    where il = ilog2_q — so the score is an exact int64 (possibly
+    negative: it is a log-probability), bit-identical across engines.
+    Query terms absent from the corpus (cf = 0) would contribute
+    log 0 to EVERY document equally and are dropped, the standard QL
+    convention; only documents matching ≥ 1 surviving term rank.
+
+    Scale shape (the bm25_topk discipline):
+    - the token stream is pruned to query terms map-side BEFORE any
+      shuffle; one (doc, term) agg for tf;
+    - cf + corpus (N, T) ride ONE bounded collect (|Q|+1 rows,
+      sentinel row — no separate count job); the |Q| background logs
+      il(μ·cf_t) are computed driver-side and broadcast;
+    - the per-row logs il(tf·T + μ·cf) and il(T·(dl+μ)) run through
+      :func:`ilog2_q_expr` — the engine-side integer-log primitive —
+      so scoring needs NO distinct-value collect at any corpus size;
+    - top-k is orderBy+limit (TakeOrdered), rank over the k rows only.
+    """
+    from .selection import ilog2_q, ilog2_q_expr
+
+    spark = df.sparkSession
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    base = toks.select("doc", F.size("t").cast("long").alias("dl"), "t")
+    hits = base.select(
+        "doc", "dl", F.explode("t").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+
+    cfs = hits.groupBy("term").agg(F.count("*").alias("cf"))
+    sentinel = base.agg(
+        F.count("*").alias("cf"), F.sum("dl").alias("tt")
+    ).select(F.lit(None).cast("string").alias("term"), "cf", "tt")
+    rows = cfs.withColumn("tt", F.lit(0).cast("long")).unionByName(sentinel).collect()
+    t_tokens = 0
+    cf_by_term: dict[str, int] = {}
+    for r in rows:
+        if r.term is None:
+            t_tokens = int(r.tt or 0)
+        else:
+            cf_by_term[r.term] = int(r.cf)
+    if t_tokens == 0 or not cf_by_term:
+        return spark.createDataFrame([], "doc long, score_q long, rank long")
+
+    b_const = sum(ilog2_q(mu * c) for c in cf_by_term.values())
+    n_q = len(cf_by_term)
+    cf_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, c, ilog2_q(mu * c)) for t, c in cf_by_term.items()],
+            "term string, cf long, il_mu_cf long",
+        )
+    )
+
+    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
+    corr = (
+        tf.join(cf_df, "term")
+        .withColumn("il_num", F.expr(ilog2_q_expr(f"tf * {t_tokens} + {mu} * cf")))
+        .groupBy("doc", "dl")
+        .agg(F.sum(F.col("il_num") - F.col("il_mu_cf")).alias("corr"))
+    )
+    scored = (
+        corr.withColumn("il_den", F.expr(ilog2_q_expr(f"{t_tokens} * (dl + {mu})")))
+        .select(
+            "doc",
+            (F.col("corr") + F.lit(b_const) - F.lit(n_q) * F.col("il_den"))
+            .cast("long")
+            .alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))

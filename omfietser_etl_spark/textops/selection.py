@@ -75,6 +75,44 @@ def ilog2_q(x: int, q: int = DSIR_Q, f: int = DSIR_F) -> int:
     return (p << q) + r
 
 
+def ilog2_q_expr(xexpr: str, q: int = DSIR_Q, f: int = DSIR_F) -> str:
+    """Spark-SQL twin of :func:`ilog2_q` as ONE self-contained
+    expression string — floor(2^q · log2 x) for an integer SQL
+    expression ``xexpr`` (contract: x ≥ 1, same as the Python twin).
+
+    Exactly the same square-and-compare: p from the binary length
+    (``length(bin(x)) - 1`` — no float log anywhere), mantissa
+    normalized to [2^f, 2^{f+1}), then q iterations of y←y²≫f with a
+    conditional renormalize, run as a runtime accumulator inside a
+    higher-order ``aggregate`` over ``sequence(1, q)``. The input and
+    p are let-bound through single-element ``transform`` lambdas, so
+    iterated squaring is a VALUE loop — never an exponentially
+    re-expanded Column tree (the exprcache lesson), and never a
+    driver-side distinct-value collect (the ta10 workaround this
+    primitive retires for new operators). Property-tested equal to
+    the Python/DuckDB twins in tests/test_selection.py.
+    """
+    two_f1 = 1 << (f + 1)
+    step = (
+        f"(a, i) -> transform(array(shiftright(a.y * a.y, {f})), y2 -> "
+        f"CASE WHEN y2 >= {two_f1} THEN "
+        f"struct(shiftright(y2, 1) AS y, a.r * 2 + 1 AS r) "
+        f"ELSE struct(y2 AS y, a.r * 2 AS r) END)[0]"
+    )
+    body = (
+        f"aggregate(sequence(1, {q}), "
+        f"struct(CAST(CASE WHEN p >= {f} THEN shiftright(x, p - {f}) "
+        f"ELSE shiftleft(x, {f} - p) END AS BIGINT) AS y, "
+        f"CAST(0 AS BIGINT) AS r), "
+        f"{step}, "
+        f"a -> shiftleft(CAST(p AS BIGINT), {q}) + a.r)"
+    )
+    return (
+        f"transform(array(CAST({xexpr} AS BIGINT)), x -> "
+        f"transform(array(length(bin(x)) - 1), p -> {body})[0])[0]"
+    )
+
+
 def dsir_gram_counts(
     df: DataFrame, id_col: str, text_col: str, dim: int = DSIR_DIM
 ) -> DataFrame:
@@ -325,4 +363,41 @@ def dsir_select_threshold(
             scores.filter(F.col("score_q") < t_lo)
             .withColumn("selected", F.lit(False))
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: split
+    the corpus into head/middle/tail thirds by LM perplexity; the
+    head feeds pretraining, the tail is discarded or down-weighted).
+    The LM is the corpus's OWN exact-integer bigram model
+    (:func:`.analysis.bigram_fluency` — higher fluency ≡ lower
+    perplexity), so bucket boundaries are bit-replayable: rank by
+    (fluency_bp DESC, doc) and cut at exact integer thirds
+    (3·rk ≤ N, 3·rk ≤ 2N — cross-multiplied, no float quantiles).
+
+    Output: (doc, n_bigrams, fluency_bp, rk, bucket). Scale shape:
+    the LM fit is two term-keyed aggs + two equi-joins (ta8's plan);
+    the rank is the distributed exact rank — never a single-partition
+    window; N rides the rank's own offset collect (no count job).
+    """
+    from ..operators.rank import distributed_rank_n
+
+    from .analysis import bigram_fluency
+
+    scores = bigram_fluency(df, id_col, text_col)
+    ranked, n = distributed_rank_n(
+        scores,
+        [F.col("fluency_bp").desc(), F.col("doc").asc()],
+        rank_col="rk",
+        scope="selection.perplexity_buckets",
+    )
+    return ranked.select(
+        "doc", "n_bigrams", "fluency_bp", "rk",
+        F.when(F.col("rk") * 3 <= F.lit(n), F.lit("head"))
+        .when(F.col("rk") * 3 <= F.lit(2 * n), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

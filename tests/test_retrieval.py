@@ -108,3 +108,33 @@ def test_rrf_fusion_single_list_is_identity_order(spark):
     got = [r.doc for r in sorted(rrf_fuse([a], top_k=4).collect(),
                                  key=lambda r: r.rank)]
     assert got == [5, 9, 2, 7]
+
+
+def test_query_likelihood_ranking_semantics(spark):
+    """A doc dense in the query term outranks a diluted one; docs
+    without any query term never rank; OOV query terms are dropped."""
+    from omfietser_etl_spark.textops.retrieval import query_likelihood_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine engine engine engine engine engine engine"),
+            (3, "postgres tuning guide"),
+        ],
+        "doc_id long, text string",
+    )
+    out = query_likelihood_topk(
+        df, "doc_id", "text", ["spark", "zzz_not_in_corpus"], top_k=10
+    ).collect()
+    assert [r.doc for r in out] == [1, 2]  # 3 matches nothing
+    assert out[0].rank == 1 and out[1].rank == 2
+    assert out[0].score_q > out[1].score_q
+
+
+def test_query_likelihood_all_oov_returns_empty(spark):
+    from omfietser_etl_spark.textops.retrieval import query_likelihood_topk
+
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    out = query_likelihood_topk(df, "doc_id", "text", ["zzzz"], top_k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc", "score_q", "rank"]

@@ -213,3 +213,47 @@ try:
         assert got == {v: ilog2_q(v) for v in vals}
 except ImportError:  # pragma: no cover — hypothesis is baked in
     pass
+
+
+def test_ilog2_spark_expr_equals_python(spark):
+    """The engine-side ilog2_q_expr (HOF aggregate square-and-compare)
+    must equal the Python fold on arbitrary positive ints — the per-row
+    log primitive tv6's score rests on."""
+    from omfietser_etl_spark.textops.selection import ilog2_q_expr
+
+    rng = random.Random(11)
+    vals = sorted(
+        {1, 2, 3, 2**30 - 1, 2**30, 2**31, 2**40 + 7, 2**62 - 1,
+         *(rng.randint(1, 2**62 - 1) for _ in range(120))}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r.x: r.il
+        for r in df.select("x", F.expr(ilog2_q_expr("x")).alias("il")).collect()
+    }
+    for v in vals:
+        assert got[v] == ilog2_q(v), v
+
+
+def test_perplexity_buckets_thirds_and_order(spark):
+    """head gets the most fluent docs; bucket boundaries are exact
+    integer thirds of the ranked order."""
+    from omfietser_etl_spark.textops.selection import perplexity_buckets
+
+    rows = []
+    for i in range(6):  # fluent: repeated common prose bigrams
+        rows.append((i, "the cat sat on the mat and the cat sat on the mat"))
+    for i in range(6, 12):  # unique word salad: every bigram count 1
+        rows.append((i, f"zq{i} xv{i} wk{i} jm{i} qb{i} tt{i} rr{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df, "doc_id", "text").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert {len(v) for v in by_bucket.values()} == {4}
+    assert max(r.rk for r in by_bucket["head"]) == 4
+    assert min(r.rk for r in by_bucket["tail"]) == 9
+    # every head doc is at least as fluent as every tail doc
+    assert min(r.fluency_bp for r in by_bucket["head"]) >= max(
+        r.fluency_bp for r in by_bucket["tail"]
+    )

@@ -472,3 +472,23 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out[6].ok_alpha_words
     assert not out[7].ok_stopwords
     assert all(not out[d].pass_all for d in (2, 3, 4, 5, 6, 7))
+
+
+def test_minhash_estimate_agreement_bounds(spark):
+    """Identical docs agree on the full signature; the estimate path
+    emits the same candidate universe as the LSH banding (agree >= ROWS
+    by construction for any banded candidate)."""
+    from omfietser_etl_spark.textops.constants import N_HASHES, ROWS
+    from omfietser_etl_spark.textops.dedup import minhash_estimate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " with a small tail change"),
+         (4, "completely different text about database query planning")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_lo, r.doc_hi): r.agree
+           for r in minhash_estimate_pairs(df, "doc_id", "text", 1).collect()}
+    assert out[(1, 2)] == N_HASHES            # identical: all hashes agree
+    assert all(a >= ROWS for a in out.values())  # banded candidates share a band
+    assert (1, 4) not in out and (2, 4) not in out
