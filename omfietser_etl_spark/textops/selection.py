@@ -303,14 +303,23 @@ def dsir_select_threshold(
 
     Shape: an approx-percentile sketch (mergeable partial agg, no
     shuffle) brackets the score cutoff with quantiles at
-    q* ± 4/accuracy; rows above the upper bracket are selected
-    map-side, rows below the lower bracket are rejected map-side, and
-    only the boundary BAND (≈ 8N/accuracy rows + cutoff-value tie
-    mass) is ranked exactly — via distributed_rank, so even a
-    pathological tie mass never funnels through one task. If the
-    sketch's rank-error guarantee is violated (counts show the cutoff
-    outside the band), falls back to the exact full ranking — the
-    selected set is correct by construction either way.
+    q* ± 4/accuracy; counting a = rows above the band pins how many
+    band rows are selected (m = k − a), and the BAND (≈ 8N/accuracy
+    rows + cutoff-value tie mass) is ranked exactly via
+    distributed_rank — never one task — purely to COLLECT ITS m-th
+    ROW. That single boundary row (s*, d*) turns the whole selection
+    into one stateless map-side predicate over the pool,
+
+        selected ≡ score_q > s* OR (score_q = s* AND doc ≤ d*),
+
+    correct for every row: above-band rows all exceed s* (a + m = k),
+    band rows compare against the boundary under the exact total
+    order, below-band rows sit strictly under t_lo ≤ s*. So the
+    output plan is ONE scan — no self-union (the previous shape read
+    the scored pool three times) and no join. If the sketch's
+    rank-error guarantee is violated (counts put the cutoff outside
+    the band), falls back to the exact full ranking — the selected
+    set is correct by construction either way.
     """
     from ..cacheutil import release_then_register
     from ..operators.rank import distributed_rank
@@ -345,24 +354,25 @@ def dsir_select_threshold(
             "selected", F.col("_rk") <= F.lit(k_sel)
         ).drop("_rk")
 
-    band = distributed_rank(
-        scores.filter(F.col("score_q").between(t_lo, t_hi)),
-        order,
-        rank_col="_brk",
-        scope="selection.dsir_threshold_band",
+    m = k_sel - a  # band rows selected, 0 <= m <= b by the guard
+    if m == 0:
+        return scores.withColumn("selected", F.col("score_q") > F.lit(t_hi))
+    boundary = (
+        distributed_rank(
+            scores.filter(F.col("score_q").between(t_lo, t_hi))
+            .select("doc", "score_q"),
+            order,
+            rank_col="_brk",
+            scope="selection.dsir_threshold_band",
+        )
+        .filter(F.col("_brk") == m)
+        .collect()[0]
     )
-    return (
-        scores.filter(F.col("score_q") > t_hi)
-        .withColumn("selected", F.lit(True))
-        .unionByName(
-            band.withColumn(
-                "selected", F.col("_brk") <= F.lit(k_sel - a)
-            ).drop("_brk")
-        )
-        .unionByName(
-            scores.filter(F.col("score_q") < t_lo)
-            .withColumn("selected", F.lit(False))
-        )
+    s_star, d_star = boundary.score_q, boundary.doc
+    return scores.withColumn(
+        "selected",
+        (F.col("score_q") > F.lit(s_star))
+        | ((F.col("score_q") == F.lit(s_star)) & (F.col("doc") <= F.lit(d_star))),
     )
 
 
