@@ -312,42 +312,28 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     oracle replays every value bit-for-bit; no float logs.
 
     Scale shape: one explode over characters of the NORMALIZED text
-    + one (doc, ch) count + one doc-keyed sum — the per-char ilog2
-    runs on count integers only. At 100 TB the (doc, ch) key space is
-    ≤ alphabet×docs and combines map-side.
+    + one (doc, ch) count + one doc-keyed sum — the per-row ilog2 is
+    the engine-side :func:`.selection.ilog2_q_expr` primitive, so the
+    whole operator is two shuffles with ZERO driver collects or
+    lookup joins (it previously collected the distinct count values
+    and broadcast a driver-computed log table — the workaround the
+    expression primitive retires). At 100 TB the (doc, ch) key space
+    is ≤ alphabet×docs and combines map-side.
     """
-    from .selection import ilog2_q  # noqa: PLC0415 — avoid cycle at import
+    from .selection import ilog2_q_expr  # noqa: PLC0415 — avoid cycle at import
 
     chars = (
         df.select(F.col(id_col).alias("doc"), norm_text(text_col).alias("_s"))
         .select("doc", F.explode(F.expr("filter(split(_s, ''), c -> c <> '')")).alias("ch"))
     )
     counts = chars.groupBy("doc", "ch").agg(F.count("*").alias("c"))
-    # ilog2_q over small ints via a broadcast lookup built driver-side:
-    # counts are bounded by max doc length, so the distinct-count set
-    # is tiny; collect it, map exactly in Python, broadcast back.
-    distinct_counts = [r.c for r in counts.select("c").distinct().collect()]
-    spark = df.sparkSession
-    il_rows = [(int(c), ilog2_q(int(c))) for c in distinct_counts]
-    il_df = spark.createDataFrame(il_rows, "c long, il long")
-    per_doc = (
-        counts.join(F.broadcast(il_df), "c")
-        .groupBy("doc")
-        .agg(
-            F.sum("c").cast("long").alias("n_chars"),
-            F.sum(F.col("c") * F.col("il")).cast("long").alias("sum_c_il"),
-        )
+    per_doc = counts.groupBy("doc").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum(F.col("c") * F.expr(ilog2_q_expr("c"))).cast("long").alias("sum_c_il"),
     )
-    n_distinct = [r.n for r in per_doc.select(F.col("n_chars").alias("n")).distinct().collect()]
-    iln_df = spark.createDataFrame(
-        [(int(n), ilog2_q(int(n))) for n in n_distinct], "n_chars long, iln long"
-    )
-    return (
-        per_doc.join(F.broadcast(iln_df), "n_chars")
-        .select(
-            "doc",
-            "n_chars",
-            (F.col("n_chars") * F.col("iln") - F.col("sum_c_il"))
-            .cast("long").alias("ent_q"),
-        )
+    return per_doc.select(
+        "doc",
+        "n_chars",
+        (F.col("n_chars") * F.expr(ilog2_q_expr("n_chars")) - F.col("sum_c_il"))
+        .cast("long").alias("ent_q"),
     )
