@@ -387,19 +387,32 @@ def connected_components(
     )
 
     release("dedup.connected_components")  # previous invocation's labels
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Pre-partition the (static) edge list on the JOIN key b with an
+    # explicit partition count: the cached frame then reports
+    # hashpartitioning(b, n_parts), so EnsureRequirements drops the
+    # edges-side exchange from EVERY round's join (distinct() alone
+    # leaves hashpartitioning(a, b), which never satisfies the b-only
+    # requirement — the big side re-shuffled once per round).
     edges = (
         pairs.select(F.col(lo_col).alias("a"), F.col(hi_col).alias("b"))
         .unionByName(
             pairs.select(F.col(hi_col).alias("a"), F.col(lo_col).alias("b"))
         )
         .distinct()
+        .repartition(n_parts, F.col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Initial labels = least(node, min neighbor): exactly what round 1
+    # would produce from the identity labeling, for ONE groupBy over
+    # the edge list instead of a full join+union+agg round — the loop
+    # starts one propagation step ahead.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mb"))
+        .select("node", F.least(F.col("node"), F.col("_mb")).alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # stored = the frame whose plan is ACTUALLY in the cache manager.
