@@ -164,6 +164,13 @@ def main() -> None:
         # within-copy text-dup cliques, both ∝ N)
         "mm7_phash_neardup",
         "mm8_audio_fp_neardup",
+        # round-6 second wave: td23 shares td3's candidate generator
+        # but scores by signature agreement — the measured claim is
+        # the verify-join cost (td3 minus td23 wall) and both linear;
+        # ts18 = LM + distributed rank; tv6 = pruned-stream QL.
+        "td23_minhash_est_pairs",
+        "ts18_perplexity_buckets",
+        "tv6_query_likelihood",
     ]
     only = {a for a in sys.argv[2:]}
     known = set(FAMILY) | {"td21_sized"}
