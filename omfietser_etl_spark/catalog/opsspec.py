@@ -82,9 +82,41 @@ FROM top, t
 """
 
 
+def g1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer PageRank (operators/graph.py) over the
+    customer→supplier purchase graph (distinct edges from
+    orders⋈lineitem; node ids disambiguated as 2·custkey / 2·suppkey+1
+    so the two key spaces never collide). Five fixed updates; the
+    whole loop is one lazy plan with zero driver actions, and the
+    oracle replays the five updates as unrolled CTE steps."""
+    from omfietser_etl_spark.operators.graph import pagerank
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return pagerank(edges, "src", "dst")
+
+
+def _g1_oracle() -> str:
+    from omfietser_etl_spark.operators.graph import pagerank_oracle_sql
+
+    edges_cte = (
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+    return pagerank_oracle_sql(edges_cte)
+
+
 SPECS = [
     QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
               "mergeable agg state: merge(batches) ≡ direct recompute"),
     QuerySpec("x7_skew_report", x7_skew_report, X7_ORACLE,
               "top-k heavy keys + skew ratio (pre-salting diagnosis)"),
+    QuerySpec("g1_pagerank", g1_pagerank, _g1_oracle(),
+              "fixed-point integer PageRank, 5 unrolled exact updates"),
 ]

