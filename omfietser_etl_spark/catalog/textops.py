@@ -1209,6 +1209,63 @@ FROM sc ORDER BY score_q DESC, doc ASC LIMIT {TV4_TOP_K}
 """
 
 
+def tv7_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@20 scoreboard for the two ranked retrievers (textops/
+    retrieval.py::ndcg_eval): graded relevance = #distinct tv4 query
+    terms present in the doc (0–4, derivable by both engines), then
+    exact fixed-point DCG/IDCG — the evaluation primitive a retrieval
+    pipeline runs before swapping rankers."""
+    from omfietser_etl_spark.textops.retrieval import (
+        bm25_topk,
+        ndcg_eval,
+        query_likelihood_topk,
+    )
+
+    docs = load(spark, sf, "documents")
+    q_arr = ", ".join(f"'{t}'" for t in TV4_QUERY)
+    rel = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens("text")), F.expr(f"array({q_arr})")
+            )
+        ).cast("long").alias("rel"),
+    )
+    lex = bm25_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
+    ql = query_likelihood_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
+    return ndcg_eval({"bm25": lex, "ql": ql}, rel, TV4_TOP_K)
+
+
+def _tv7_oracle() -> str:
+    from omfietser_etl_spark.textops.retrieval import NDCG_G
+    from omfietser_etl_spark.textops.selection import DSIR_F, DSIR_Q
+
+    q_vals = ", ".join(f"'{t}'" for t in TV4_QUERY)
+    return f"""
+WITH lex AS (SELECT doc, rank FROM ({_tv4_oracle()})),
+ql AS (SELECT doc, rank FROM ({_tv6_oracle()})),
+rel AS (SELECT doc_id AS doc,
+               CAST(len(list_intersect(list_distinct({DK_TOKENS.format(c="text")}),
+                                       [{q_vals}])) AS BIGINT) AS rel
+        FROM documents),
+u AS (SELECT 'bm25' AS system, doc, rank FROM lex
+      UNION ALL SELECT 'ql', doc, rank FROM ql),
+vals AS (SELECT range AS x FROM range(2, {TV4_TOP_K} + 2)),
+{dk_ilog2_chain('vals', DSIR_Q, DSIR_F)},
+dcg AS (SELECT system,
+               CAST(SUM((rel.rel * {NDCG_G}) // il.il) AS BIGINT) AS dcg_q
+        FROM u JOIN rel USING (doc) JOIN il ON il.x = u.rank + 1
+        GROUP BY system),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc) AS rank
+          FROM rel ORDER BY rel DESC, doc LIMIT {TV4_TOP_K}),
+idcg AS (SELECT CAST(SUM((ideal.rel * {NDCG_G}) // il.il) AS BIGINT) AS idcg_q
+         FROM ideal JOIN il ON il.x = ideal.rank + 1)
+SELECT system, dcg_q, idcg_q,
+       CAST((10000 * dcg_q) // idcg_q AS BIGINT) AS ndcg_bp
+FROM dcg CROSS JOIN idcg ORDER BY system
+"""
+
+
 TV2_TOP_N = 5
 
 
@@ -2238,6 +2295,8 @@ SPECS = [
               "BM25 ranked retrieval (exact fixed-point ilog2 idf)"),
     QuerySpec("tv6_query_likelihood", tv6_query_likelihood_topk, _tv6_oracle(),
               "Dirichlet query-likelihood retrieval (exact ilog2 LM score)"),
+    QuerySpec("tv7_retrieval_eval", tv7_retrieval_eval, _tv7_oracle(),
+              "nDCG@20 scoreboard over the BM25 + QL rankers (fixed point)"),
     QuerySpec("tv5_rrf_fusion", tv5_rrf_fusion, _tv5_oracle(),
               "hybrid retrieval: reciprocal-rank fusion of BM25 + dense lists"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,

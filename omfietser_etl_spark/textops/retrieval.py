@@ -266,3 +266,73 @@ def query_likelihood_topk(
     )
     w = Window.orderBy(F.col("score_q").desc(), F.col("doc"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+#: nDCG fixed-point gain scale: contributions are
+#: (rel · NDCG_G) div ilog2_q(rank+1) ≈ rel · 1e6 / log2(rank+1).
+NDCG_G = 1_000_000 << 20  # SCALE · 2^DSIR_Q (cancels ilog2_q's 2^Q)
+
+
+def ndcg_eval(
+    ranked_lists: dict[str, DataFrame],
+    rel: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Exact fixed-point nDCG@k over named ranked lists (Järvelin &
+    Kekäläinen 2002) — the retrieval-evaluation primitive that closes
+    the loop on tv4/tv6: given graded relevance per doc, score each
+    system by
+
+        DCG@k  = Σ_{r≤k} rel_r · G div ilog2_q(r+1)
+        IDCG@k = the same sum over the corpus-wide top-k relevance
+        nDCG   = (10000 · DCG) div IDCG      [basis points]
+
+    — every term integer (G cancels ilog2_q's 2^Q scale), so both
+    engines replay the scores bit-for-bit; no float logs. Output one
+    row per system: (system, dcg_q, idcg_q, ndcg_bp), system-ordered.
+
+    Scale shape: ranked lists are already bounded k-row frames; the
+    only corpus-sized work is the relevance scan feeding IDCG's
+    top-k (TakeOrdered — never a global sort; the DCG sum is
+    invariant to tie order among equal relevance values, so the
+    orderBy tiebreak only pins WHICH boundary doc enters, not the
+    score). The per-rank log runs through ilog2_q_expr engine-side.
+
+    ``rel`` must be a (doc, rel) frame with non-negative integer
+    grades.
+    """
+    from .selection import ilog2_q_expr
+
+    gain = f"(rel * {NDCG_G}) div ({ilog2_q_expr('rank + 1')})"
+    u = None
+    for sys_name, df in sorted(ranked_lists.items()):
+        part = df.select(
+            F.lit(sys_name).alias("system"), F.col("doc"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        u = part if u is None else u.unionByName(part)
+    dcg = (
+        u.join(rel, "doc")
+        .select("system", F.expr(gain).alias("g"))
+        .groupBy("system")
+        .agg(F.sum("g").cast("long").alias("dcg_q"))
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("doc"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("doc"))),
+        )
+    )
+    idcg = ideal.agg(
+        F.sum(F.expr(gain)).cast("long").alias("idcg_q")
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            "system", "dcg_q", "idcg_q",
+            F.expr("(10000 * dcg_q) div idcg_q").cast("long").alias("ndcg_bp"),
+        )
+        .orderBy("system")
+    )

@@ -138,3 +138,29 @@ def test_query_likelihood_all_oov_returns_empty(spark):
     out = query_likelihood_topk(df, "doc_id", "text", ["zzzz"], top_k=5)
     assert out.count() == 0
     assert out.columns == ["doc", "score_q", "rank"]
+
+
+def test_ndcg_perfect_ranking_scores_10000_bp(spark):
+    """A system that ranks exactly by relevance hits nDCG = 1 (10000
+    bp); a worse ordering scores strictly less; grades outside the
+    list contribute only to IDCG."""
+    from omfietser_etl_spark.textops.retrieval import ndcg_eval
+
+    rel = spark.createDataFrame(
+        [(1, 3), (2, 2), (3, 1), (4, 0)], "doc long, rel long"
+    )
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc long, rank long"
+    )
+    reverse = spark.createDataFrame(
+        [(3, 1), (2, 2), (1, 3)], "doc long, rank long"
+    )
+    out = {
+        r.system: r
+        for r in ndcg_eval(
+            {"perfect": perfect, "reverse": reverse}, rel, top_k=3
+        ).collect()
+    }
+    assert out["perfect"].ndcg_bp == 10000
+    assert out["perfect"].dcg_q == out["perfect"].idcg_q
+    assert out["reverse"].ndcg_bp < 10000
