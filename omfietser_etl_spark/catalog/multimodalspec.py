@@ -461,6 +461,81 @@ SELECT id_lo, id_hi, hamming FROM pr WHERE hamming <= {MM7_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------- #
+# mm9 — scene-cut detection over AVIs with REAL uncompressed frame
+# chunks: 12 constant-luma 4×3 DIB frames per doc, luma bytes from
+# sha256 hex (both engines derive them), container assembled Spark-
+# side, frames REALLY walked+parsed in mapInPandas; the oracle
+# computes the same lumas arithmetically from the hex.
+# ---------------------------------------------------------------- #
+
+MM9_W, MM9_H = 4, 3
+MM9_N_FRAMES = 12
+MM9_FRAME_BYTES = MM9_W * MM9_H * 3
+MM9_LUMA_THR = 48
+
+
+def _mm9_prefix_hex() -> str:
+    from omfietser_etl_spark.multimodal.codecs import make_video_frame_tools
+
+    _dec, prefix = make_video_frame_tools()
+    return prefix(MM9_W, MM9_H, MM9_N_FRAMES, MM9_FRAME_BYTES).hex()
+
+
+def mm9_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection (multimodal/media.py::scene_cuts):
+    every document gets a 12-frame uncompressed AVI whose frame k is
+    a constant-luma 4×3 DIB with luma = sha256 byte k — the decoder
+    REALLY walks RIFF→movi→'00db' and averages the 36 frame bytes
+    exactly; a cut is |Δluma| > 48. The oracle never parses a byte:
+    it recomputes each luma from the same hex arithmetic and replays
+    the cut positions."""
+    from omfietser_etl_spark.multimodal.media import scene_cuts
+
+    docs = load(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    chunk_hdr = b"00db".hex() + int(MM9_FRAME_BYTES).to_bytes(4, "little").hex()
+    chunks = [
+        f"concat('{chunk_hdr}', repeat(substring(hx, {2 * k + 1}, 2), "
+        f"{MM9_FRAME_BYTES}))"
+        for k in range(MM9_N_FRAMES)
+    ]
+    media = (
+        docs.withColumn("hx", F.expr("sha2(text, 256)"))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.unhex(
+                F.concat(F.lit(_mm9_prefix_hex()), *[F.expr(c) for c in chunks])
+            ).alias("data"),
+        )
+    )
+    return scene_cuts(media, MM9_LUMA_THR)
+
+
+def _mm9_oracle() -> str:
+    b_hi = _B.format(i="2*k + 1")
+    b_lo = _B.format(i="2*k + 2")
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+           WHERE text IS NOT NULL),
+v AS (SELECT media_id,
+             list_transform(range(0, {MM9_N_FRAMES}),
+                            k -> 16 * {b_hi} + {b_lo}) AS lum
+      FROM m),
+c AS (SELECT media_id, lum,
+             list_filter(range(1, {MM9_N_FRAMES}),
+                         k -> abs(lum[k + 1] - lum[k]) > {MM9_LUMA_THR}) AS cuts
+      FROM v)
+SELECT media_id,
+       CAST({MM9_N_FRAMES} AS BIGINT) AS n_frames,
+       CAST(len(cuts) AS BIGINT) AS n_cuts,
+       array_to_string(cuts, ',') AS cuts_csv
+FROM c
+"""
+
+
 SPECS = [
     QuerySpec("mm1_feature_extract", mm1_feature_extract, MM1_ORACLE,
               "multimodal mapInPandas feature extraction shape"),
@@ -478,4 +553,6 @@ SPECS = [
               "dHash image near-dup via banded hamming join"),
     QuerySpec("mm8_audio_fp_neardup", mm8_audio_fp_neardup, _mm8_oracle(),
               "audio energy-delta fingerprint near-dup (shared band join)"),
+    QuerySpec("mm9_scene_cuts", mm9_scene_cuts, _mm9_oracle(),
+              "REAL AVI frame-chunk decode + scene-cut detection"),
 ]

@@ -263,3 +263,81 @@ def make_video_tools():
         return b"RIFF" + len(body).to_bytes(4, "little") + body
 
     return probe_avi, encode_avi
+
+
+def make_video_frame_tools():
+    """Return (decode_avi_frames, avi_frames_prefix) pure closures
+    (by-value pickling, same discipline as the other factories) for
+    AVIs that CARRY uncompressed frame chunks — the frame-level
+    complement to make_video_tools' header-only probe.
+
+    decode_avi_frames(data) -> list[int] | None: walks RIFF/'AVI '
+    to the 'movi' LIST and returns the exact integer mean luma
+    (sum of frame bytes div byte count) of every uncompressed '00db'
+    chunk, in stream order. Raw DIB frames need no codec — this is a
+    REAL container+frame parse, not a stub.
+
+    avi_frames_prefix(w, h, n_frames, frame_bytes) -> bytes: the
+    container prefix up to the first frame chunk, with RIFF/LIST
+    sizes precomputed for n_frames fixed-size frames (callers append
+    the '00db' chunks; probe_avi reads the same header).
+    """
+
+    def _walk_movi(raw, pos, end):
+        while pos + 8 <= end:
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                if raw[body : body + 4] == b"movi":
+                    return (body + 4, body + size)
+                found = _walk_movi(raw, body + 4, body + size)
+                if found is not None:
+                    return found
+            pos = body + size + (size & 1)
+        return None
+
+    def decode_avi_frames(data):
+        if not data:
+            return None
+        raw = bytes(data)
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+            return None
+        span = _walk_movi(raw, 12, len(raw))
+        if span is None:
+            return None
+        pos, end = span
+        lumas = []
+        while pos + 8 <= end:
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"00db" and size > 0:
+                chunk = raw[body : body + size]
+                lumas.append(sum(chunk) // len(chunk))
+            pos = body + size + (size & 1)
+        return lumas
+
+    def avi_frames_prefix(width, height, n_frames, frame_bytes):
+        us_per_frame = 40000
+        avih = (
+            us_per_frame.to_bytes(4, "little")
+            + (0).to_bytes(12, "little")
+            + n_frames.to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + (1).to_bytes(4, "little")
+            + (0).to_bytes(4, "little")
+            + width.to_bytes(4, "little")
+            + height.to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        hdrl = b"hdrl" + b"avih" + len(avih).to_bytes(4, "little") + avih
+        lst = b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+        movi_size = 4 + n_frames * (8 + frame_bytes)
+        body_len = 4 + len(lst) + 8 + movi_size
+        return (
+            b"RIFF" + body_len.to_bytes(4, "little") + b"AVI " + lst
+            + b"LIST" + movi_size.to_bytes(4, "little") + b"movi"
+        )
+
+    return decode_avi_frames, avi_frames_prefix

@@ -355,3 +355,51 @@ def frame_sample_plan(media: DataFrame, n_frames: int) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_cuts", T.LongType(), True),
+        T.StructField("cuts_csv", T.StringType(), True),
+    ]
+)
+
+
+def scene_cuts(media: DataFrame, luma_threshold: int) -> DataFrame:
+    """Scene-cut detection over AVIs carrying uncompressed frames:
+    REAL container walk + frame parse (codecs.make_video_frame_tools)
+    computes each frame's exact integer mean luma; a cut is any
+    frame-to-frame jump with |Δluma| > luma_threshold — the shot-
+    boundary primitive a video pipeline runs before keyframe sampling
+    (pick one frame per scene, not per fixed stride). Non-AVI /
+    frameless payloads report n_frames = 0.
+
+    Arrow-batched mapInPandas, closures pickled by value; one
+    map-side pass, no shuffle.
+    """
+    from .codecs import make_video_frame_tools
+
+    decode_avi_frames, _pref = make_video_frame_tools()
+    thr = int(luma_threshold)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "n_cuts": [], "cuts_csv": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                lum = decode_avi_frames(data)
+                cuts = (
+                    [k for k in range(1, len(lum)) if abs(lum[k] - lum[k - 1]) > thr]
+                    if lum
+                    else []
+                )
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(len(lum) if lum else 0)
+                rows["n_cuts"].append(len(cuts))
+                rows["cuts_csv"].append(",".join(str(k) for k in cuts))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "data"
+    ).mapInPandas(run, SCENE_CUT_SCHEMA)

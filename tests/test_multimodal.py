@@ -198,3 +198,34 @@ def test_audio_fingerprint_matches_numpy_and_is_local(spark):
     assert got[4] == (None, None, None, None)  # shorter than 130 samples
     ham = sum(bin(a ^ b).count("1") for a, b in zip(got[1], got[2]))
     assert ham <= 2
+
+
+def test_avi_frame_decode_roundtrip_and_scene_cuts(spark):
+    """The frame-carrying AVI tools really round-trip: encoded
+    constant-luma frames come back exactly; probe_avi reads the same
+    header; scene_cuts flags exactly the planted jumps."""
+    from omfietser_etl_spark.multimodal.codecs import (
+        make_video_frame_tools,
+        make_video_tools,
+    )
+    from omfietser_etl_spark.multimodal.media import scene_cuts
+
+    decode_frames, prefix = make_video_frame_tools()
+    probe, _enc = make_video_tools()
+    lumas = [10, 12, 200, 199, 40]
+    fb = 4 * 3 * 3
+    data = prefix(4, 3, len(lumas), fb) + b"".join(
+        b"00db" + fb.to_bytes(4, "little") + bytes([v]) * fb for v in lumas
+    )
+    assert decode_frames(data) == lumas
+    hdr = probe(data)
+    assert (hdr["width"], hdr["height"], hdr["n_frames"]) == (4, 3, 5)
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(data)), (2, "video", bytearray(b"junk"))],
+        "media_id long, kind string, data binary",
+    )
+    out = {r.media_id: r for r in scene_cuts(media, 48).collect()}
+    assert out[1].n_frames == 5
+    assert out[1].cuts_csv == "2,4"  # 12->200 and 199->40
+    assert out[2].n_frames == 0 and out[2].cuts_csv == ""
