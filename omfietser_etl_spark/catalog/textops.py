@@ -916,6 +916,59 @@ SELECT vec_id, cid, round(d2, 6) AS d2 FROM a WHERE r = 1
 """
 
 
+TS19_K = 5  # coreset size for the k-center gate
+
+
+def ts19_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset (textops/similarity.py::
+    kcenter_coreset): maximally-diverse k-vector subset by
+    farthest-point traversal over exact int8-quantized distances —
+    the data-pruning complement to ts17's per-cluster quotas. The
+    oracle unrolls the k−1 greedy steps as CTE chains over the same
+    quantization."""
+    return sim.kcenter_coreset(
+        load(spark, sf, "embeddings"), "vec_id", "embedding", TS19_K
+    )
+
+
+def _ts19_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> CAST(q.qv[i] - c.qv[i] AS BIGINT) * "
+        "CAST(q.qv[i] - c.qv[i] AS BIGINT)))"
+    ).format(dim=EMB_DIM)
+    steps = [
+        """q AS (SELECT vec_id AS vid,
+       CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(floor(x::DOUBLE / ma * 127.0) AS INTEGER)) END AS qv
+     FROM (SELECT vec_id, embedding,
+           list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS ma
+           FROM embeddings))""",
+        "c1 AS (SELECT vid, qv FROM q ORDER BY vid LIMIT 1)",
+    ]
+    finals = ["SELECT CAST(1 AS BIGINT) AS ord, vid AS vec_id, "
+              "CAST(0 AS BIGINT) AS dmin_q FROM c1"]
+    for j in range(1, TS19_K):
+        steps.append(
+            f"s{j} AS (SELECT q.vid, q.qv, min({dist}) AS dmin "
+            f"FROM q CROSS JOIN c{j} c GROUP BY q.vid, q.qv)"
+        )
+        steps.append(
+            f"n{j} AS (SELECT vid, qv, dmin FROM s{j} "
+            f"WHERE vid NOT IN (SELECT vid FROM c{j}) "
+            f"ORDER BY dmin DESC, vid LIMIT 1)"
+        )
+        steps.append(
+            f"c{j + 1} AS (SELECT vid, qv FROM c{j} "
+            f"UNION ALL SELECT vid, qv FROM n{j})"
+        )
+        finals.append(
+            f"SELECT CAST({j + 1} AS BIGINT), vid, CAST(dmin AS BIGINT) FROM n{j}"
+        )
+    return "WITH " + ",\n".join(steps) + "\n" + "\nUNION ALL ".join(finals)
+
+
 PROTO_N = 8  # per-cluster quota for the prototype-selection gate
 
 
@@ -2275,6 +2328,8 @@ SPECS = [
               "two-stage retrieval: ADC shortlist + exact re-rank"),
     QuerySpec("td8_kmeans_assign", td8_kmeans_assign, TD8_ORACLE,
               "k-means nearest-centroid assignment"),
+    QuerySpec("ts19_kcenter_coreset", ts19_kcenter_coreset, _ts19_oracle(),
+              "greedy k-center coreset over exact int8 distances"),
     QuerySpec("ts17_cluster_prototypes", ts17_cluster_prototypes, TS17_ORACLE,
               "cluster-balanced prototype selection (per-cluster top-n)"),
     QuerySpec("td13_semantic_dedup", td13_semantic_dedup, TD13_ORACLE,

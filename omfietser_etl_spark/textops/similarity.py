@@ -503,3 +503,79 @@ def rh_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_lo", "id_hi", "sim")
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal; Sener & Savarese 2018 use exactly this for training-
+    data subset selection): pick the min-id vector, then k−1 times
+    the vector FARTHEST from the chosen set — a 2-approximation of
+    the optimal k-center cover, the classic "maximally diverse
+    subset" primitive for data pruning.
+
+    EXACTNESS: distances run over the td10 int8 quantization
+    (symmetric per-vector scale, floor codes — deterministic across
+    engines), so every pairwise distance is an exact integer squared
+    L2 and the argmax (ties by id ASC) replays bit-for-bit in DuckDB.
+
+    Output: (ord, vec_id, dmin_q) — selection order, chosen id, and
+    the exact squared distance to the previously-chosen set at pick
+    time (dmin_q = 0 for the seed; the sequence is non-increasing —
+    the standard coreset radius curve).
+
+    Scale shape: greedy k-center is INHERENTLY sequential (center
+    i+1 depends on i) — the loop is k−1 driver rounds of ONE
+    map-side corpus pass each: quantized vectors (cached once) ×
+    broadcast chosen-set → min-distance agg → TakeOrdered(1). No
+    shuffle beyond the vid agg; k bounds the rounds (the BPE-trainer
+    collect discipline — tiny argmax rows to the driver, never data).
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import release_then_register
+
+    spark = emb.sparkSession
+    v = vec_col
+    maxabs = f"array_max(transform({v}, x -> abs(CAST(x AS DOUBLE))))"
+    qexpr = (
+        f"CASE WHEN {maxabs} = 0.0D THEN transform({v}, x -> 0) "
+        f"ELSE transform({v}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) / {maxabs} * 127.0D) AS INT)) END"
+    )
+    q = release_then_register(
+        "similarity.kcenter",
+        emb.select(F.col(id_col).alias("vid"), F.expr(qexpr).alias("qv"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
+    seed = q.orderBy("vid").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], "ord long, vec_id long, dmin_q long")
+    chosen = [(1, int(seed[0].vid), 0, [int(x) for x in seed[0].qv])]
+    d2 = (
+        "aggregate(zip_with(qv, cqv, (a, b) -> "
+        "CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)), 0L, (acc, x) -> acc + x)"
+    )
+    for step in range(2, k + 1):
+        centers = spark.createDataFrame(
+            [(c[1], c[3]) for c in chosen], "cid long, cqv array<int>"
+        )
+        nxt = (
+            q.join(F.broadcast(centers))
+            .select("vid", "qv", F.expr(d2).alias("d2"))
+            .groupBy("vid")
+            .agg(F.min("d2").alias("dmin"), F.first("qv").alias("qv"))
+            .filter(~F.col("vid").isin([c[1] for c in chosen]))
+            .orderBy(F.col("dmin").desc(), F.col("vid"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        r = nxt[0]
+        chosen.append((step, int(r.vid), int(r.dmin), [int(x) for x in r.qv]))
+    return spark.createDataFrame(
+        [(o, vid, dm) for o, vid, dm, _ in chosen],
+        "ord long, vec_id long, dmin_q long",
+    )

@@ -205,3 +205,34 @@ def test_cluster_prototypes_match_numpy(spark):
     for r in sorted(out, key=lambda r: (r.cid, r.rank)):
         got.setdefault(r.cid, []).append(r.id)
     assert got == {c: v for c, v in expect.items() if v}
+
+
+def test_kcenter_coreset_greedy_semantics(spark):
+    """Farthest-point traversal on a hand-checked 1-D geometry: seed
+    is min id; each pick maximizes distance to the chosen set; the
+    radius sequence (dmin_q) is non-increasing."""
+    from omfietser_etl_spark.textops.similarity import kcenter_coreset
+
+    # positions on a line encoded as 2-dim vectors [x, 0]; scale is
+    # per-vector so use x in {1.0 ...} with matched magnitudes:
+    # quantized code = floor(x/|x| * 127) = 127 for all -> use a
+    # second coordinate to differentiate instead.
+    rows = [
+        (1, [1.0, 0.0]),     # seed (min id), code [127, 0]
+        (2, [1.0, 0.02]),    # near seed, code [127, 2]
+        (3, [0.0, 1.0]),     # orthogonal, code [0, 127]
+        (4, [-1.0, 0.0]),    # opposite, code [-127, 0]
+    ]
+    out = kcenter_coreset(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        "vec_id", "embedding", 4,
+    ).collect()
+    picks = [(r.ord, r.vec_id, r.dmin_q) for r in sorted(out, key=lambda r: r.ord)]
+    # farthest from [127,0] is [-127,0] (d2=254^2=64516); then [0,127]
+    # (min dist to {1,4} = 127^2+127^2=32258); near-dup 2 comes last
+    assert [p[1] for p in picks] == [1, 4, 3, 2]
+    assert picks[0][2] == 0
+    assert picks[1][2] == 254 * 254
+    assert picks[2][2] == 127 * 127 + 127 * 127
+    dmins = [p[2] for p in picks[1:]]
+    assert dmins == sorted(dmins, reverse=True)
