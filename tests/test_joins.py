@@ -72,3 +72,42 @@ def test_pagerank_exact_semantics(spark):
     assert out == r
     assert out[1] == 150000          # no in-links: base only
     assert out[3] > out[2] > out[1]  # rank follows in-link mass
+
+
+def test_triangle_counts_exact(spark):
+    """K4 + pendant: every K4 node sits in exactly 3 of the 4
+    triangles, the pendant in none; dup/reversed/self-loop edges
+    normalize away; a star has zero triangles (the orientation's
+    worst-case input produces an empty wedge set, not a hub blowup)."""
+    from omfietser_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(1, 5), (5, 1), (2, 1), (3, 3)], "u long, v long"
+    )
+    out = {r.node: r.n_tri for r in triangle_counts(edges, "u", "v").collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 21)], "u long, v long")
+    assert triangle_counts(star, "u", "v").count() == 0
+
+
+def test_adamic_adar_exact_fixed_point(spark):
+    """Path 1-2-3 gives the textbook single-wedge score
+    (scale<<Q) // ilog2_q(2) = scale exactly; K4 minus one edge gives
+    the two-common-neighbor score via ilog2_q(3); adjacent pairs are
+    excluded; ordering is (aa_q desc, u, v)."""
+    from omfietser_etl_spark.operators.graph import AA_SCALE, adamic_adar
+    from omfietser_etl_spark.textops.selection import DSIR_Q, ilog2_q
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    rows = adamic_adar(path, "u", "v").collect()
+    assert [(r.u, r.v, r.aa_q) for r in rows] == [(1, 3, AA_SCALE)]
+
+    # K4 minus edge (1,4): candidates (1,4) via {2,3}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "u long, v long"
+    )
+    rows = adamic_adar(edges, "u", "v").collect()
+    want = 2 * ((AA_SCALE << DSIR_Q) // ilog2_q(3))
+    assert [(r.u, r.v, r.aa_q) for r in rows] == [(1, 4, want)]
