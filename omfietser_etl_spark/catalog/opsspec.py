@@ -185,6 +185,23 @@ def _g3_oracle() -> str:
     )
 
 
+def g4_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core of the support-≥2 part co-occurrence graph after 5
+    synchronous peel rounds (operators/graph.py::kcore) — the standard
+    densest-region extraction before community/motif analytics; the
+    single-reference recurrence keeps the unrolled lazy plan linear
+    in rounds (see the operator docstring)."""
+    from omfietser_etl_spark.operators.graph import kcore
+
+    return kcore(_cooc_edges(spark, sf, min_support=2), "u", "v")
+
+
+def _g4_oracle() -> str:
+    from omfietser_etl_spark.operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_COOC_SUPP2_CTE)
+
+
 SPECS = [
     QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
               "mergeable agg state: merge(batches) ≡ direct recompute"),
@@ -196,4 +213,6 @@ SPECS = [
               "exact triangle counts, degree-ordered orientation"),
     QuerySpec("g3_adamic_adar", g3_adamic_adar, _g3_oracle(),
               "Adamic-Adar link prediction, exact ilog2 fixed point"),
+    QuerySpec("g4_kcore", g4_kcore, _g4_oracle(),
+              "k-core peeling, 5 unrolled synchronous rounds"),
 ]

@@ -315,3 +315,93 @@ nonadj AS (SELECT p.* FROM pairs p ANTI JOIN und
            ON und.u = p.u AND und.v = p.v)
 SELECT u, v, aa_q FROM nonadj ORDER BY aa_q DESC, u, v LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — unrolled synchronous peeling (Matula & Beck
+# 1983; the batch "remove all degree<k nodes each round" variant).
+# ---------------------------------------------------------------------------
+
+def kcore(
+    edges: DataFrame,
+    u_col: str,
+    v_col: str,
+    k: int = 3,
+    rounds: int = 5,
+) -> DataFrame:
+    """(node, deg) — nodes surviving ``rounds`` synchronous peel
+    rounds of the k-core reduction over the undirected simple graph
+    from ``edges`` (self-loops dropped, duplicates/direction
+    collapsed), with ``deg`` their degree WITHIN the surviving set.
+    Equals the true k-core whenever peeling converges within
+    ``rounds`` (each round removes every node whose current degree is
+    below ``k`` simultaneously); the fixed-round semantics is what
+    both engines replay bit-for-bit — exactly the g1_pagerank
+    contract.
+
+    The recurrence is deliberately SINGLE-REFERENCE: dead nodes can
+    never resurrect (the alive set only shrinks, so a node that
+    dropped below k sees only fewer alive neighbors later), hence
+
+        alive_{i+1} = { v : #{ u in alive_i : (u,v) edge } >= k }
+
+    needs no "v in alive_i" conjunct — each round references alive_i
+    ONCE, so the unrolled lazy plan grows linearly in ``rounds`` (a
+    naive edge-subgraph recurrence references its predecessor 5x per
+    round and explodes the logical tree exponentially). Zero driver
+    actions: one plan, K chained (join on u, groupBy v) stages over
+    the static doubled-edge frame, whose scan+shuffle Spark's
+    ReuseExchange materializes once.
+    """
+    a, b = F.col(u_col), F.col(v_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    alive = both.select(F.col("u").alias("node")).distinct()
+    for _ in range(rounds):
+        alive = (
+            both.join(alive.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+        )
+    return (
+        both.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+
+
+def kcore_oracle_sql(
+    edges_cte: str, k: int = 3, rounds: int = 5
+) -> str:
+    """DuckDB twin of :func:`kcore`: the same ``rounds`` peel updates
+    unrolled as CTE steps over (u, v) rows from ``edges_cte``."""
+    steps = [
+        f"raw AS ({edges_cte})",
+        "und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v"
+        " FROM raw WHERE u <> v)",
+        "both_ AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)",
+        "a0 AS (SELECT DISTINCT u AS node FROM both_)",
+    ]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"a{i} AS (SELECT b.v AS node FROM both_ b "
+            f"JOIN {prev} p ON p.node = b.u "
+            f"GROUP BY b.v HAVING count(*) >= {k})"
+        )
+        prev = f"a{i}"
+    return (
+        "WITH " + ", ".join(steps)
+        + f" SELECT b.v AS node, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM both_ b JOIN {prev} x ON x.node = b.u "
+        f"JOIN {prev} y ON y.node = b.v GROUP BY b.v"
+    )

@@ -111,3 +111,38 @@ def test_adamic_adar_exact_fixed_point(spark):
     rows = adamic_adar(edges, "u", "v").collect()
     want = 2 * ((AA_SCALE << DSIR_Q) // ilog2_q(3))
     assert [(r.u, r.v, r.aa_q) for r in rows] == [(1, 4, want)]
+
+
+def test_kcore_peeling_cascade(spark):
+    """Chain 1-2-3-4-5 under k=2 peels endpoint-inward over 3 rounds
+    to empty; a 4-clique with a pendant keeps exactly the clique at
+    degree 3 (pendant removal cannot drag clique degrees below k);
+    dup/reversed/self-loop edges normalize away."""
+    from omfietser_etl_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    assert kcore(chain, "u", "v", k=2).count() == 0
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 9), (9, 4), (1, 1)], "u long, v long"
+    )
+    out = {r.node: r.deg for r in kcore(edges, "u", "v", k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixed_rounds_semantics(spark):
+    """The contract is ROUNDS synchronous updates, not convergence: a
+    6-chain under k=2 needs 3 rounds to empty, so rounds=2 still
+    reports the not-yet-peeled middle — and the surviving-set degree
+    is computed within the survivors."""
+    from omfietser_etl_spark.operators.graph import kcore
+
+    chain6 = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "u long, v long"
+    )
+    out = {r.node: r.deg for r in kcore(chain6, "u", "v", k=2, rounds=2).collect()}
+    assert out == {3: 1, 4: 1}
+    assert kcore(chain6, "u", "v", k=2, rounds=3).count() == 0
