@@ -501,6 +501,92 @@ LEFT JOIN hourly h ON h.hb = s.hour_bucket AND h.event_type = t.event_type
 """
 
 
+# ---------------------------------------------------------------- #
+# ev4 — exact-integer volume anomaly flags (3-sigma, no sqrt)
+# ---------------------------------------------------------------- #
+
+#: sigma multiplier for the ev4 outlier test. 2 (not the classic 3):
+#: the synthetic events table's daily volumes are near-uniform (max
+#: observed |z| ~ 2.7 at sf0.01), so T=2 exercises BOTH flag branches
+#: under the gate while T=3 would certify an all-false column.
+EV4_T = 2
+
+
+def ev4_daily_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(event_type, day) volume-anomaly flags: a day is an
+    outlier when its count deviates from the type's population mean
+    by more than EV4_T standard deviations — decided ENTIRELY in
+    integer arithmetic by cross-multiplying the variance test,
+
+        (n·N − S)²  >  T² · (N·Q − S²)      with S=Σn, Q=Σn², N=#days,
+
+    so no sqrt, no float, and bit-identical replay in DuckDB (the
+    monitoring-alert shape of the reference's job statistics, ref
+    db-client.ts getJobStatistics). Internal products are staged as
+    DECIMAL(38,0)/HUGEINT: at 100 TB a hot type's daily n reaches
+    ~1e7, making N·Q ~ 1e19 overflow int64 — the output columns stay
+    BIGINT-safe.
+
+    Scale shape: one (day, type) hash agg over the facts; the stats
+    pass and the flag join then run on the tiny daily rollup with the
+    k-row per-type stats frame broadcast — the facts shuffle exactly
+    once."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.expr(f"ts div {DAY_NS}").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return anomaly_flags(daily, EV4_T)
+
+
+def anomaly_flags(daily: DataFrame, t: int) -> DataFrame:
+    """The ev4 flag pass over a pre-aggregated (day, event_type, n)
+    frame — split out so the exact-integer predicate is unit-testable
+    on engineered counts (tests/test_streaming.py)."""
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.expr("n * n")).alias("q"),
+    )
+    d38 = "decimal(38,0)"
+    lhs = F.expr(
+        f"cast(n as {d38}) * cast(n_days as {d38}) - cast(s as {d38})"
+    )
+    rhs = F.expr(
+        f"cast(n_days as {d38}) * cast(q as {d38})"
+        f" - cast(s as {d38}) * cast(s as {d38})"
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "n_days",
+            (lhs * lhs > F.lit(t * t).cast(d38) * rhs)
+            .alias("is_outlier"),
+        )
+    )
+
+
+EV4_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ns(ts) // {DAY_NS} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS q
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, d.n, st.n_days,
+       (CAST(d.n AS HUGEINT) * st.n_days - st.s)
+         * (CAST(d.n AS HUGEINT) * st.n_days - st.s)
+       > {EV4_T * EV4_T} * (CAST(st.n_days AS HUGEINT) * st.q
+                            - CAST(st.s AS HUGEINT) * st.s)
+       AS is_outlier
+FROM daily d JOIN stats st USING (event_type)
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
@@ -521,4 +607,6 @@ SPECS = [
               "7-day RANGE-framed moving totals over daily rollup"),
     QuerySpec("h2_gapfill", h2_gapfill, H2_ORACLE,
               "time-spine gap fill (hourly resample, zero-filled)"),
+    QuerySpec("ev4_daily_anomaly", ev4_daily_anomaly, EV4_ORACLE,
+              "exact-integer 3-sigma volume anomaly flags (no sqrt)"),
 ]

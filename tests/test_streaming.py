@@ -502,3 +502,25 @@ def test_gc_retains_superseded_version_one_cycle(spark, tmp_path):
         if i == 2:
             assert dirs == {"v1", "v2"}  # v1 in grace
     assert {d for d in os.listdir(state) if d.startswith("v")} == {"v2", "v3"}
+
+
+def test_ev4_anomaly_flags_exact_predicate(spark):
+    """Engineered outlier: 9 days at n=10 plus one spike day n=100.
+    μ=19, var=729 ⇒ |z|=81/27=3 exactly — NOT > 3 (strict), flagged
+    at t=2; the flat days sit at |z|=1/3, never flagged. A constant
+    series (rhs=0) flags nothing at any t. All decided in exact
+    integer cross-multiplication — no sqrt anywhere."""
+    from omfietser_etl_spark.catalog.streaming import anomaly_flags
+
+    rows = [(d, "a", 10) for d in range(9)] + [(9, "a", 100)]
+    rows += [(d, "b", 7) for d in range(10)]
+    daily = spark.createDataFrame(rows, "day long, event_type string, n long")
+
+    out = {(r.event_type, r.day): r.is_outlier
+           for r in anomaly_flags(daily, 2).collect()}
+    assert out[("a", 9)] is True
+    assert all(not v for k, v in out.items() if k != ("a", 9))
+
+    out3 = {(r.event_type, r.day): r.is_outlier
+            for r in anomaly_flags(daily, 3).collect()}
+    assert out3[("a", 9)] is False  # z == 3 exactly: strict inequality
