@@ -1209,6 +1209,68 @@ FROM ftop
 """
 
 
+MMR_POOL = 30
+MMR_K = 10
+
+
+def tv8_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-aware reranking of the dense retrieval shortlist
+    (textops/similarity.py::mmr_diversify): greedy MMR over the
+    RRF_QVEC query's relevance top-30, k=10 — the anti-redundancy
+    step between retrieval and context assembly (and, pipeline-side,
+    between near-dup clustering and sample selection)."""
+    from omfietser_etl_spark.textops.similarity import mmr_diversify
+
+    emb = load(spark, sf, "embeddings")
+    return mmr_diversify(
+        emb.filter(F.col("vec_id") != RRF_QVEC),
+        emb.filter(F.col("vec_id") == RRF_QVEC),
+        "vec_id", "embedding", MMR_K, MMR_POOL,
+    )
+
+
+def _tv8_oracle() -> str:
+    """The same greedy unrolled as CTE steps: s1 = relevance argmax,
+    then per step the (not-yet-selected × selected) max-sim aggregate
+    and a LIMIT-1 argmax — all on the pool-sized shortlist, with the
+    identical left-fold double dots and literal 0.7/0.3 weights.
+    cand and every s{i} are MATERIALIZED: each step references its
+    predecessor 3×, so inlined CTEs re-evaluate the whole chain (and
+    re-open the parquet) exponentially — materialization makes the
+    unroll linear."""
+    steps = [
+        f"dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QVEC})",
+        f"cand AS MATERIALIZED (SELECT e.vec_id AS nid, e.embedding AS nv, "
+        f"{dk_dot('dq.qv', 'e.embedding')} AS rel "
+        f"FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> {RRF_QVEC} "
+        f"ORDER BY rel DESC, nid LIMIT {MMR_POOL})",
+        "s1 AS MATERIALIZED (SELECT nid, nv, rel, CAST(1 AS BIGINT) AS step, "
+        "(0.7 * rel) AS mmr FROM cand ORDER BY rel DESC, nid LIMIT 1)",
+    ]
+    prev = "s1"
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"ms{i} AS (SELECT c.nid, max({dk_dot('c.nv', 's.nv')}) AS ms "
+            f"FROM cand c CROSS JOIN {prev} s "
+            f"WHERE c.nid NOT IN (SELECT nid FROM {prev}) GROUP BY c.nid)"
+        )
+        steps.append(
+            f"pk{i} AS (SELECT m.nid, ((0.7 * c.rel) - (0.3 * m.ms)) AS mmr "
+            f"FROM ms{i} m JOIN cand c USING (nid) "
+            f"ORDER BY mmr DESC, m.nid LIMIT 1)"
+        )
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT c.nid, c.nv, c.rel, CAST({i} AS BIGINT), p.mmr "
+            f"FROM pk{i} p JOIN cand c USING (nid))"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(steps)
+        + f" SELECT step, nid, round(mmr, 6) AS mmr FROM {prev}"
+    )
+
+
 def tv6_query_likelihood_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (textops/
     retrieval.py::query_likelihood_topk) over the tv4 query — the
@@ -2354,6 +2416,8 @@ SPECS = [
               "nDCG@20 scoreboard over the BM25 + QL rankers (fixed point)"),
     QuerySpec("tv5_rrf_fusion", tv5_rrf_fusion, _tv5_oracle(),
               "hybrid retrieval: reciprocal-rank fusion of BM25 + dense lists"),
+    QuerySpec("tv8_mmr_diversify", tv8_mmr_diversify, _tv8_oracle(),
+              "greedy MMR diversity rerank of the dense shortlist"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

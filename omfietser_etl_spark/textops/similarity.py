@@ -579,3 +579,89 @@ def kcenter_coreset(
         [(o, vid, dm) for o, vid, dm, _ in chosen],
         "ord long, vec_id long, dmin_q long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998) —
+# diversity-aware shortlist re-ranking.
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off weights. BOTH are spelled as literals (0.3 is NOT
+#: computed as 1 - 0.7, which is 0.30000000000000004 in binary64) so
+#: the Python greedy and the DuckDB oracle multiply bit-identical
+#: constants.
+MMR_LAM = 0.7
+MMR_ONE_MINUS_LAM = 0.3
+
+
+def _fold_dot(a, b) -> float:
+    """Left-fold double dot product — the exact IEEE evaluation order
+    of dot_expr / the oracle's list_reduce (init 0.0, then
+    ((0+t1)+t2)+…), so driver-side scores are bit-identical to both
+    engines'."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (float(x) * float(y))
+    return acc
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    pool: int = 30,
+) -> DataFrame:
+    """(step, nid, mmr) — greedy Maximal Marginal Relevance selection
+    of ``k`` items: each step takes argmax of
+
+        0.7·rel(c)  −  0.3·max_{s ∈ selected} dot(c, s)
+
+    over the relevance top-``pool`` shortlist (ties → lower id; step 1
+    has no selected set, so its score is 0.7·rel). ``query`` is a
+    one-row frame; ``mmr`` is the selection-time score rounded to 6dp.
+
+    Scale shape: the ONLY corpus-scale work is the relevance pass —
+    broadcast query + map-side fold dot + TakeOrderedAndProject
+    top-``pool`` (per-partition heaps, no global sort). The greedy
+    O(pool²·k) refinement then runs driver-side on the model-sized
+    shortlist — the standard deployment shape for rerankers (a
+    shortlist bounded by the ``pool`` argument, NOT by the corpus;
+    same bounded-collect contract as the BPE argmax). Float hazard:
+    every score is a left-fold double identical in Spark, Python, and
+    DuckDB, and the 0.7/0.3 weights are literal in all three — the
+    oracle replays selection bit-for-bit.
+    """
+    q = query.select(F.col(vec_col).alias("qv")).limit(1)
+    cand = (
+        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        .join(F.broadcast(q))
+        .withColumn("rel", F.expr(dot_expr("qv", "nv")))
+        .orderBy(F.col("rel").desc(), "nid")
+        .limit(pool)
+        .select("nid", "nv", "rel")
+    )
+    rows = cand.collect()  # bounded by `pool`
+    remaining = {r.nid: (list(r.nv), r.rel) for r in rows}
+    picked: list[tuple[int, int, float]] = []  # (step, nid, mmr)
+    sel_vecs: list[list[float]] = []
+    for step in range(1, min(k, len(rows)) + 1):
+        best = None
+        for nid in sorted(remaining):
+            v, rel = remaining[nid]
+            if step == 1:
+                mmr = MMR_LAM * rel
+            else:
+                ms = max(_fold_dot(v, s) for s in sel_vecs)
+                mmr = (MMR_LAM * rel) - (MMR_ONE_MINUS_LAM * ms)
+            if best is None or mmr > best[1]:
+                best = (nid, mmr)
+        nid, mmr = best
+        picked.append((step, nid, mmr))
+        sel_vecs.append(remaining.pop(nid)[0])
+    spark = emb.sparkSession
+    out = spark.createDataFrame(picked, "step long, nid long, mmr double")
+    # Spark's HALF_UP round == DuckDB's round-away-from-zero; Python's
+    # round() is banker's — so rounding happens HERE, not in the loop.
+    return out.select("step", "nid", F.round("mmr", 6).alias("mmr"))

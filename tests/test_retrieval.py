@@ -164,3 +164,30 @@ def test_ndcg_perfect_ranking_scores_10000_bp(spark):
     assert out["perfect"].ndcg_bp == 10000
     assert out["perfect"].dcg_q == out["perfect"].idcg_q
     assert out["reverse"].ndcg_bp < 10000
+
+
+def test_mmr_diversity_beats_relevance(spark):
+    """Query [1,.5,0]: v1=[1,0,0] (rel 1.0) is picked first; at step 2
+    the near-duplicate v2=[.8,0,0] (rel .8 but sim .8 to v1 → mmr
+    .56−.24=.32) LOSES to the orthogonal v3=[0,1,0] (rel .5, sim 0 →
+    mmr .35) — the pure-relevance top-2 would be (v1, v2). Steps are
+    1-based, k caps at the pool size."""
+    from omfietser_etl_spark.textops.similarity import mmr_diversify
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.8, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.5, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = mmr_diversify(emb, q, "vec_id", "embedding", k=2, pool=10)
+    rows = [(r.step, r.nid, r.mmr) for r in out.collect()]
+    assert rows == [(1, 1, 0.7), (2, 3, 0.35)]
+
+    full = mmr_diversify(emb, q, "vec_id", "embedding", k=10, pool=10)
+    assert [r.nid for r in full.collect()] == [1, 3, 2]
