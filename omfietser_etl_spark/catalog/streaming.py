@@ -587,6 +587,123 @@ FROM daily d JOIN stats st USING (event_type)
 """
 
 
+# ---------------------------------------------------------------- #
+# ev5 — two-sided CUSUM changepoint flags (window closed form)
+# ---------------------------------------------------------------- #
+
+#: CUSUM decision threshold as a fraction of the type's total volume:
+#: a day is flagged once the accumulated deviation mass |Σ(nᵢ·N − S)|
+#: (in N·count units) exceeds S · EV5_NUM / EV5_DEN. 1/8 is calibrated
+#: the same way as EV4_T: at sf0.01 the synthetic daily volumes make
+#: both flag branches populated, so the gate certifies a real decision
+#: boundary rather than an all-false column.
+EV5_NUM = 1
+EV5_DEN = 8
+
+
+def ev5_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(event_type, day) CUSUM changepoint flags (Page 1954) over
+    daily event volumes — the sequential drift detector monitoring
+    pipelines run where ev4's pointwise sigma test misses slow level
+    shifts.
+
+    The textbook statistic is a recursion, S⁺_t = max(0, S⁺_{t-1} +
+    y_t), which no window function expresses directly. But it has an
+    exact closed form: with C_t = Σ_{i≤t} y_i (and C_0 = 0),
+
+        S⁺_t = C_t − min(0, min_{j≤t} C_j)
+        S⁻_t = max(0, max_{j≤t} C_j) − C_t
+
+    so BOTH one-sided statistics are two cumulative windows over the
+    same (event_type, day) ordering — no recursion, no iteration, no
+    driver loop. Deviations are exact integers via the ev4 trick:
+    y_t = n_t·N − S (N=#days, S=Σn per type), so Σy = 0 and every
+    value replays bit-identically in DuckDB. A day is a changepoint
+    when either side's statistic exceeds S·EV5_NUM/EV5_DEN
+    (cross-multiplied — no division anywhere).
+
+    Scale shape: one (day, type) hash agg over the facts; the per-type
+    (N, S) stats broadcast back; then TWO window passes sharing ONE
+    partitioning (Spark plans consecutive WindowExecs over the same
+    partition/order spec behind a single exchange). The windows run on
+    the days×types rollup, partitioned by type — never on fact rows,
+    and never through a single task."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.expr(f"ts div {DAY_NS}").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return cusum_flags(daily, EV5_NUM, EV5_DEN)
+
+
+def cusum_flags(daily: DataFrame, num: int, den: int) -> DataFrame:
+    """The ev5 CUSUM pass over a pre-aggregated (day, event_type, n)
+    frame — split out so the closed form can be unit-tested against
+    the textbook max(0, ·) recursion on engineered series
+    (tests/test_streaming.py)."""
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("n").alias("s")
+    )
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "y", F.col("n") * F.col("n_days") - F.col("s")
+    )
+    d = d.withColumn("c", F.sum("y").over(cum))
+    d = d.withColumn(
+        "s_pos", F.col("c") - F.least(F.lit(0), F.min("c").over(cum))
+    ).withColumn(
+        "s_neg", F.greatest(F.lit(0), F.max("c").over(cum)) - F.col("c")
+    )
+    thresh = F.col("s") * num
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        "s_pos",
+        "s_neg",
+        (
+            (F.col("s_pos") * den > thresh)
+            | (F.col("s_neg") * den > thresh)
+        ).alias("is_change"),
+    )
+
+
+EV5_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ns(ts) // {DAY_NS} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS s
+  FROM daily GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day, d.n, st.n_days, st.s,
+         d.n * st.n_days - st.s AS y
+  FROM daily d JOIN stats st USING (event_type)),
+csum AS (
+  SELECT event_type, day, n, s,
+         sum(y) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM dev),
+cum AS (
+  SELECT event_type, day, n, s, c,
+         min(c) OVER w AS run_min,
+         max(c) OVER w AS run_max
+  FROM csum
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, n,
+       CAST(c - least(0, run_min) AS BIGINT) AS s_pos,
+       CAST(greatest(0, run_max) - c AS BIGINT) AS s_neg,
+       (c - least(0, run_min)) * {EV5_DEN} > s * {EV5_NUM}
+       OR (greatest(0, run_max) - c) * {EV5_DEN} > s * {EV5_NUM}
+       AS is_change
+FROM cum
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
@@ -609,4 +726,6 @@ SPECS = [
               "time-spine gap fill (hourly resample, zero-filled)"),
     QuerySpec("ev4_daily_anomaly", ev4_daily_anomaly, EV4_ORACLE,
               "exact-integer 3-sigma volume anomaly flags (no sqrt)"),
+    QuerySpec("ev5_cusum_changepoint", ev5_cusum_changepoint, EV5_ORACLE,
+              "two-sided CUSUM changepoint flags, window closed form"),
 ]

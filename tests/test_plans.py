@@ -344,9 +344,11 @@ def test_winnowing_pair_join_is_equi_no_cartesian(spark):
 
 
 def test_dsir_lambda_join_is_broadcast(spark):
-    """ts15's λ table and ta10's ilog2 lookups are tiny driver-built
-    frames — they must broadcast, never sort-merge against the
-    corpus-side counts."""
+    """ts15's λ table is a tiny driver-built frame — it must
+    broadcast, never sort-merge against the corpus-side counts. ta10
+    went one better (the ilog2 lookup join was replaced by the
+    engine-side `ilog2_q_expr` expression): its plan must stay
+    join-FREE — a reappearing join would mean the lookup regressed."""
     import re
 
     from omfietser_etl_spark.catalog.textops import (
@@ -354,12 +356,15 @@ def test_dsir_lambda_join_is_broadcast(spark):
         ts15_dsir_select,
     )
 
-    for build in (ts15_dsir_select, ta10_char_entropy):
-        plan = _plan(build(spark, SF_SMOKE))
-        nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
-        assert "BroadcastHashJoin" in nodes, build.__name__
-        assert "CartesianProduct" not in nodes
-        assert "BroadcastNestedLoopJoin" not in nodes
+    plan = _plan(ts15_dsir_select(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "BroadcastHashJoin" in nodes, "ts15_dsir_select"
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+
+    plan = _plan(ta10_char_entropy(spark, SF_SMOKE))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert not any("Join" in n for n in nodes), "ta10 must stay join-free"
 
 
 def test_global_ranks_never_single_partition(spark):

@@ -524,3 +524,33 @@ def test_ev4_anomaly_flags_exact_predicate(spark):
     out3 = {(r.event_type, r.day): r.is_outlier
             for r in anomaly_flags(daily, 3).collect()}
     assert out3[("a", 9)] is False  # z == 3 exactly: strict inequality
+
+
+def test_ev5_cusum_closed_form_equals_recursion(spark):
+    """The window closed form S⁺=C−min(0,min C), S⁻=max(0,max C)−C
+    must equal the textbook recursion S_t = max(0, S_{t-1} ± y_t)
+    computed in plain Python over an engineered level-shift series
+    (flat 10s, then a +5 shift — the slow drift ev4's pointwise test
+    is blind to)."""
+    from omfietser_etl_spark.catalog.streaming import cusum_flags
+
+    ns = [10] * 8 + [15] * 8
+    rows = [(d, "a", n) for d, n in enumerate(ns)]
+    daily = spark.createDataFrame(rows, "day long, event_type string, n long")
+
+    n_days, s = len(ns), sum(ns)
+    sp = sn = 0
+    expect = {}
+    for d, n in enumerate(ns):
+        y = n * n_days - s
+        sp = max(0, sp + y)
+        sn = max(0, sn - y)
+        expect[d] = (sp, sn)
+
+    # threshold = s exactly (num=den=1): the one-day deviation |y|=40
+    # stays under 200, the accumulated drift (320 by each tail) crosses
+    got = {r.day: (r.s_pos, r.s_neg, r.is_change)
+           for r in cusum_flags(daily, 1, 1).collect()}
+    assert {d: (p, q) for d, (p, q, _) in got.items()} == expect
+    # the drift accumulates: late days flag, the first day does not
+    assert got[15][2] is True and got[0][2] is False
