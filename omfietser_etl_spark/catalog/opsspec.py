@@ -202,6 +202,23 @@ def _g4_oracle() -> str:
     return kcore_oracle_sql(_COOC_SUPP2_CTE)
 
 
+def g5_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community labels after 3 synchronous LPA rounds
+    (operators/graph.py::label_propagation) over the support-≥2 part
+    co-occurrence graph — deterministic min-label tie-breaks make the
+    fixed-round result bit-replayable; the struct-argmax keeps each
+    round a single-reference recurrence (linear unrolled plan)."""
+    from omfietser_etl_spark.operators.graph import label_propagation
+
+    return label_propagation(_cooc_edges(spark, sf, min_support=2), "u", "v")
+
+
+def _g5_oracle() -> str:
+    from omfietser_etl_spark.operators.graph import label_propagation_oracle_sql
+
+    return label_propagation_oracle_sql(_COOC_SUPP2_CTE)
+
+
 SPECS = [
     QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
               "mergeable agg state: merge(batches) ≡ direct recompute"),
@@ -215,4 +232,6 @@ SPECS = [
               "Adamic-Adar link prediction, exact ilog2 fixed point"),
     QuerySpec("g4_kcore", g4_kcore, _g4_oracle(),
               "k-core peeling, 5 unrolled synchronous rounds"),
+    QuerySpec("g5_label_propagation", g5_label_propagation, _g5_oracle(),
+              "synchronous LPA community detection, min-label ties"),
 ]

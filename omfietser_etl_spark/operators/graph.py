@@ -405,3 +405,102 @@ def kcore_oracle_sql(
         f"FROM both_ b JOIN {prev} x ON x.node = b.u "
         f"JOIN {prev} y ON y.node = b.v GROUP BY b.v"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    u_col: str,
+    v_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """(node, label) after ``rounds`` SYNCHRONOUS label-propagation
+    updates (Raghavan et al. 2007) over the undirected simple graph
+    from ``edges`` — the near-linear community detector crawl/corpus
+    pipelines run to group documents by link or co-occurrence
+    structure before per-community sampling caps.
+
+    Every node starts labeled with its own id; each round relabels
+    every node with the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — both choices exact integer,
+    so the fixed-round result replays bit-for-bit in the oracle (the
+    g1/g4 contract; classic async LPA with random tie-breaks is
+    deliberately NOT replayable). Synchronous LPA can oscillate on
+    bipartite structure instead of converging — fixed rounds make
+    that a defined, replayed outcome rather than a hang.
+
+    The argmax is ONE aggregate — max of the (count, −label) struct,
+    whose lexicographic order encodes count-desc-then-label-asc — so
+    each round references its predecessor exactly once: the unrolled
+    lazy plan grows linearly in ``rounds`` (kcore's single-reference
+    recurrence note), zero driver actions, and the static doubled-edge
+    shuffle is materialized once by ReuseExchange.
+
+    Scale shape per round: one hash join (labels onto edge sources,
+    both label-frame-sized and edge-frame-sized shuffles on node
+    keys) + one (v, label) hash agg + one v agg. Hub nodes make hot
+    (v, label) keys; the two-level agg (partial map-side combine)
+    absorbs them exactly as in triangle counting.
+    """
+    a, b = F.col(u_col), F.col(v_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = both.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        labels = (
+            both.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation`: the same synchronous
+    updates unrolled as CTE steps; the struct-argmax is replayed as
+    max-count-then-min-label two-step grouping (provably the same
+    choice as the (count, −label) struct max)."""
+    steps = [
+        f"raw AS ({edges_cte})",
+        "und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v"
+        " FROM raw WHERE u <> v)",
+        "both_ AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM both_)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"v{i} AS (SELECT b.v, p.label, count(*) AS c "
+            f"FROM both_ b JOIN {prev} p ON p.node = b.u "
+            f"GROUP BY b.v, p.label)"
+        )
+        steps.append(
+            f"m{i} AS (SELECT v, max(c) AS mc FROM v{i} GROUP BY v)"
+        )
+        steps.append(
+            f"l{i} AS (SELECT t.v AS node, min(t.label) AS label "
+            f"FROM v{i} t JOIN m{i} m ON t.v = m.v AND t.c = m.mc "
+            f"GROUP BY t.v)"
+        )
+        prev = f"l{i}"
+    return (
+        "WITH " + ", ".join(steps)
+        + f" SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(label AS BIGINT) AS label FROM {prev}"
+    )

@@ -146,3 +146,35 @@ def test_kcore_fixed_rounds_semantics(spark):
     out = {r.node: r.deg for r in kcore(chain6, "u", "v", k=2, rounds=2).collect()}
     assert out == {3: 1, 4: 1}
     assert kcore(chain6, "u", "v", k=2, rounds=3).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: every node must take
+    its clique's minimum id as label (the bridge is outvoted 3-to-1
+    on each side), and the two communities must stay separate."""
+    from omfietser_etl_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {r.node: r.label for r in label_propagation(df, "u", "v").collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_tie_breaks_min_label(spark):
+    """A node with an evenly split neighborhood (one neighbor labeled
+    5, one labeled 9, after round 1 both keep those labels as isolated
+    mutual pairs... engineered simpler: path 5—7—9) must take the
+    SMALLEST most-frequent neighbor label: 7 sees {5, 9} at count 1
+    each → label 5."""
+    from omfietser_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(5, 7), (7, 9)], "u long, v long")
+    out = {r.node: r.label
+           for r in label_propagation(df, "u", "v", rounds=1).collect()}
+    assert out[7] == 5
+    # endpoints see only the center: both take 7
+    assert out[5] == 7 and out[9] == 7
