@@ -319,9 +319,16 @@ def a1_status_counters(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("cnt"),
         exact.sum_cents("o_totalprice").alias("total_cents"),
     )
-    return agg.withColumn(
-        "pct_bp",
-        exact.floor_ratio(F.col("cnt"), F.sum("cnt").over(Window.partitionBy())),
+    # share-of-total via a broadcast one-row totals frame, not a
+    # partition-less window: the window shape funnels the group frame
+    # through one task (WindowExec warns exactly this), while the
+    # broadcast keeps every group row where it already lives.
+    totals = agg.agg(F.sum("cnt").alias("_total"))
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "o_orderstatus",
+        "cnt",
+        "total_cents",
+        exact.floor_ratio(F.col("cnt"), F.col("_total")).alias("pct_bp"),
     )
 
 
@@ -406,9 +413,12 @@ def a3_type_distribution(spark: SparkSession, sf: str) -> DataFrame:
     visualize-data.ts:100-118; categorization.ts:150-163)."""
     p = load(spark, sf, "part")
     agg = p.groupBy("p_type").agg(F.count("*").alias("cnt"))
-    return agg.withColumn(
-        "pct_bp",
-        exact.floor_ratio(F.col("cnt"), F.sum("cnt").over(Window.partitionBy())),
+    # broadcast totals, not a partition-less window (see a1).
+    totals = agg.agg(F.sum("cnt").alias("_total"))
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "p_type",
+        "cnt",
+        exact.floor_ratio(F.col("cnt"), F.col("_total")).alias("pct_bp"),
     )
 
 

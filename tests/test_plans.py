@@ -487,21 +487,122 @@ def test_cluster_assignment_has_no_window_exchange(spark):
         assert "SortMergeJoin" not in nodes
 
 
+def _plan_blocks(plan: str) -> dict[int, tuple[str, str]]:
+    """Parse a formatted explain into {node_id: (node_name, detail_body)}.
+
+    Node ids are post-order (leaf = 1), so a single-child node N has
+    its child at N-1 — which is exactly what the SinglePartition
+    audit needs (an Exchange always has one child)."""
+    import re
+
+    detail = plan.split("== Physical Plan ==")[-1]
+    parts = re.split(r"\n\((\d+)\) ", "\n" + detail)
+    blocks: dict[int, tuple[str, str]] = {}
+    for i in range(1, len(parts) - 1, 2):
+        body = parts[i + 1]
+        name = body.split("\n", 1)[0].split("[", 1)[0].strip()
+        blocks[int(parts[i])] = (name, body)
+    return blocks
+
+
+def _single_partition_offenders(plan: str) -> list[str]:
+    """Full-data single-partition exchanges in a formatted plan.
+
+    Spark 4.1 prints the shape as a bare `Exchange` node with
+    `Arguments: SinglePartition, ...` (the literal string
+    `Exchange SinglePartition` that older audits grepped for never
+    appears — which made a count()-based assertion vacuous). Parse
+    the node blocks instead and flag every SinglePartition exchange
+    whose child is NOT one of the two bounded-input shapes:
+
+    - a partial global aggregate (HashAggregate / SortAggregate /
+      ObjectHashAggregate computing `partial_*` with no keys) — the
+      exchange carries one row per upstream partition, never data;
+    - a LocalLimit — the exchange carries ≤ limit rows per partition.
+
+    Anything else (a Window / Sort / Project / scan feeding a
+    SinglePartition exchange) funnels the full dataset through one
+    task — the wall no cluster size fixes."""
+    offenders = []
+    blocks = _plan_blocks(plan)
+    for nid, (name, body) in blocks.items():
+        if name not in ("Exchange", "ShuffleExchange"):
+            continue
+        if "SinglePartition" not in body:
+            continue
+        cname, cbody = blocks.get(nid - 1, ("?", ""))
+        agg_partial = (
+            cname in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+            and "partial_" in cbody
+            and ("Keys: []" in cbody or "Keys []" in cbody)
+        )
+        if not (agg_partial or cname == "LocalLimit"):
+            offenders.append(f"Exchange({nid})<-{cname}({nid - 1})")
+    return offenders
+
+
+def _is_group_frame_funnel(plan: str, offender: str) -> bool:
+    """True when the flagged SinglePartition exchange demonstrably
+    funnels a GROUP-COUNT frame, not the corpus: walking down from
+    the exchange through narrow one-child nodes (Project / Filter /
+    Sort / Window) must reach a KEYED final aggregate — the exchange
+    then carries one row per group key. Whether that is bounded is a
+    per-call-site domain fact (statuses, languages, shards — not doc
+    ids), which is why funnels are additionally allowlisted by query
+    name rather than passed wholesale."""
+    import re
+
+    m = re.match(r"Exchange\((\d+)\)", offender)
+    if not m:
+        return False
+    blocks = _plan_blocks(plan)
+    nid = int(m.group(1)) - 1
+    narrow = {"Project", "Filter", "Sort", "Window", "WindowGroupLimit"}
+    while nid in blocks:
+        name, body = blocks[nid]
+        if name in ("HashAggregate", "SortAggregate", "ObjectHashAggregate"):
+            return "partial_" not in body and "Keys: []" not in body
+        if name not in narrow:
+            return False
+        nid -= 1
+    return False
+
+
+#: Queries allowed to keep a single-partition exchange because the
+#: frame through it is a per-GROUP aggregate over a bounded key
+#: domain (shards / languages — model-sized, never corpus-sized):
+#: the UNIMAX / temperature water-filling closed forms are ordered
+#: prefix-sum recurrences over the k-row group-count frame, where a
+#: k-row global window IS the algorithm (textops/sampling.py:379,453).
+#: Every entry must still pass the mechanical group-frame shape check.
+_GROUP_FRAME_FUNNEL_OK = {
+    "ts8_temperature_rebalance",
+    "ts10_unimax_budget",
+    "ts11_unimax_realized",
+    "ts12_token_unimax_realized",
+}
+
+
 def test_catalog_wide_no_single_partition_or_cartesian(spark):
     """Catalog-wide plan hygiene, zero exceptions: no query in the
-    entire catalog may plan an `Exchange SinglePartition` (the
-    one-task wall no cluster size fixes — the shape the round-6
+    entire catalog may plan a full-data single-partition exchange
+    (the one-task wall no cluster size fixes — the shape the round-6
     distributed-rank work eliminated) or a `CartesianProduct`
-    (unbounded all-pairs). Broadcast nested-loop joins over bounded
-    literals/codebooks are fine and not flagged; this pins the two
-    shapes that are never acceptable at corpus scale."""
+    (unbounded all-pairs). Benign SinglePartition exchanges — the
+    one-row-per-partition shuffle under a global aggregate, or a
+    LocalLimit child — are allowed (see _single_partition_offenders);
+    broadcast nested-loop joins over bounded literals/codebooks are
+    fine and not flagged. This pins the shapes that are never
+    acceptable at corpus scale."""
     from omfietser_etl_spark.catalog import all_specs
 
     offenders = {}
     for s in all_specs():
         plan = _plan(s.build(spark, SF_SMOKE))
-        n_sp = plan.count("Exchange SinglePartition")
+        sp = _single_partition_offenders(plan)
+        if s.name in _GROUP_FRAME_FUNNEL_OK:
+            sp = [o for o in sp if not _is_group_frame_funnel(plan, o)]
         n_cp = plan.count("CartesianProduct")
-        if n_sp or n_cp:
-            offenders[s.name] = (n_sp, n_cp)
+        if sp or n_cp:
+            offenders[s.name] = (sp, n_cp)
     assert not offenders, offenders
