@@ -1754,6 +1754,46 @@ JOIN sums s ON s.doc = pd.doc
 """
 
 
+def ta11_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level Zipf's-law slope: exact-integer least-squares fit
+    of ilog2_q(freq) on ilog2_q(rank) over the top-256 terms
+    (textops/analysis.py::zipf_slope) — slope_num/slope_den ≈ −1 for
+    natural text; the oracle replays the whole fit bit-for-bit
+    (ranks/freqs through the same square-and-compare log at q=14)."""
+    from omfietser_etl_spark.textops.analysis import zipf_slope
+
+    return zipf_slope(load(spark, sf, "documents"), "text")
+
+
+def _ta11_oracle() -> str:
+    from omfietser_etl_spark.textops.analysis import ZIPF_Q, ZIPF_TOP_V
+    from omfietser_etl_spark.textops.selection import DSIR_F
+
+    return f"""
+WITH d AS (SELECT {DK_TOKENS.format(c="text")} AS t FROM documents),
+tok AS (SELECT unnest(t) AS term FROM d),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+top AS (SELECT term, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rk
+        FROM cnt ORDER BY freq DESC, term LIMIT {ZIPF_TOP_V}),
+vals AS (SELECT DISTINCT rk AS x FROM top UNION SELECT DISTINCT freq FROM top),
+{dk_ilog2_chain('vals', ZIPF_Q, DSIR_F)},
+pts AS (SELECT ir.il AS x, iy.il AS y FROM top
+        JOIN il ir ON ir.x = top.rk
+        JOIN il iy ON iy.x = top.freq),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts)
+SELECT n_terms, sum_x, sum_y,
+       CAST(n_terms * sxy - sum_x * sum_y AS BIGINT) AS slope_num,
+       CAST(n_terms * sxx - sum_x * sum_x AS BIGINT) AS slope_den
+FROM s
+"""
+
+
 def ta5_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate / top 2-gram
     fractions per doc, exact integers end to end."""
@@ -2426,6 +2466,8 @@ SPECS = [
               "Gopher document-level quality rule battery"),
     QuerySpec("ta10_char_entropy", ta10_char_entropy, _ta10_oracle(),
               "character-entropy degeneracy signal (exact integer log2)"),
+    QuerySpec("ta11_zipf_slope", ta11_zipf_slope, _ta11_oracle(),
+              "corpus Zipf slope: exact-integer log-log fit over top terms"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
     QuerySpec("ts18_perplexity_buckets", ts18_perplexity_buckets, TS18_ORACLE,

@@ -337,3 +337,76 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         (F.col("n_chars") * F.expr(ilog2_q_expr("n_chars")) - F.col("sum_c_il"))
         .cast("long").alias("ent_q"),
     )
+
+
+#: top-V vocabulary slice the Zipf slope is fitted over — fixed so
+#: the fit is comparable across corpora (and so the frame the rank
+#: window sees is bounded by construction).
+ZIPF_TOP_V = 256
+
+#: fixed-point fraction bits for the Zipf log-log regression. 14 (not
+#: DSIR's 20) keeps the normal-equation products in BIGINT range in
+#: the worst case: x = ilog2_q(rank) ≤ 8·2^14 < 2^18, y = ilog2_q(freq)
+#: ≤ 63·2^14 < 2^20, so V·Σxy < 2^8·2^8·2^38 = 2^54 and
+#: Σx·Σy < 2^26·2^28 = 2^54 — no overflow even at a 2^63-token corpus
+#: (DSIR_Q=20 would overflow Σx·Σy past freq ≈ 2^40).
+ZIPF_Q = 14
+
+
+def zipf_slope(df, text_col: str = "text", top_v: int = ZIPF_TOP_V):
+    """Zipf's-law slope of the corpus: least-squares fit of
+    log2(freq) against log2(rank) over the ``top_v`` most frequent
+    terms — natural language sits near −1; template/boilerplate
+    corpora flatten toward 0 and degenerate ones fall off a cliff.
+    The classic one-number corpus-health diagnostic to run next to
+    the per-doc screens (Gopher rules, entropy, fluency).
+
+    Exactness: both logs are the integer square-and-compare
+    ``ilog2_q`` at q=:data:`ZIPF_Q` (see the overflow note there), so
+    the normal-equation sums — and therefore ``slope_num`` /
+    ``slope_den``, whose ratio IS the slope in cancelled 2^-q units —
+    are exact BIGINTs the DuckDB oracle replays bit-for-bit. No float
+    logs, no float division anywhere.
+
+    Scale shape: one token explode + hash-agg shuffle builds the term
+    histogram (map-side combine; vocabulary-sized, not corpus-sized);
+    the top-V is a TakeOrderedAndProject (never a global sort), and
+    the rank window runs AFTER the limit, on a ≤``top_v``-row frame
+    that is already one partition — no exchange, one bounded task.
+    The closing normal-equation aggregate is a global agg over ≤top_v
+    rows (partial rows only through its exchange).
+
+    Returns ONE row: (n_terms, sum_x, sum_y, slope_num, slope_den)
+    with slope ≈ slope_num/slope_den (≈ −1 for healthy text).
+    """
+    from pyspark.sql import Window
+
+    from .selection import ilog2_q_expr
+
+    terms = df.select(F.explode(tokens(text_col)).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    order = [F.col("freq").desc(), F.col("term")]
+    top = counts.orderBy(*order).limit(top_v)
+    pts = (
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
+        .select(
+            F.expr(ilog2_q_expr("rk", ZIPF_Q)).alias("x"),
+            F.expr(ilog2_q_expr("freq", ZIPF_Q)).alias("y"),
+        )
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+    )
+    return sums.select(
+        "n_terms",
+        "sum_x",
+        "sum_y",
+        (F.col("n_terms") * F.col("_sxy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("long").alias("slope_num"),
+        (F.col("n_terms") * F.col("_sxx") - F.col("sum_x") * F.col("sum_x"))
+        .cast("long").alias("slope_den"),
+    )

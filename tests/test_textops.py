@@ -492,3 +492,57 @@ def test_minhash_estimate_agreement_bounds(spark):
     assert out[(1, 2)] == N_HASHES            # identical: all hashes agree
     assert all(a >= ROWS for a in out.values())  # banded candidates share a band
     assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_zipf_slope_matches_python_fit(spark):
+    """zipf_slope's exact-integer normal equations equal a plain
+    Python replay (same ilog2_q) on an engineered corpus whose term
+    frequencies follow a known power law — and the fitted ratio lands
+    near the slope the frequencies were generated with."""
+    from omfietser_etl_spark.textops.analysis import ZIPF_Q, zipf_slope
+    from omfietser_etl_spark.textops.selection import ilog2_q
+
+    # freq(term_r) = floor(4096 / r): slope -1 by construction.
+    words = []
+    for r in range(1, 41):
+        words.extend([f"w{r:03d}"] * (4096 // r))
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::7])) for i in range(7)], ["doc_id", "text"]
+    )
+    row = zipf_slope(docs, "text", top_v=40).collect()[0]
+    assert row.n_terms == 40
+
+    # independent Python replay of the fit
+    from collections import Counter
+
+    c = Counter(words)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    xs = [ilog2_q(r, ZIPF_Q) for r in range(1, 41)]
+    ys = [ilog2_q(f, ZIPF_Q) for _, f in top]
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert (row.slope_num, row.slope_den) == (num, den)
+    assert (row.sum_x, row.sum_y) == (sum(xs), sum(ys))
+    # the fitted slope is the generating -1 (floor() bends the tail a hair)
+    assert -1.1 < num / den < -0.9
+
+
+def test_zipf_slope_plan_is_bounded(spark):
+    """The rank window must run on the post-limit ≤top_v-row frame
+    (TakeOrderedAndProject feeding Window with NO exchange between
+    them) — never a global sort or a full-vocabulary window."""
+    import re
+
+    from omfietser_etl_spark.textops.analysis import zipf_slope
+    from tests.test_plans import _plan, _single_partition_offenders
+
+    docs = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    plan = _plan(zipf_slope(docs, "text"))
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "TakeOrderedAndProject" in nodes
+    i_top = nodes.index("TakeOrderedAndProject")
+    i_win = nodes.index("Window")
+    assert "Exchange" not in nodes[i_top + 1 : i_win + 1] and i_win > i_top
+    assert not _single_partition_offenders(plan)
+    assert "Sort" not in nodes  # top-V never globally sorts
