@@ -1794,6 +1794,44 @@ FROM s
 """
 
 
+def ta12_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distribution-drift monitor: exact-integer two-sample
+    KS distance (source vs rest of corpus) over document length
+    (textops/analysis.py::ks_drift) — cross products staged
+    DECIMAL(38,0) so the statistic survives 10^12-doc corpora; the
+    oracle replays grid, cumulatives and tie-break bit-for-bit."""
+    from omfietser_etl_spark.textops.analysis import ks_drift
+
+    return ks_drift(load(spark, sf, "documents"), "source", "n_chars")
+
+
+TA12_ORACLE = """
+WITH vals AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY g, v),
+grid AS (SELECT g, v FROM (SELECT DISTINCT v FROM counts)
+         CROSS JOIN (SELECT DISTINCT g FROM counts)),
+filled AS (SELECT grid.g, grid.v, COALESCE(counts.c, 0) AS c
+           FROM grid LEFT JOIN counts USING (g, v)),
+cum AS (SELECT g, v, CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM filled),
+tot AS (SELECT v, CAST(SUM(cum) AS BIGINT) AS cum_all FROM cum GROUP BY v),
+ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY g),
+na AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_all FROM ng),
+d AS (SELECT cum.g, cum.v, ng.n_g, na.n_all - ng.n_g AS n_rest,
+             abs(CAST(na.n_all - ng.n_g AS HUGEINT) * cum.cum
+                 - CAST(ng.n_g AS HUGEINT) * (tot.cum_all - cum.cum)) AS dd
+      FROM cum JOIN tot USING (v) JOIN ng USING (g) CROSS JOIN na),
+m AS (SELECT g, n_g, n_rest, max(dd) AS dmax FROM d GROUP BY g, n_g, n_rest)
+SELECT m.g AS source, m.n_g, m.n_rest,
+       min(d.v) AS v_at_max,
+       CAST((10000 * m.dmax) // (CAST(m.n_g AS HUGEINT) * m.n_rest) AS BIGINT)
+         AS ks_bp
+FROM m JOIN d ON d.g = m.g AND d.dd = m.dmax
+GROUP BY m.g, m.n_g, m.n_rest, m.dmax
+"""
+
+
 def ta5_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate / top 2-gram
     fractions per doc, exact integers end to end."""
@@ -2468,6 +2506,8 @@ SPECS = [
               "character-entropy degeneracy signal (exact integer log2)"),
     QuerySpec("ta11_zipf_slope", ta11_zipf_slope, _ta11_oracle(),
               "corpus Zipf slope: exact-integer log-log fit over top terms"),
+    QuerySpec("ta12_ks_drift", ta12_ks_drift, TA12_ORACLE,
+              "per-source KS drift over doc length (exact integers)"),
     QuerySpec("ta6_strip_markup", ta6_strip_markup, _ta6_oracle(),
               "HTML/markup boilerplate stripping"),
     QuerySpec("ts18_perplexity_buckets", ts18_perplexity_buckets, TS18_ORACLE,

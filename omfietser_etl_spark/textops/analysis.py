@@ -410,3 +410,77 @@ def zipf_slope(df, text_col: str = "text", top_v: int = ZIPF_TOP_V):
         (F.col("n_terms") * F.col("_sxx") - F.col("sum_x") * F.col("sum_x"))
         .cast("long").alias("slope_den"),
     )
+
+
+def ks_drift(df, group_col: str = "source", value_col: str = "n_chars"):
+    """Two-sample Kolmogorov–Smirnov drift screen, one row per group:
+    the KS distance between the group's ``value_col`` distribution
+    and the REST of the corpus — the standard one-number monitor for
+    "did this source/snapshot start shipping different-shaped
+    documents" (run it on length, token count, quality score...).
+
+    Exactness: D = max_x |F_a(x) − F_b(x)| evaluates only at jump
+    points, so on integer values it is max over the merged value grid
+    of |n_b·cumA − n_a·cumB| / (n_a·n_b) — all integers. The cross
+    products reach N² (past BIGINT around 3·10^9 rows), so they are
+    staged as DECIMAL(38,0) — exact to N ≈ 10^19 — and only the final
+    basis-point ratio comes back to BIGINT.
+
+    Scale shape: one (group, value) hash agg over the corpus, then
+    everything runs on the bounded grid |groups| × |distinct values|
+    (the ta10 argument: value domains like lengths are bounded, not
+    corpus-sized). Per-group cumulatives are group-PARTITIONED
+    windows; the all-corpus cumulative is the SUM of the per-group
+    cumulatives at each grid point (a keyed agg) — never a
+    partition-less window; group totals ride broadcasts.
+
+    Returns (group, n_g, n_rest, v_at_max, ks_bp): ks_bp =
+    floor(10000·D); v_at_max = the smallest value where D is attained
+    (deterministic tie-break both engines replay).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    )
+    counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        counts.select("v").distinct()
+        .crossJoin(F.broadcast(counts.select("g").distinct()))
+    )
+    filled = grid.join(counts, ["g", "v"], "left").select(
+        "g", "v", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = filled.withColumn("cum", F.sum("c").over(w))
+    tot = cum.groupBy("v").agg(F.sum("cum").cast("long").alias("cum_all"))
+    n_g = counts.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    n_all = n_g.agg(F.sum("n_g").cast("long").alias("n_all"))
+    d = (
+        cum.join(tot, "v")
+        .join(F.broadcast(n_g), "g")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_g"))
+        .withColumn(
+            "_d",
+            F.abs(
+                F.col("n_rest").cast(dec) * F.col("cum")
+                - F.col("n_g").cast(dec) * (F.col("cum_all") - F.col("cum"))
+            ),
+        )
+    )
+    best = d.groupBy("g", "n_g", "n_rest").agg(
+        F.max(F.struct(F.col("_d").alias("d"), (-F.col("v")).alias("nv"))).alias("_m")
+    )
+    return best.select(
+        F.col("g").alias(group_col),
+        "n_g",
+        "n_rest",
+        (-F.col("_m.nv")).cast("long").alias("v_at_max"),
+        F.expr(f"CAST((CAST(10000 AS {dec}) * _m.d) div "
+               f"(CAST(n_g AS {dec}) * n_rest) AS BIGINT)").alias("ks_bp"),
+    )

@@ -546,3 +546,42 @@ def test_zipf_slope_plan_is_bounded(spark):
     assert "Exchange" not in nodes[i_top + 1 : i_win + 1] and i_win > i_top
     assert not _single_partition_offenders(plan)
     assert "Sort" not in nodes  # top-V never globally sorts
+
+
+def test_ks_drift_matches_python_and_ties(spark):
+    """ks_drift equals a plain-Python two-sample KS replay on an
+    engineered two-group corpus, including the smallest-value-at-max
+    tie-break, and its plan has no full-data single-partition funnel."""
+    from omfietser_etl_spark.textops.analysis import ks_drift
+    from tests.test_plans import _plan, _single_partition_offenders
+
+    # group A: lengths 1..8 uniform; group B: 5..12 uniform — the KS
+    # max gap is attained on a plateau (ties for several v).
+    rows = [("A", v) for v in range(1, 9) for _ in range(3)] + [
+        ("B", v) for v in range(5, 13) for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r.source: r for r in ks_drift(df, "source", "n_chars").collect()}
+
+    def py_ks(a, b):
+        grid = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        best, v_at = -1, None
+        for v in grid:
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            d = abs(nb * ca - na * cb)
+            if d > best:
+                best, v_at = d, v
+        return best, v_at, na, nb
+
+    a = [v for g, v in rows if g == "A"]
+    b = [v for g, v in rows if g == "B"]
+    best, v_at, na, nb = py_ks(a, b)
+    assert out["A"].n_g == na and out["A"].n_rest == nb
+    assert out["A"].v_at_max == v_at
+    assert out["A"].ks_bp == (10000 * best) // (na * nb)
+    # symmetric statistic: B vs rest(=A) gives the same distance
+    assert out["B"].ks_bp == out["A"].ks_bp
+
+    assert not _single_partition_offenders(_plan(ks_drift(df)))
