@@ -219,6 +219,36 @@ def _g5_oracle() -> str:
     return label_propagation_oracle_sql(_COOC_SUPP2_CTE)
 
 
+def g6_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer HITS hubs/authorities (operators/graph.py::hits)
+    over the customer→supplier purchase graph (same disambiguated
+    edge set as g1): customers score as hubs, suppliers as
+    authorities. Three synchronous rounds, L1-renormalized to a fixed
+    integer mass each half-round; one lazy plan, zero driver actions;
+    the oracle unrolls the rounds in HUGEINT."""
+    from omfietser_etl_spark.operators.graph import hits
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return hits(edges, "src", "dst")
+
+
+def _g6_oracle() -> str:
+    from omfietser_etl_spark.operators.graph import hits_oracle_sql
+
+    edges_cte = (
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+    return hits_oracle_sql(edges_cte)
+
+
 SPECS = [
     QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
               "mergeable agg state: merge(batches) ≡ direct recompute"),
@@ -234,4 +264,6 @@ SPECS = [
               "k-core peeling, 5 unrolled synchronous rounds"),
     QuerySpec("g5_label_propagation", g5_label_propagation, _g5_oracle(),
               "synchronous LPA community detection, min-label ties"),
+    QuerySpec("g6_hits", g6_hits, _g6_oracle(),
+              "HITS hubs/authorities, exact-integer L1-normalized rounds"),
 ]

@@ -178,3 +178,43 @@ def test_label_propagation_tie_breaks_min_label(spark):
     assert out[7] == 5
     # endpoints see only the center: both take 7
     assert out[5] == 7 and out[9] == 7
+
+
+def test_hits_exact_semantics(spark):
+    """Exact Python replay of the integer HITS rounds on a small
+    bipartite graph, plus the structural invariants: the hub pointing
+    at more/better authorities scores higher, pure sinks have hub 0,
+    pure sources auth 0, and each score vector L1-sums to ≤ mass
+    (truncating div loses < n units)."""
+    from omfietser_etl_spark.operators.graph import HITS_MASS, hits
+
+    # hubs 1,2 -> authorities 10,11; 1 points at both, 2 only at 10,
+    # so 10 out-scores 11 and 1 out-scores 2 (a symmetric edge set
+    # would tie both sides exactly — mass/2 each).
+    e = [(1, 10), (1, 11), (2, 10)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    out = {r.node: (r.hub_q, r.auth_q) for r in hits(edges, "src", "dst").collect()}
+
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    h = {n: 1_000_000 for n in nodes}
+    a = {}
+    for _ in range(3):
+        raw = {}
+        for u, v in e:
+            raw[v] = raw.get(v, 0) + h[u]
+        tot = max(sum(raw.values()), 1)
+        a = {n: (raw.get(n, 0) * HITS_MASS) // tot for n in nodes}
+        raw = {}
+        for u, v in e:
+            raw[u] = raw.get(u, 0) + a[v]
+        tot = max(sum(raw.values()), 1)
+        h = {n: (raw.get(n, 0) * HITS_MASS) // tot for n in nodes}
+    assert out == {n: (h[n], a[n]) for n in nodes}
+
+    assert out[10][0] == 0 and out[11][0] == 0      # sinks: hub 0
+    assert out[1][1] == 0 and out[2][1] == 0        # sources: auth 0
+    assert out[1][0] > out[2][0] > 0                # 1 is the best hub
+    assert out[10][1] > out[11][1] > 0              # 10 the top authority
+    for idx in (0, 1):
+        s = sum(v[idx] for v in out.values())
+        assert HITS_MASS - len(nodes) < s <= HITS_MASS
