@@ -553,14 +553,24 @@ def hits(
     from omfietser_etl_spark import cacheutil
 
     cacheutil.release("hits")
-    # Call-time conf (the session.load() precedent): without it AQE
-    # skips re-planning cached/checkpointed materializations, so every
-    # half-round job runs at the static shuffle.partitions width —
-    # measured 38.8 s -> 12.6 s at gate scale under the vanilla
-    # driver session (200-task stages of near-empty partitions).
-    edges.sparkSession.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-    )
+    # Let AQE re-plan the cached/checkpointed materializations for
+    # the DURATION OF THE LOOP (38.8 s -> ~7 s at gate scale under
+    # the vanilla 200-partition driver session: near-empty task
+    # scheduling dominates otherwise), then restore: the conf is
+    # session-global, and leaking it would let AQE disturb
+    # deliberately pre-partitioned cached frames in LATER queries
+    # (the CC loop's exchange-free edges join depends on its cached
+    # hashpartitioning surviving). MUST be set before e/nodes
+    # persist below — a cached plan's output partitioning is fixed
+    # when the plan is first registered with the cache manager, not
+    # when it materializes.
+    conf_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    spark = edges.sparkSession
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:  # noqa: BLE001 — unset and no default
+        prev = None
+    spark.conf.set(conf_key, "true")
     dec = "decimal(38,0)"
     # e and nodes feed every one of the 2K half-round actions (the
     # literal-total collects defeat single-plan ReuseExchange), so
@@ -607,19 +617,25 @@ def hits(
 
     h = nodes.withColumn("h", F.lit(1_000_000).cast("long"))
     a = None
-    for _ in range(iters):
-        a_raw = (
-            e.join(h.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("h").cast(dec)).alias("raw"))
-        )
-        a = _norm(a_raw, "a")
-        h_raw = (
-            e.join(a.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum(F.col("a").cast(dec)).alias("raw"))
-        )
-        h = _norm(h_raw, "h")
+    try:
+        for _ in range(iters):
+            a_raw = (
+                e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("h").cast(dec)).alias("raw"))
+            )
+            a = _norm(a_raw, "a")
+            h_raw = (
+                e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum(F.col("a").cast(dec)).alias("raw"))
+            )
+            h = _norm(h_raw, "h")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return h.join(a, "node").select(
         "node",
         F.col("h").alias("hub_q"),
