@@ -704,6 +704,63 @@ FROM cum
 """
 
 
+def ev6_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and conditional probability (basis points) of
+    each event_type → next-event_type step — the behavioral-modeling
+    rollup next to ev1's fixed funnel (every funnel is a path through
+    this matrix).
+
+    Exactness: p_bp = (10000·cnt) div Σcnt per from-type — pure
+    BIGINT (10000·cnt fits to 9·10^14 transitions per pair). Event
+    ordering uses epoch-µs + event_id (the st7/j8 convention: Spark
+    reads the parquet timestamps as raw nanos, DuckDB at µs — the
+    µs+id key orders identically in both engines).
+
+    Scale shape: ONE user-partitioned window shuffle builds the
+    successor column (inevitable for sequence analytics — sessions
+    must be co-located); the (from, to) count matrix is a tiny keyed
+    agg with map-side combine, and the per-from totals broadcast
+    back. Nothing corpus-sized moves twice.
+    """
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("tus"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("from_type").agg(F.sum("cnt").alias("_tot"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.expr("CAST((10000 * cnt) div _tot AS BIGINT)").alias("p_bp"),
+    )
+
+
+EV6_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.cnt,
+       CAST((10000 * c.cnt) // t.tot AS BIGINT) AS p_bp
+FROM c JOIN t USING (from_type)
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
@@ -728,4 +785,6 @@ SPECS = [
               "exact-integer 3-sigma volume anomaly flags (no sqrt)"),
     QuerySpec("ev5_cusum_changepoint", ev5_cusum_changepoint, EV5_ORACLE,
               "two-sided CUSUM changepoint flags, window closed form"),
+    QuerySpec("ev6_transition_matrix", ev6_transition_matrix, EV6_ORACLE,
+              "Markov event-type transition matrix (exact bp probabilities)"),
 ]
