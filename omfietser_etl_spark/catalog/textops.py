@@ -1499,6 +1499,28 @@ FROM top JOIN est ON top.term = est.term
 """
 
 
+def ca2_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed cross-source shingle-containment matrix
+    (textops/analysis.py::source_overlap): data-card redundancy
+    diagnostic — |A∩B| / |A| in basis points per ordered source pair;
+    the self-join fan-out per shingle is bounded by |sources|."""
+    from omfietser_etl_spark.textops.analysis import source_overlap
+
+    return source_overlap(load(spark, sf, "documents"), "source", "text")
+
+
+CA2_ORACLE = f"""
+WITH d AS (SELECT source AS g, {DK_TOKENS.format(c="text")} AS t FROM documents),
+ss AS (SELECT DISTINCT g, unnest({dk_shingles('t')}) AS s FROM d),
+tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM ss GROUP BY g),
+i AS (SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM ss a JOIN ss b USING (s) WHERE a.g <> b.g GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_common, t.n_sh AS n_sh_a,
+       CAST((10000 * i.n_common) // t.n_sh AS BIGINT) AS containment_bp
+FROM i JOIN tot t ON t.g = i.src_a
+"""
+
+
 def ca1_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source data card: the release-notes summary a corpus ships
     with — volume, token mass, exact-dup rate, language mix.
@@ -2496,6 +2518,8 @@ SPECS = [
               "hybrid retrieval: reciprocal-rank fusion of BM25 + dense lists"),
     QuerySpec("tv8_mmr_diversify", tv8_mmr_diversify, _tv8_oracle(),
               "greedy MMR diversity rerank of the dense shortlist"),
+    QuerySpec("ca2_source_overlap", ca2_source_overlap, CA2_ORACLE,
+              "cross-source shingle containment matrix (data card)"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

@@ -484,3 +484,51 @@ def ks_drift(df, group_col: str = "source", value_col: str = "n_chars"):
         F.expr(f"CAST((CAST(10000 AS {dec}) * _m.d) div "
                f"(CAST(n_g AS {dec}) * n_rest) AS BIGINT)").alias("ks_bp"),
     )
+
+
+def source_overlap(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    hash_keys: bool = False,
+):
+    """Directed cross-source containment matrix — the data-card
+    companion to per-doc dedup: for every ordered source pair (A, B)
+    that shares at least one shingle, how much of A's distinct
+    shingle set also appears in B (basis points). The standard
+    corpus-composition diagnostic before mixing sources (a high
+    containment_bp means source A is largely redundant given B).
+
+    Exactness: set sizes and intersections are exact counts over
+    DISTINCT (source, shingle) rows; containment_bp =
+    (10000·|A∩B|) div |A| in pure BIGINT.
+
+    Scale shape: one distinct (source, shingle) agg over the corpus,
+    then a shingle-keyed self-join whose per-key fan-out is bounded
+    by the number of SOURCES (not documents) — output ≤ |S|² rows.
+    ``hash_keys=True`` is the 100 TB path (8-byte xxhash64 shingle
+    keys through the shuffle, the td2h discipline); gate builds keep
+    raw strings so DuckDB replays bit-for-bit.
+    """
+    toks = df.select(F.col(group_col).alias("g"), tokens(text_col).alias("t"))
+    ss = toks.select("g", F.explode(shingles("t")).alias("s"))
+    if hash_keys:
+        ss = ss.select("g", F.xxhash64("s").alias("s"))
+    ss = ss.distinct()
+    tot = ss.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.g") != F.col("b.g"))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return inter.join(
+        F.broadcast(tot.withColumnRenamed("g", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "n_common",
+        F.col("n_sh").alias("n_sh_a"),
+        F.expr("CAST((10000 * n_common) div n_sh AS BIGINT)").alias("containment_bp"),
+    )

@@ -585,3 +585,39 @@ def test_ks_drift_matches_python_and_ties(spark):
     assert out["B"].ks_bp == out["A"].ks_bp
 
     assert not _single_partition_offenders(_plan(ks_drift(df)))
+
+
+def test_source_overlap_containment_semantics(spark):
+    """Directed containment on an engineered corpus: B contains all
+    of A's shingles (A⊂B → containment(A→B) = 10000), the reverse is
+    partial, a disjoint source emits no rows, and the hashed-key path
+    returns identical numbers (no 64-bit collisions at this size)."""
+    from omfietser_etl_spark.textops.analysis import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "one two three four five six"),
+            ("B", "one two three four five six seven eight nine ten"),
+            ("C", "alpha beta gamma delta epsilon zeta eta"),
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap(docs, "source", "text").collect()
+    }
+    # A's shingle set is a subset of B's
+    assert out[("A", "B")].containment_bp == 10000
+    ab = out[("A", "B")]
+    ba = out[("B", "A")]
+    assert ab.n_common == ba.n_common == ab.n_sh_a  # |A∩B| = |A|
+    assert ba.containment_bp == (10000 * ba.n_common) // ba.n_sh_a < 10000
+    assert not any("C" in k for k in out)  # disjoint source: no rows
+
+    hashed = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap(docs, "source", "text", hash_keys=True).collect()
+    }
+    assert {k: (v.n_common, v.n_sh_a, v.containment_bp) for k, v in out.items()} == {
+        k: (v.n_common, v.n_sh_a, v.containment_bp) for k, v in hashed.items()
+    }
