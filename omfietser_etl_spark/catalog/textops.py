@@ -1499,6 +1499,35 @@ FROM top JOIN est ON top.term = est.term
 """
 
 
+def td24_allpairs_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse TF-vector cosine similarity join with LOSSLESS Bayardo
+    prefix filtering (textops/similarity.py::allpairs_tf_cosine,
+    τ = 9/10): the oracle is the BRUTE-FORCE all-pairs join, so the
+    gate proves on real data that the filter drops no pair — while
+    the engine never materializes the full posting self-join."""
+    from omfietser_etl_spark.textops.similarity import allpairs_tf_cosine
+
+    return allpairs_tf_cosine(load(spark, sf, "documents"), "doc_id", "text")
+
+
+TD24_ORACLE = f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+tf AS (SELECT doc, term AS f, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc, unnest(t) AS term FROM d) GROUP BY 1, 2),
+n AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM tf GROUP BY doc),
+dots AS (SELECT a.doc AS doc_lo, b.doc AS doc_hi,
+                CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         FROM tf a JOIN tf b USING (f) WHERE a.doc < b.doc GROUP BY 1, 2)
+SELECT doc_lo, doc_hi, dot, na.nsq AS norm_lo_sq, nb.nsq AS norm_hi_sq,
+       CAST((100000000 * CAST(dot AS HUGEINT) * dot)
+            // (CAST(na.nsq AS HUGEINT) * nb.nsq) AS BIGINT) AS cos2_bp
+FROM dots
+JOIN n na ON na.doc = dots.doc_lo
+JOIN n nb ON nb.doc = dots.doc_hi
+WHERE 100 * CAST(dot AS HUGEINT) * dot >= 81 * CAST(na.nsq AS HUGEINT) * nb.nsq
+"""
+
+
 def ca2_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Directed cross-source shingle-containment matrix
     (textops/analysis.py::source_overlap): data-card redundancy
@@ -2520,6 +2549,8 @@ SPECS = [
               "greedy MMR diversity rerank of the dense shortlist"),
     QuerySpec("ca2_source_overlap", ca2_source_overlap, CA2_ORACLE,
               "cross-source shingle containment matrix (data card)"),
+    QuerySpec("td24_allpairs_cosine", td24_allpairs_cosine, TD24_ORACLE,
+              "sparse cosine similarity join, lossless prefix filter"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

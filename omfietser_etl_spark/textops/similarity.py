@@ -665,3 +665,118 @@ def mmr_diversify(
     # Spark's HALF_UP round == DuckDB's round-away-from-zero; Python's
     # round() is banker's — so rounding happens HERE, not in the loop.
     return out.select("step", "nid", F.round("mmr", 6).alias("mmr"))
+
+
+def allpairs_tf_cosine(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 9,
+    tau_den: int = 10,
+) -> DataFrame:
+    """All document pairs with term-frequency cosine ≥ τ = tau_num /
+    tau_den — the SPARSE-vector similarity join (Bayardo, Ma &
+    Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search"),
+    complementing the dense-embedding family (td5/td16) and the set
+    family (td2 Jaccard): exact cosine over (term, tf) vectors with
+    LOSSLESS prefix filtering instead of an index over every posting.
+    τ defaults to 0.9: raw TF vectors share stopword mass, so the
+    pairwise-cosine noise floor on ordinary corpora sits near 0.7–0.8
+    (measured: 57% of ALL sf0.01 pairs clear 0.6) — τ below the floor
+    makes the OUTPUT quadratic regardless of the filter, the same
+    statistics wall as td16's tau guard.
+
+    Prefix filter (exact, no recall loss): per doc, order features
+    common-first (global df desc, term asc) and leave in the
+    UNINDEXED SUFFIX the largest initial run whose inclusive mass
+    satisfies den·Σtf² < num·‖d‖² (strict). For any pair missed by
+    the candidate join, every shared feature lies in BOTH suffixes,
+    so dot ≤ ‖suf_a‖·‖suf_b‖ < τ·‖a‖·‖b‖ (Cauchy–Schwarz + the strict
+    per-doc rule) — every surviving pair with cos ≥ τ is generated.
+    Candidates come from FULL(a) ⋈ INDEXED(b) on the feature (both
+    orientations via lo/hi normalization), so a shared feature
+    indexed by EITHER side is enough.
+
+    EXACTNESS: the cosine test is the cross-multiplied square
+    den²·dot² ≥ num²·‖a‖²·‖b‖² — dot and the squared norms are exact
+    BIGINTs, the products stage through DECIMAL(38,0) (dot ≤ 10^16
+    for 10^4-term docs; den²·dot² ≤ 10^34), and the DuckDB oracle is
+    the BRUTE-FORCE all-pairs join — the gate therefore also proves
+    the prefix filter lossless on real data. cos2_bp =
+    floor(10^8·dot²/(‖a‖²‖b‖²)) (basis points of cos², monotone in
+    cosine).
+
+    Scale shape: per-doc quantities never grow with the corpus (doc
+    length bounds them); the candidate join's per-feature fan-out is
+    n_full(f)·n_idx(f), and hot features land in almost every doc's
+    suffix, so n_idx collapses exactly where n_full explodes — the
+    classic AllPairs win over a full posting join. One (doc, term)
+    agg, one df agg, one doc-partitioned cumsum window, the candidate
+    equi-join, and a td2-style verify join; no driver actions.
+    """
+    dec = "decimal(38,0)"
+    num, den = tau_num, tau_den
+    from pyspark.sql import Window
+
+    from .analysis import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("f")
+    )
+    tf = toks.groupBy("doc", "f").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("f").agg(F.count(F.lit(1)).alias("df_docs"))
+    vec = tf.join(dfreq, "f")
+    norm = tf.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nsq")
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy(F.col("df_docs").desc(), F.col("f"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        vec.withColumn("cum", F.sum(F.col("tf") * F.col("tf")).over(w))
+        .join(norm, "doc")
+        .withColumn("indexed", F.expr(f"{den} * cum >= {num} * nsq"))
+    )
+    full = flagged.select("f", F.col("doc").alias("da"))
+    probe = flagged.filter("indexed").select("f", F.col("doc").alias("db"))
+    cand = (
+        full.join(probe, "f")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("lo"), F.greatest("da", "db").alias("hi")
+        )
+        .distinct()
+    )
+    fa = tf.select(F.col("doc").alias("lo"), "f", F.col("tf").alias("wa"))
+    fb = tf.select(F.col("doc").alias("hi"), "f", F.col("tf").alias("wb"))
+    dots = (
+        cand.join(fa, "lo")
+        .join(fb, ["hi", "f"])
+        .groupBy("lo", "hi")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norm.select(F.col("doc").alias("lo"), F.col("nsq").alias("norm_lo_sq"))
+    nb = norm.select(F.col("doc").alias("hi"), F.col("nsq").alias("norm_hi_sq"))
+    return (
+        dots.join(na, "lo")
+        .join(nb, "hi")
+        .filter(
+            F.expr(
+                f"CAST({den * den} AS {dec}) * dot * dot >= "
+                f"CAST({num * num} AS {dec}) * norm_lo_sq * norm_hi_sq"
+            )
+        )
+        .select(
+            F.col("lo").alias("doc_lo"),
+            F.col("hi").alias("doc_hi"),
+            "dot",
+            "norm_lo_sq",
+            "norm_hi_sq",
+            F.expr(
+                f"CAST((CAST(100000000 AS {dec}) * dot * dot) div "
+                f"(CAST(norm_lo_sq AS {dec}) * norm_hi_sq) AS BIGINT)"
+            ).alias("cos2_bp"),
+        )
+    )

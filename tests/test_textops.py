@@ -621,3 +621,68 @@ def test_source_overlap_containment_semantics(spark):
     assert {k: (v.n_common, v.n_sh_a, v.containment_bp) for k, v in out.items()} == {
         k: (v.n_common, v.n_sh_a, v.containment_bp) for k, v in hashed.items()
     }
+
+
+def test_allpairs_cosine_exact_and_lossless(spark):
+    """allpairs_tf_cosine equals the brute-force all-pairs cosine on
+    a mixed corpus (losslessness of the prefix filter), the emitted
+    dot/norms are hand-checkable, and the filter genuinely prunes
+    (indexed postings < full postings)."""
+    from collections import Counter
+
+    from omfietser_etl_spark.textops.similarity import allpairs_tf_cosine
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta"),
+        (2, "alpha beta gamma delta alpha beta epsilon"),   # near-dup of 1
+        (3, "alpha beta gamma delta alpha beta"),           # exact dup of 1
+        (4, "zeta eta theta iota kappa"),                   # unrelated
+        (5, "the the the the quick brown fox"),
+        (6, "the the the the quick brown cat"),             # near-dup of 5
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_lo, r.doc_hi): r
+        for r in allpairs_tf_cosine(docs, "doc_id", "text", 9, 10).collect()
+    }
+
+    # brute force in Python (same tokenization: lowercase alnum words)
+    vecs = {i: Counter(t.split()) for i, t in rows}
+    expect = {}
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            dot = sum(vecs[i][k] * vecs[j][k] for k in vecs[i])
+            na = sum(v * v for v in vecs[i].values())
+            nb = sum(v * v for v in vecs[j].values())
+            if 100 * dot * dot >= 81 * na * nb:
+                expect[(i, j)] = (dot, na, nb, (10**8 * dot * dot) // (na * nb))
+    assert {
+        k: (v.dot, v.norm_lo_sq, v.norm_hi_sq, v.cos2_bp) for k, v in out.items()
+    } == expect
+    assert (1, 3) in out and out[(1, 3)].cos2_bp == 10**8  # exact dup
+    assert (1, 2) in out and (5, 6) in out
+    assert not any(4 in k for k in out)
+
+    # the filter must index strictly fewer postings than it probes
+    full = docs.selectExpr(
+        "explode(filter(split(trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), x -> x <> '')) AS f"
+    ).count()
+    # count indexed rows by replaying the suffix rule in Python
+    df_docs = Counter()
+    for i in ids:
+        for k in vecs[i]:
+            df_docs[k] += 1
+    indexed = 0
+    for i in ids:
+        nsq = sum(v * v for v in vecs[i].values())
+        order = sorted(vecs[i], key=lambda k: (-df_docs[k], k))
+        cum = 0
+        for k in order:
+            cum += vecs[i][k] ** 2
+            if 10 * cum >= 9 * nsq:
+                indexed += 1
+    assert 0 < indexed < full
