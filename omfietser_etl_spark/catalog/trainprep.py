@@ -777,6 +777,90 @@ FROM enc JOIN orig ON enc.doc = orig.doc
 """
 
 
+def tk3_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer-fit audit of the committed BPE table:
+    fertility (subwords per word, ×100) and the unmerged-word rate
+    (words the vocab segments all the way down to characters —
+    n_syms = n_chars + 1, i.e. zero merges applied) — the standard
+    "does this tokenizer serve every language slice" check run
+    before committing a vocab to a training run (high fertility on a
+    slice = that slice pays more sequence length per word).
+
+    Exactness: pure integer counts; fertility_x100 =
+    (100·n_subwords) div n_words and unmerged_bp =
+    (10000·n_unmerged) div n_words. Scale shape: segmentation runs
+    once per DISTINCT word (model-sized codegen replace-chain,
+    broadcast back — the tk1 contract); the corpus pass is one
+    (lang, word) hash agg; the per-lang rollup is k-row."""
+    from omfietser_etl_spark.textops.analysis import tokens
+    from omfietser_etl_spark.textops.bpe import segment_words_expr
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(tokens("text")).alias("word"))
+    wc = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    seg = (
+        wc.select("word").distinct()
+        .select("word",
+                F.expr(segment_words_expr("word", BPE_MERGES)).alias("syms"))
+    )
+    j = wc.join(F.broadcast(seg), "word").select(
+        "lang",
+        "n",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    per_lang = j.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_subwords"),
+        F.sum(
+            F.when(F.col("n_syms") == F.col("n_chars") + 1, F.col("n"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("n_unmerged"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        "n_unmerged",
+        F.expr("CAST((100 * n_subwords) div n_words AS BIGINT)")
+        .alias("fertility_x100"),
+        F.expr("CAST((10000 * n_unmerged) div n_words AS BIGINT)")
+        .alias("unmerged_bp"),
+    )
+
+
+def _tk3_oracle() -> str:
+    sep, end = "|", "</w>"
+    s = (
+        f"concat(regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g'), "
+        f"'{sep}{end}{sep}')"
+    )
+    for a, b, _ in sorted(BPE_MERGES, key=lambda m: m[2]):
+        s = f"replace({s}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    seg = (
+        f"list_filter(string_split(substring({s}, 2, length({s}) - 2), "
+        f"'{sep}{sep}'), x -> x <> '')"
+    )
+    dk = DK_TOKENS.format(c="text")
+    return f"""
+WITH d AS (SELECT lang, unnest({dk}) AS word FROM documents),
+wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+w AS (SELECT DISTINCT word FROM wc),
+seg AS (SELECT word, len({seg}) AS n_syms, length(word) AS n_chars FROM w),
+j AS (SELECT lang, n, n_syms, n_chars FROM wc JOIN seg USING (word)),
+pl AS (SELECT lang,
+              CAST(SUM(n) AS BIGINT) AS n_words,
+              CAST(SUM(n * n_syms) AS BIGINT) AS n_subwords,
+              CAST(SUM(CASE WHEN n_syms = n_chars + 1 THEN n ELSE 0 END)
+                   AS BIGINT) AS n_unmerged
+       FROM j GROUP BY lang)
+SELECT lang, n_words, n_subwords, n_unmerged,
+       CAST((100 * n_subwords) // n_words AS BIGINT) AS fertility_x100,
+       CAST((10000 * n_unmerged) // n_words AS BIGINT) AS unmerged_bp
+FROM pl
+"""
+
+
 SPECS = [
     QuerySpec("ts1_hash_sample", ts1_hash_sample, TS1_ORACLE,
               "deterministic hash sampling (retry-stable, monotone)"),
@@ -815,4 +899,6 @@ SPECS = [
               "distinct-word segmentation)"),
     QuerySpec("tk2_bpe_roundtrip", tk2_bpe_roundtrip, _tk2_oracle(),
               "BPE decode + lossless-roundtrip audit"),
+    QuerySpec("tk3_vocab_coverage", tk3_vocab_coverage, _tk3_oracle(),
+              "per-language BPE fertility + unmerged-word rate audit"),
 ]
