@@ -761,6 +761,80 @@ FROM c JOIN t USING (from_type)
 """
 
 
+def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    users — the classic behavioral-cohort rollup. Each dimension is
+    an EXACT global quintile: q = ((rank−1)·5) div n + 1 with rank
+    from operators/rank.py::distributed_rank (range-partitioned local
+    row_number + offsets — never a partition-less window), ascending
+    so q=5 is the most recent / frequent / valuable fifth.
+
+    Exactness: recency is the last event's epoch-µs (BIGINT),
+    monetary the exact cents sum (functions/exact.py convention);
+    ranks are total orders with user_id tiebreaks, so DuckDB's
+    row_number replay is bit-identical.
+
+    Scale shape: one user-keyed agg over the facts, then three
+    distributed ranks over the user frame (two thin shuffles each,
+    distinct cache scopes so the three repartitioned frames coexist),
+    the user count riding a broadcast one-row frame."""
+    from omfietser_etl_spark.functions import exact
+    from omfietser_etl_spark.operators.rank import distributed_rank
+
+    ev = load(spark, sf, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts div 1000")).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        exact.sum_cents("value").cast("long").alias("cents"),
+    )
+    n_users = users.agg(F.count(F.lit(1)).alias("_n"))
+    out = users
+    for metric, qcol, scope in (
+        ("last_us", "r_q", "ev7.r"),
+        ("freq", "f_q", "ev7.f"),
+        ("cents", "m_q", "ev7.m"),
+    ):
+        ranked = distributed_rank(
+            out.select("user_id", metric),
+            [F.col(metric), F.col("user_id")],
+            rank_col="_rk",
+            scope=scope,
+        ).crossJoin(F.broadcast(n_users)).select(
+            "user_id",
+            F.expr("CAST(((_rk - 1) * 5) div _n + 1 AS BIGINT)").alias(qcol),
+        )
+        out = out.join(ranked, "user_id")
+    return out.select(
+        "user_id", "last_us", "freq", "cents", "r_q", "f_q", "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("long").alias("segment"),
+    )
+
+
+EV7_ORACLE = """
+WITH u AS (SELECT user_id,
+                  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY user_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+q AS (SELECT user_id, last_us, freq, cents,
+             ((row_number() OVER (ORDER BY last_us, user_id) - 1) * 5)
+               // n.n + 1 AS r_q,
+             ((row_number() OVER (ORDER BY freq, user_id) - 1) * 5)
+               // n.n + 1 AS f_q,
+             ((row_number() OVER (ORDER BY cents, user_id) - 1) * 5)
+               // n.n + 1 AS m_q
+      FROM u CROSS JOIN n)
+SELECT user_id, last_us, freq, cents,
+       CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment
+FROM q
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
@@ -787,4 +861,6 @@ SPECS = [
               "two-sided CUSUM changepoint flags, window closed form"),
     QuerySpec("ev6_transition_matrix", ev6_transition_matrix, EV6_ORACLE,
               "Markov event-type transition matrix (exact bp probabilities)"),
+    QuerySpec("ev7_rfm_segments", ev7_rfm_segments, EV7_ORACLE,
+              "RFM quintile segmentation via distributed exact ranks"),
 ]
