@@ -639,6 +639,79 @@ SELECT qid, rank, nid, round(dot, 6) AS sim FROM r WHERE rank <= {ANN_K}
 """
 
 
+X10_QUERY_BOUND = 50
+
+
+def x10_knn_label_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN majority-vote classifier eval over the embeddings table:
+    for each held-out query vector, the exact top-k cosine neighbors
+    (td6's gated brute_topk — broadcast query side, bit-stable dot,
+    id tiebreaks) vote with their labels; majority with a
+    (votes desc, label asc) tiebreak; emit prediction vs true label
+    per query. The standard embedding-quality probe run before
+    trusting vectors for dedup/selection (SemDeDup-style pipelines).
+
+    Scale shape: the corpus is scanned once map-side against the
+    broadcast queries; votes/argmax run on the q×k frame. Oracle
+    replays ranking, votes, and tiebreak bit-for-bit."""
+    from omfietser_etl_spark.textops import similarity as sim
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < X10_QUERY_BOUND)
+    nn = sim.brute_topk(emb, q, "vec_id", "embedding", ANN_K)
+    lab = emb.select(F.col("vec_id").alias("nid"), F.col("label").alias("n_label"))
+    votes = nn.join(lab, "nid").groupBy("qid", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    pred = (
+        votes.groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(F.col("votes"), (-F.col("n_label")).alias("nl"))
+            ).alias("m")
+        )
+        .select(
+            "qid",
+            (-F.col("m.nl")).cast("long").alias("pred_label"),
+            F.col("m.votes").cast("long").alias("votes"),
+        )
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "qid").select(
+        "qid",
+        F.col("true_label").cast("long").alias("true_label"),
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+X10_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < {X10_QUERY_BOUND}),
+s AS (SELECT qid, vec_id AS nid, {dk_dot('qv', 'embedding')} AS dot
+      FROM q JOIN embeddings ON qid <> vec_id),
+r AS (SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, nid ASC) AS rank
+        FROM s) WHERE rank <= {ANN_K}),
+v AS (SELECT qid, e.label AS n_label, CAST(count(*) AS BIGINT) AS votes
+      FROM r JOIN embeddings e ON e.vec_id = r.nid GROUP BY 1, 2),
+p AS (SELECT qid, n_label, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, n_label ASC) AS rr
+      FROM v)
+SELECT p.qid, CAST(t.label AS BIGINT) AS true_label,
+       CAST(p.n_label AS BIGINT) AS pred_label, p.votes,
+       CAST(p.n_label = t.label AS INT) AS correct
+FROM p JOIN embeddings t ON t.vec_id = p.qid
+WHERE p.rr = 1
+"""
+
+
 def td7_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
@@ -2551,6 +2624,8 @@ SPECS = [
               "cross-source shingle containment matrix (data card)"),
     QuerySpec("td24_allpairs_cosine", td24_allpairs_cosine, TD24_ORACLE,
               "sparse cosine similarity join, lossless prefix filter"),
+    QuerySpec("x10_knn_label_eval", x10_knn_label_eval, X10_ORACLE,
+              "kNN majority-vote label eval over embeddings"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
