@@ -2452,6 +2452,123 @@ SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
 #        training-data run executes, not just the pair list)
 # ---------------------------------------------------------------- #
 
+#: tp2 entropy screen: keep docs whose char entropy lands in
+#: [2, 5] bits/char (cross-multiplied against ta10's exact 2^-20
+#: integer numerator; below = degenerate repetition, above = noise).
+TP2_ENT_MIN_BITS, TP2_ENT_MAX_BITS = 2, 5
+
+
+def tp2_screen_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """FineWeb-ordered quality-then-dedup pipeline, decision per
+    document: Gopher rule battery (ta9) AND char-entropy band (ta10)
+    first, then MinHash-LSH fuzzy dedup (td3→dd4→td15 logic) over
+    the SURVIVORS only — the realistic composition (screens are
+    map-side cheap; dedup's shuffles then run on the smaller slice).
+    Every stage is an individually-gated operator; this gates their
+    composition, including that LSH-on-the-subset equals
+    LSH-on-everything filtered to surviving endpoints (band buckets
+    are per-doc, so the oracle may reuse the full td3 pair oracle).
+
+    Output one row per INPUT doc: (doc, source, pass_gopher,
+    pass_entropy, component, comp_size, is_kept) — screened-out docs
+    carry their own id as component, comp_size 0, is_kept false.
+
+    Scale shape: the flags frame persists at the fan-out (it feeds
+    the dedup input AND the final join — the tp1 materialize
+    discipline); dedup shuffles only survivor rows."""
+    from omfietser_etl_spark import cacheutil
+    from omfietser_etl_spark.textops.analysis import (
+        char_entropy_stats,
+        gopher_rules,
+    )
+    from omfietser_etl_spark.textops.selection import DSIR_Q
+
+    scale = 1 << DSIR_Q
+    docs = load(spark, sf, "documents")
+    base = docs.select(F.col("doc_id").alias("doc"), "source", "text")
+    g = gopher_rules(docs).select("doc", F.col("pass_all").alias("pass_gopher"))
+    ent = char_entropy_stats(docs).select(
+        "doc",
+        (
+            (F.col("ent_q") >= TP2_ENT_MIN_BITS * F.col("n_chars") * scale)
+            & (F.col("ent_q") <= TP2_ENT_MAX_BITS * F.col("n_chars") * scale)
+        ).alias("pass_entropy"),
+    )
+    flags = cacheutil.release_then_register(
+        "tp2", base.join(g, "doc").join(ent, "doc").persist()
+    )
+    surv = flags.filter("pass_gopher AND pass_entropy").select("doc", "text")
+    pairs = dd.minhash_lsh_pairs(surv, "doc", "text")
+    comp = dd.connected_components(pairs)
+    full = (
+        surv.select("doc")
+        .join(comp, F.col("doc") == F.col("node"), "left")
+        .select("doc", F.coalesce("component", "doc").alias("component"))
+    )
+    w = Window.partitionBy("component")
+    dec = full.select(
+        "doc",
+        "component",
+        F.count("*").over(w).cast("long").alias("comp_size"),
+        (F.col("doc") == F.min("doc").over(w)).alias("is_kept"),
+    )
+    return (
+        flags.select("doc", "source", "pass_gopher", "pass_entropy")
+        .join(dec, "doc", "left")
+        .select(
+            "doc",
+            "source",
+            "pass_gopher",
+            "pass_entropy",
+            F.coalesce("component", F.col("doc")).cast("long").alias("component"),
+            F.coalesce("comp_size", F.lit(0)).cast("long").alias("comp_size"),
+            F.coalesce("is_kept", F.lit(False)).alias("is_kept"),
+        )
+    )
+
+
+def _tp2_oracle() -> str:
+    from omfietser_etl_spark.textops.selection import DSIR_Q
+
+    scale = 1 << DSIR_Q
+    return f"""
+WITH RECURSIVE
+g AS MATERIALIZED (SELECT * FROM ({_ta9_oracle()}) AS _g),
+ent AS MATERIALIZED (SELECT * FROM ({_ta10_oracle()}) AS _e),
+flags AS MATERIALIZED (SELECT d.doc_id AS doc, d.source, g.pass_all AS pass_gopher,
+                 (ent.ent_q >= {TP2_ENT_MIN_BITS} * ent.n_chars * {scale}
+                  AND ent.ent_q <= {TP2_ENT_MAX_BITS} * ent.n_chars * {scale})
+                   AS pass_entropy
+          FROM documents d
+          JOIN g ON g.doc = d.doc_id
+          JOIN ent ON ent.doc = d.doc_id),
+sdocs AS MATERIALIZED (SELECT doc FROM flags WHERE pass_gopher AND pass_entropy),
+p0 AS MATERIALIZED (SELECT doc_lo, doc_hi FROM ({_td3_oracle()}) AS _p
+       WHERE doc_lo IN (SELECT doc FROM sdocs)
+         AND doc_hi IN (SELECT doc FROM sdocs)),
+edges AS (SELECT doc_lo AS a, doc_hi AS b FROM p0
+          UNION
+          SELECT doc_hi AS a, doc_lo AS b FROM p0),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+fulld AS (SELECT s.doc, COALESCE(c.component, s.doc) AS component
+          FROM sdocs s LEFT JOIN comp c ON c.node = s.doc),
+dec AS (SELECT doc, component,
+               CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                 AS comp_size,
+               doc = min(doc) OVER (PARTITION BY component) AS is_kept
+        FROM fulld)
+SELECT f.doc, f.source, f.pass_gopher, f.pass_entropy,
+       CAST(COALESCE(dec.component, f.doc) AS BIGINT) AS component,
+       CAST(COALESCE(dec.comp_size, 0) AS BIGINT) AS comp_size,
+       COALESCE(dec.is_kept, FALSE) AS is_kept
+FROM flags f LEFT JOIN dec ON dec.doc = f.doc
+"""
+
+
 def td15_fuzzy_dedup_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus fuzzy dedup, decision per document: docs sharing an LSH
     component keep only the min-id canonical; singletons keep
@@ -2626,6 +2743,9 @@ SPECS = [
               "sparse cosine similarity join, lossless prefix filter"),
     QuerySpec("x10_knn_label_eval", x10_knn_label_eval, X10_ORACLE,
               "kNN majority-vote label eval over embeddings"),
+    QuerySpec("tp2_screen_dedup_pipeline", tp2_screen_dedup_pipeline,
+              _tp2_oracle(),
+              "FineWeb-ordered screens -> fuzzy dedup composition"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
