@@ -712,6 +712,81 @@ WHERE p.rr = 1
 """
 
 
+def a22_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable HyperLogLog distinct sketch (textops/sketch.py::
+    hll_distinct): per-group estimate whose REGISTERS AND ESTIMATE —
+    not just an error bound — replay bit-for-bit in DuckDB, unlike
+    a13's opaque JVM HLL++. The gate unions a high-cardinality rollup
+    (lineitem partkeys per returnflag → raw harmonic-mean branch) and
+    a low-cardinality one (event users per type → Flajolet linear-
+    counting branch via exact ilog2 + rational ln2), so BOTH estimate
+    branches certify."""
+    from omfietser_etl_spark.textops.sketch import hll_distinct
+
+    li = load(spark, sf, "lineitem").select(
+        F.concat(F.lit("li:"), "l_returnflag").alias("g"),
+        F.col("l_partkey").cast("long").alias("k"),
+    )
+    ev = load(spark, sf, "events").select(
+        F.concat(F.lit("ev:"), "event_type").alias("g"),
+        F.col("user_id").cast("long").alias("k"),
+    )
+    return hll_distinct(li.unionByName(ev), "g", "k")
+
+
+def _a22_oracle() -> str:
+    from omfietser_etl_spark.textops.selection import DSIR_F, DSIR_Q, ilog2_q
+    from omfietser_etl_spark.textops.sketch import (
+        HLL_ALPHA_DEN,
+        HLL_ALPHA_NUM,
+        HLL_LN2_DEN,
+        HLL_LN2_NUM,
+        HLL_M,
+        HLL_S_SCALE,
+        HLL_SENTINEL_BIT,
+    )
+
+    m, sb, sc = HLL_M, 1 << HLL_SENTINEL_BIT, HLL_S_SCALE
+    il_m = ilog2_q(m)
+    pb = dk_poly("'hllb:' || CAST(k AS VARCHAR)")
+    pr = dk_poly("'hllr:' || CAST(k AS VARCHAR)")
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT 'li:' || l_returnflag AS g, CAST(l_partkey AS BIGINT) AS k FROM lineitem
+  UNION ALL
+  SELECT 'ev:' || event_type, CAST(user_id AS BIGINT) FROM events),
+p AS (SELECT g, {pb} AS polyb, {pr} AS polyr FROM u),
+h AS (SELECT g, {dk_mix31('polyb')} AS hb, {dk_mix31('polyr')} AS hr FROM p),
+r AS (SELECT g, hb % {m} AS bkt,
+             length(bin((hr | {sb}) & -(hr | {sb}))) AS rho FROM h),
+regs AS (SELECT g, bkt, max(rho) AS mj FROM r GROUP BY 1, 2),
+pg AS (SELECT g, CAST(count(*) AS BIGINT) AS np,
+              CAST(SUM(CAST(1 AS BIGINT) << ({sc} - mj)) AS BIGINT) AS sp
+       FROM regs GROUP BY g),
+vals AS (SELECT DISTINCT CAST(greatest({m} - np, 1) AS BIGINT) AS x FROM pg),
+{dk_ilog2_chain('vals', DSIR_Q, DSIR_F)},
+est AS (SELECT g, np,
+         (CAST({HLL_ALPHA_NUM * m * m} AS HUGEINT) * {1 << sc})
+           // (CAST({HLL_ALPHA_DEN} AS HUGEINT)
+               * (sp + ({m} - np) * CAST({1 << sc} AS BIGINT))) AS raw,
+         il.il AS ilv
+        FROM pg JOIN il ON il.x = greatest({m} - np, 1)),
+fin AS (SELECT g,
+         CASE WHEN raw <= {5 * m // 2} AND np < {m}
+              THEN ({m} * ({il_m} - ilv) * {HLL_LN2_NUM})
+                   // (CAST({1 << DSIR_Q} AS BIGINT) * {HLL_LN2_DEN})
+              ELSE raw END AS hll_est
+        FROM est),
+ex AS (SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM u GROUP BY g)
+SELECT ex.g, ex.n_exact, CAST(fin.hll_est AS BIGINT) AS hll_est,
+       CAST((abs(fin.hll_est - ex.n_exact) * 10000)
+            // greatest(ex.n_exact, 1) AS BIGINT) AS err_bp,
+       (abs(fin.hll_est - ex.n_exact) * 10000)
+         // greatest(ex.n_exact, 1) <= 1950 AS within_3sigma
+FROM ex JOIN fin USING (g)
+"""
+
+
 def td7_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
@@ -2746,6 +2821,8 @@ SPECS = [
     QuerySpec("tp2_screen_dedup_pipeline", tp2_screen_dedup_pipeline,
               _tp2_oracle(),
               "FineWeb-ordered screens -> fuzzy dedup composition"),
+    QuerySpec("a22_hll_distinct", a22_hll_distinct, _a22_oracle(),
+              "portable HyperLogLog: registers AND estimate replay"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,

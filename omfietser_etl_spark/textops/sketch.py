@@ -191,3 +191,118 @@ def bloom_hits(
         .drop("_key")
         .withColumn("might_contain", F.coalesce("might_contain", F.lit(False)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — engine-replayable
+# distinct sketch: unlike approx_count_distinct (whose HLL++ registers
+# are a JVM implementation detail), every register and the estimate
+# derive from the repo's portable salted mixed hash, so a DuckDB
+# oracle — or a sketch built by ANY other engine — reproduces them
+# bit-for-bit. Mergeable: registers combine with max() per (group,
+# bucket), the same contract as cms_merge/bloom_merge.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256                    # registers (b = 8 bucket bits)
+HLL_SENTINEL_BIT = 24          # caps rho at 25 (hash has 31 usable bits)
+#: alpha_256 = 0.7213 / (1 + 1.079/256) as a fixed rational — part of
+#: THIS sketch's spec (both engines replay the same constant).
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 71827, 100000
+HLL_S_SCALE = 30               # 2^-M_j terms scaled by 2^30 (exact)
+HLL_LN2_NUM, HLL_LN2_DEN = 693147, 1000000
+
+
+def _hll_salted_mix(salt: str, key_expr: str) -> str:
+    """31-bit salted mixed hash of a key as ONE let-bound SQL expr
+    (the hash_bucket discipline: the fold is computed once, the mixer
+    references a lambda variable)."""
+    from .constants import CHAR_SEED, MOD
+    from .sampling import mix_sql
+
+    fold = (
+        f"aggregate(split(concat('{salt}', ':', cast({key_expr} as string)), ''), "
+        f"CAST({CHAR_SEED} AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % {MOD})"
+    )
+    return f"transform(array({fold}), p -> {mix_sql('p')})[0]"
+
+
+def hll_rows(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(g, bkt, rho) per input row: bucket from one salted hash, rho =
+    trailing-zero rank (lowest-set-bit position, 1-based) of a second
+    independent salted hash with a sentinel bit capping it at
+    HLL_SENTINEL_BIT + 1 — pure codegen integer ops (y & -y isolates
+    the lowest bit; length(bin(·)) is its 1-based position)."""
+    sb = 1 << HLL_SENTINEL_BIT
+    rho = (
+        f"transform(transform(array({_hll_salted_mix('hllr', key_col)}), "
+        f"p -> p | {sb}), h -> length(bin(h & -h)))[0]"
+    )
+    return df.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"pmod({_hll_salted_mix('hllb', key_col)}, {HLL_M})").alias("bkt"),
+        F.expr(rho).cast("long").alias("rho"),
+    )
+
+
+def hll_estimate(rows: DataFrame) -> DataFrame:
+    """(g, hll_est) from (g, bkt, rho) rows: max-rho registers, the
+    2^30-scaled harmonic sum over all HLL_M registers (absent
+    registers contribute 2^30 exactly), the alpha·m²/S raw estimate
+    staged DECIMAL(38,0), and Flajolet's small-range correction
+    switched EXACTLY: when raw ≤ 5m/2 and V > 0 empty registers,
+    est = m·ln(m/V) computed as m·(ilog2_q(m) − ilog2_q(V))·ln2 with
+    the exact integer log2 and a fixed rational ln2 — no float
+    anywhere, so the estimate (not just its error bound) replays
+    cross-engine."""
+    from .selection import DSIR_Q, ilog2_q, ilog2_q_expr
+
+    dec = "decimal(38,0)"
+    m, sc = HLL_M, HLL_S_SCALE
+    il_m = ilog2_q(m)
+    regs = rows.groupBy("g", "bkt").agg(F.max("rho").alias("mj"))
+    per_g = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {sc} - CAST(mj AS INT))"))
+        .cast("long").alias("s_present"),
+    )
+    return per_g.select(
+        "g",
+        F.expr(
+            f"CAST(CASE WHEN "
+            # raw ≤ 5m/2 AND V > 0 → linear counting
+            f"(CAST({HLL_ALPHA_NUM * m * m} AS {dec}) * {1 << sc}) div "
+            f"(CAST({HLL_ALPHA_DEN} AS {dec}) * "
+            f"(s_present + ({m} - n_present) * CAST({1 << sc} AS BIGINT))) "
+            f"<= {5 * m // 2} AND n_present < {m} THEN "
+            f"({m} * ({il_m} - {ilog2_q_expr(f'greatest({m} - n_present, 1)')}) "
+            f"* {HLL_LN2_NUM}) div (CAST({1 << DSIR_Q} AS BIGINT) * {HLL_LN2_DEN}) "
+            f"ELSE (CAST({HLL_ALPHA_NUM * m * m} AS {dec}) * {1 << sc}) div "
+            f"(CAST({HLL_ALPHA_DEN} AS {dec}) * "
+            f"(s_present + ({m} - n_present) * CAST({1 << sc} AS BIGINT))) "
+            f"END AS BIGINT)"
+        ).alias("hll_est"),
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Self-certifying per-group distinct estimate: (group, exact
+    n_distinct, hll_est, err_bp, within_3sigma) — the a13 contract
+    with a fully portable sketch. 3σ for m=256 is 3·1.04/√256 ≈
+    19.5% → 1950 bp."""
+    est = hll_estimate(hll_rows(df, group_col, key_col))
+    exact = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.countDistinct(key_col).cast("long").alias("n_exact"))
+    )
+    return exact.join(est, "g").select(
+        F.col("g").alias(group_col),
+        "n_exact",
+        "hll_est",
+        F.expr(
+            "CAST((abs(hll_est - n_exact) * 10000) div greatest(n_exact, 1) "
+            "AS BIGINT)"
+        ).alias("err_bp"),
+        F.expr(
+            "(abs(hll_est - n_exact) * 10000) div greatest(n_exact, 1) <= 1950"
+        ).alias("within_3sigma"),
+    )

@@ -179,3 +179,50 @@ def test_bloom_hits_keeps_null_keys_as_false(spark):
     assert rows[2] is False         # NULL key kept, reported absent
     assert 3 in rows                # non-member kept (hit or FP-noise)
     assert len(rows) == 3
+
+
+def test_hll_branches_and_mergeability(spark):
+    """hll_distinct exercises BOTH estimate branches (linear counting
+    for small groups, raw harmonic mean for large) within the 3-sigma
+    bound, and the register frame is mergeable: max-merging the
+    registers of two disjoint halves equals the registers of the
+    union (the CMS/bloom merge contract)."""
+    from pyspark.sql import functions as F
+
+    from omfietser_etl_spark.textops.sketch import (
+        HLL_M,
+        hll_distinct,
+        hll_rows,
+    )
+
+    rows = [("small", i % 60) for i in range(600)] + [
+        ("big", i) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    out = {r.g: r for r in hll_distinct(df, "g", "k").collect()}
+    assert out["small"].within_3sigma and out["big"].within_3sigma
+    # small must have empty registers (LC branch), big must not
+    n_reg = {
+        r.g: r.n for r in
+        hll_rows(df, "g", "k").groupBy("g", "bkt").count()
+        .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert n_reg["small"] < HLL_M and n_reg["big"] == HLL_M
+
+    # mergeability: registers(half1) max-merge registers(half2)
+    # == registers(union)
+    h1 = spark.createDataFrame(rows[::2], ["g", "k"])
+    h2 = spark.createDataFrame(rows[1::2], ["g", "k"])
+
+    def regs(d):
+        return {
+            (r.g, r.bkt): r.mj
+            for r in hll_rows(d, "g", "k")
+            .groupBy("g", "bkt").agg(F.max("rho").alias("mj")).collect()
+        }
+
+    r1, r2, ru = regs(h1), regs(h2), regs(df)
+    merged = dict(r1)
+    for k, v in r2.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == ru
