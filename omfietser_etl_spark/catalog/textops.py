@@ -1676,6 +1676,47 @@ WHERE 100 * CAST(dot AS HUGEINT) * dot >= 81 * CAST(na.nsq AS HUGEINT) * nb.nsq
 """
 
 
+def ta15_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    shingles that appear NOWHERE else in the corpus (corpus-wide
+    df = 1) — high novelty marks original content, near-zero marks
+    boilerplate/templates (the complement of ca2's source-level
+    containment, at doc granularity). Exact integers: novelty_bp =
+    (10000·n_unique) div n_shingles; docs too short to shingle emit
+    no row (nothing measurable). Shape: the td2 shingle frame, one
+    shingle-keyed df agg, one equi-join back, one doc-keyed rollup —
+    all bounded-key equi shuffles."""
+    sh = dd.doc_shingles(load(spark, sf, "documents"), "doc_id", "text")
+    sdf = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_docs"))
+    per_doc = sh.join(sdf, "s").groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df_docs") == 1, 1).otherwise(0))
+        .cast("long").alias("n_unique"),
+    )
+    return per_doc.select(
+        "doc",
+        "n_shingles",
+        "n_unique",
+        F.expr("CAST((10000 * n_unique) div n_shingles AS BIGINT)")
+        .alias("novelty_bp"),
+    )
+
+
+TA15_ORACLE = f"""
+WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
+sh AS (SELECT doc, unnest({dk_shingles('t')}) AS s FROM d),
+sdf AS (SELECT s, CAST(count(*) AS BIGINT) AS df_docs FROM sh GROUP BY s),
+pd AS (SELECT doc,
+              CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(SUM(CASE WHEN df_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_unique
+       FROM sh JOIN sdf USING (s) GROUP BY doc)
+SELECT doc, n_shingles, n_unique,
+       CAST((10000 * n_unique) // n_shingles AS BIGINT) AS novelty_bp
+FROM pd
+"""
+
+
 def ca2_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Directed cross-source shingle-containment matrix
     (textops/analysis.py::source_overlap): data-card redundancy
@@ -2823,6 +2864,8 @@ SPECS = [
               "FineWeb-ordered screens -> fuzzy dedup composition"),
     QuerySpec("a22_hll_distinct", a22_hll_distinct, _a22_oracle(),
               "portable HyperLogLog: registers AND estimate replay"),
+    QuerySpec("ta15_ngram_novelty", ta15_ngram_novelty, TA15_ORACLE,
+              "per-doc corpus-unique shingle fraction (originality)"),
     QuerySpec("ca1_corpus_report", ca1_corpus_report, CA1_ORACLE,
               "per-source corpus data card"),
     QuerySpec("ta5_repetition", ta5_repetition, TA5_ORACLE,
