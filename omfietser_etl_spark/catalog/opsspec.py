@@ -249,6 +249,30 @@ def _g6_oracle() -> str:
     return hits_oracle_sql(edges_cte)
 
 
+def g7_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Modularity score of g5's LPA communities over the support-≥2
+    co-occurrence graph (operators/graph.py::modularity): Q·4m² is a
+    pure integer (DECIMAL-staged), emitted as sign-split millionths —
+    the acceptance check on community structure before per-community
+    sampling caps. Gates the LPA labels AND the scoring in one
+    composition."""
+    from omfietser_etl_spark.operators.graph import label_propagation, modularity
+
+    edges = _cooc_edges(spark, sf, min_support=2)
+    return modularity(edges, label_propagation(edges, "u", "v"), "u", "v")
+
+
+def _g7_oracle() -> str:
+    from omfietser_etl_spark.operators.graph import (
+        label_propagation_oracle_sql,
+        modularity_oracle_sql,
+    )
+
+    return modularity_oracle_sql(
+        _COOC_SUPP2_CTE, label_propagation_oracle_sql(_COOC_SUPP2_CTE)
+    )
+
+
 SPECS = [
     QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
               "mergeable agg state: merge(batches) ≡ direct recompute"),
@@ -266,4 +290,6 @@ SPECS = [
               "synchronous LPA community detection, min-label ties"),
     QuerySpec("g6_hits", g6_hits, _g6_oracle(),
               "HITS hubs/authorities, exact-integer L1-normalized rounds"),
+    QuerySpec("g7_modularity", g7_modularity, _g7_oracle(),
+              "Newman modularity of the LPA partition, exact millionths"),
 ]

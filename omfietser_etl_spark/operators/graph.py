@@ -682,3 +682,120 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3, mass: int = HITS_MASS) -> st
         + f" SELECT h{iters}.node, h{iters}.h AS hub_q, a{iters}.a AS auth_q "
         f"FROM h{iters} JOIN a{iters} USING (node)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity (Newman & Girvan 2004) — partition quality of a community
+# labeling; the standard acceptance check on LPA output before using
+# communities for per-group sampling caps.
+# ---------------------------------------------------------------------------
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """ONE row (n_communities, m_edges, modularity_x1e6) scoring a
+    (node, label) partition over the undirected simple graph of
+    ``edges``: Q = Σ_c [e_c/m − (d_c/2m)²].
+
+    EXACTNESS: Q·4m² = Σ_c (4·m·e_c − d_c²) is a pure integer —
+    staged DECIMAL(38,0) (d_c ≤ 2m, so terms reach 4m² ≈ 4·10^24 at
+    10^12 edges) and emitted as the bounded millionths ratio
+    sign(q)·((10^6·|q|) div 4m²): the sign is split out because Q can
+    be negative and Spark's `div` truncates toward zero while other
+    engines floor — on |q| both agree.
+
+    Scale shape: two label joins onto the edge list (node-keyed),
+    one degree agg, two label-keyed rollups, and a one-row global agg
+    — no windows, no driver actions beyond the caller's.
+    """
+    dec = "decimal(38,0)"
+    und = (
+        edges.select(
+            F.least(u_col, v_col).alias("u"), F.greatest(u_col, v_col).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select(F.col("node"), F.col("label"))
+    ec = (
+        und.join(lab.withColumnRenamed("node", "u")
+                 .withColumnRenamed("label", "lu"), "u")
+        .join(lab.withColumnRenamed("node", "v")
+              .withColumnRenamed("label", "lv"), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    percom = dc.join(ec, "label", "left").select(
+        "label", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c"
+    )
+    q = percom.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m_edges").alias("m_edges"),
+        F.sum(
+            F.expr(f"4 * CAST(m_edges AS {dec}) * e_c - CAST(d_c AS {dec}) * d_c")
+        ).alias("q_num"),
+    )
+    return q.select(
+        "n_communities",
+        "m_edges",
+        F.expr(
+            f"CAST(CASE WHEN q_num < 0 THEN -1 ELSE 1 END * "
+            f"((CAST(1000000 AS {dec}) * abs(q_num)) div "
+            f"(4 * CAST(m_edges AS {dec}) * m_edges)) AS BIGINT)"
+        ).alias("modularity_x1e6"),
+    )
+
+
+def modularity_oracle_sql(edges_cte: str, labels_sql: str) -> str:
+    """DuckDB twin of :func:`modularity`; ``labels_sql`` is a full
+    query yielding (node, label) — typically a label-propagation
+    oracle — embedded as a materialized derived table."""
+    # CTE names are q7_-prefixed: the embedded labels_sql defines its
+    # own raw/und/both_ steps, and DuckDB resolves colliding nested
+    # CTE names against the OUTER binding — with MATERIALIZED hints
+    # that manifests as a spurious "recursive CTE scan" internal
+    # error.
+    return f"""
+WITH q7_raw AS ({edges_cte}),
+q7_und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+       FROM q7_raw WHERE u <> v),
+q7_lab AS MATERIALIZED (SELECT * FROM ({labels_sql}) AS _l),
+q7_m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM q7_und),
+q7_ec AS (SELECT la.label AS label, CAST(count(*) AS BIGINT) AS e_c
+       FROM q7_und JOIN q7_lab la ON la.node = q7_und.u
+                   JOIN q7_lab lb ON lb.node = q7_und.v
+       WHERE la.label = lb.label GROUP BY 1),
+q7_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM q7_und UNION ALL SELECT v FROM q7_und)
+        GROUP BY node),
+q7_dc AS (SELECT q7_lab.label, CAST(SUM(q7_deg.d) AS BIGINT) AS d_c
+       FROM q7_deg JOIN q7_lab ON q7_lab.node = q7_deg.node GROUP BY 1),
+q7_pc AS (SELECT q7_dc.label, COALESCE(q7_ec.e_c, 0) AS e_c, q7_dc.d_c
+           FROM q7_dc LEFT JOIN q7_ec USING (label)),
+q7_q AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             SUM(4 * CAST(q7_m.m_edges AS HUGEINT) * e_c
+                 - CAST(d_c AS HUGEINT) * d_c) AS q_num
+      FROM q7_pc CROSS JOIN q7_m)
+SELECT q7_q.n_communities, q7_m.m_edges,
+       CAST((CASE WHEN q7_q.q_num < 0 THEN -1 ELSE 1 END)
+            * ((1000000 * abs(q7_q.q_num))
+               // (4 * CAST(q7_m.m_edges AS HUGEINT) * q7_m.m_edges)) AS BIGINT)
+         AS modularity_x1e6
+FROM q7_q CROSS JOIN q7_m
+"""

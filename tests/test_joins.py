@@ -218,3 +218,25 @@ def test_hits_exact_semantics(spark):
     for idx in (0, 1):
         s = sum(v[idx] for v in out.values())
         assert HITS_MASS - len(nodes) < s <= HITS_MASS
+
+
+def test_modularity_two_triangles(spark):
+    """Hand-checked modularity: two triangles joined by one bridge
+    edge, perfect community labels → Q = 70/196 (x1e6 = 357142);
+    the all-one-community labeling scores 0 by construction
+    (e_c = m, d_c = 2m → 4m·m − 4m² = 0)."""
+    from omfietser_etl_spark.operators.graph import modularity
+
+    e = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(e, "u long, v long")
+    lab = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, label long",
+    )
+    row = modularity(edges, lab, "u", "v").collect()[0]
+    assert (row.n_communities, row.m_edges) == (2, 7)
+    assert row.modularity_x1e6 == (1_000_000 * 70) // 196  # 357142
+
+    one = spark.createDataFrame([(n, 1) for n in range(1, 7)],
+                                "node long, label long")
+    assert modularity(edges, one, "u", "v").collect()[0].modularity_x1e6 == 0
