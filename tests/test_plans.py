@@ -539,12 +539,18 @@ def _single_partition_offenders(plan: str) -> list[str]:
         if "SinglePartition" not in body:
             continue
         cname, cbody = blocks.get(nid - 1, ("?", ""))
-        agg_partial = (
+        # A GLOBAL aggregate child (no grouping keys) is benign
+        # whichever way it renders: the exchange carries one row per
+        # upstream partition (partial) or one row total (final). A
+        # keyed aggregate always prints its keys — including in the
+        # condensed empty-body form AQE-materialized stages use
+        # (`Keys: []` with `Functions: []`) — so keys-empty alone is
+        # a sound test.
+        agg_global = (
             cname in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-            and "partial_" in cbody
             and ("Keys: []" in cbody or "Keys []" in cbody)
         )
-        if not (agg_partial or cname == "LocalLimit"):
+        if not (agg_global or cname == "LocalLimit"):
             offenders.append(f"Exchange({nid})<-{cname}({nid - 1})")
     return offenders
 
