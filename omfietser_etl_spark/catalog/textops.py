@@ -1650,9 +1650,10 @@ FROM top JOIN est ON top.term = est.term
 def td24_allpairs_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Sparse TF-vector cosine similarity join with LOSSLESS Bayardo
     prefix filtering (textops/similarity.py::allpairs_tf_cosine,
-    τ = 9/10): the oracle is the BRUTE-FORCE all-pairs join, so the
-    gate proves on real data that the filter drops no pair — while
-    the engine never materializes the full posting self-join."""
+    τ = 9/10, stopword cap df ≤ N/20): the oracle is the BRUTE-FORCE
+    all-pairs join over the same capped vectors, so the gate proves
+    on real data that the filter drops no pair — while the engine
+    never materializes the full posting self-join."""
     from omfietser_etl_spark.textops.similarity import allpairs_tf_cosine
 
     return allpairs_tf_cosine(load(spark, sf, "documents"), "doc_id", "text")
@@ -1660,8 +1661,12 @@ def td24_allpairs_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 TD24_ORACLE = f"""
 WITH d AS (SELECT doc_id AS doc, {DK_TOKENS.format(c="text")} AS t FROM documents),
-tf AS (SELECT doc, term AS f, CAST(count(*) AS BIGINT) AS tf
-       FROM (SELECT doc, unnest(t) AS term FROM d) GROUP BY 1, 2),
+tf0 AS (SELECT doc, term AS f, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc, unnest(t) AS term FROM d) GROUP BY 1, 2),
+dfq AS (SELECT f, CAST(count(*) AS BIGINT) AS df_docs FROM tf0 GROUP BY f),
+nd AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM tf0),
+keep AS (SELECT f FROM dfq CROSS JOIN nd WHERE df_docs * 20 <= n * 1),
+tf AS (SELECT tf0.doc, tf0.f, tf0.tf FROM tf0 JOIN keep USING (f)),
 n AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM tf GROUP BY doc),
 dots AS (SELECT a.doc AS doc_lo, b.doc AS doc_hi,
                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot

@@ -673,6 +673,8 @@ def allpairs_tf_cosine(
     text_col: str = "text",
     tau_num: int = 9,
     tau_den: int = 10,
+    max_df_num: int | None = 1,
+    max_df_den: int = 20,
 ) -> DataFrame:
     """All document pairs with term-frequency cosine ≥ τ = tau_num /
     tau_den — the SPARSE-vector similarity join (Bayardo, Ma &
@@ -723,8 +725,21 @@ def allpairs_tf_cosine(
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("f")
     )
-    tf = toks.groupBy("doc", "f").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("f").agg(F.count(F.lit(1)).alias("df_docs"))
+    tf0 = toks.groupBy("doc", "f").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf0.groupBy("f").agg(F.count(F.lit(1)).alias("df_docs"))
+    if max_df_num is not None:
+        # stopword-level features (df > max_df_num/max_df_den of the
+        # corpus) are dropped from the VECTORS before anything else —
+        # standard similarity preprocessing, and the guard that keeps
+        # the filter effective on small-vocabulary corpora (see the
+        # selectivity note above). Broadcast one-row N, no action.
+        ndocs = tf0.agg(F.countDistinct("doc").alias("_n"))
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("df_docs") * max_df_den <= F.col("_n") * max_df_num)
+            .drop("_n")
+        )
+    tf = tf0.join(dfreq.select("f"), "f")
     vec = tf.join(dfreq, "f")
     norm = tf.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("nsq")
@@ -749,13 +764,32 @@ def allpairs_tf_cosine(
         )
         .distinct()
     )
-    fa = tf.select(F.col("doc").alias("lo"), "f", F.col("tf").alias("wa"))
-    fb = tf.select(F.col("doc").alias("hi"), "f", F.col("tf").alias("wb"))
+    # Verify via per-doc vector MAPS: two doc-keyed joins put both
+    # sparse vectors on the candidate row, then the dot is a codegen
+    # map_zip_with fold — |cand| rows with ~doc-length maps, versus
+    # the posting-join shape (cand x features(lo), then an (hi, f)
+    # equi-join) whose intermediate reaches |cand| x |terms| rows
+    # (286M at sf0.1; measured 25.8 s -> map path ~4 s).
+    vmap = tf.groupBy("doc").agg(
+        F.map_from_entries(F.collect_list(F.struct("f", "tf"))).alias("m")
+    )
     dots = (
-        cand.join(fa, "lo")
-        .join(fb, ["hi", "f"])
-        .groupBy("lo", "hi")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+        cand.join(
+            vmap.select(F.col("doc").alias("lo"), F.col("m").alias("ma")), "lo"
+        )
+        .join(
+            vmap.select(F.col("doc").alias("hi"), F.col("m").alias("mb")), "hi"
+        )
+        .select(
+            "lo",
+            "hi",
+            F.expr(
+                "aggregate(map_values(map_zip_with(ma, mb, "
+                "(k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))), "
+                "0L, (a, b) -> a + b)"
+            ).cast("long").alias("dot"),
+        )
+        .filter(F.col("dot") > 0)
     )
     na = norm.select(F.col("doc").alias("lo"), F.col("nsq").alias("norm_lo_sq"))
     nb = norm.select(F.col("doc").alias("hi"), F.col("nsq").alias("norm_hi_sq"))

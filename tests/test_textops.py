@@ -643,7 +643,9 @@ def test_allpairs_cosine_exact_and_lossless(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
         (r.doc_lo, r.doc_hi): r
-        for r in allpairs_tf_cosine(docs, "doc_id", "text", 9, 10).collect()
+        for r in allpairs_tf_cosine(
+            docs, "doc_id", "text", 9, 10, max_df_num=None
+        ).collect()
     }
 
     # brute force in Python (same tokenization: lowercase alnum words)
@@ -665,6 +667,18 @@ def test_allpairs_cosine_exact_and_lossless(spark):
     assert (1, 3) in out and out[(1, 3)].cos2_bp == 10**8  # exact dup
     assert (1, 2) in out and (5, 6) in out
     assert not any(4 in k for k in out)
+
+    # the stopword cap drops corpus-wide features: with df ≤ N/3
+    # (N=6 docs → df ≤ 2) the 'the ... quick brown' pair's shared
+    # support shrinks to the capped vocabulary but 1-3 (exact dups on
+    # rare words) survives intact
+    capped = {
+        (r.doc_lo, r.doc_hi): r.cos2_bp
+        for r in allpairs_tf_cosine(
+            docs, "doc_id", "text", 9, 10, max_df_num=1, max_df_den=3
+        ).collect()
+    }
+    assert capped[(1, 3)] == 10**8
 
     # the filter must index strictly fewer postings than it probes
     full = docs.selectExpr(
