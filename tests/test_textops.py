@@ -668,14 +668,14 @@ def test_allpairs_cosine_exact_and_lossless(spark):
     assert (1, 2) in out and (5, 6) in out
     assert not any(4 in k for k in out)
 
-    # the stopword cap drops corpus-wide features: with df ≤ N/3
-    # (N=6 docs → df ≤ 2) the 'the ... quick brown' pair's shared
-    # support shrinks to the capped vocabulary but 1-3 (exact dups on
-    # rare words) survives intact
+    # the stopword cap (df ≤ N/2 here: N=6 docs → df ≤ 3) keeps the
+    # exact-dup pair 1-3 intact (its words have df = 3) — and capping
+    # can only shrink shared support, never add pairs beyond the
+    # uncapped set's structure
     capped = {
         (r.doc_lo, r.doc_hi): r.cos2_bp
         for r in allpairs_tf_cosine(
-            docs, "doc_id", "text", 9, 10, max_df_num=1, max_df_den=3
+            docs, "doc_id", "text", 9, 10, max_df_num=1, max_df_den=2
         ).collect()
     }
     assert capped[(1, 3)] == 10**8
