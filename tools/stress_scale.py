@@ -171,6 +171,16 @@ def main() -> None:
         "td23_minhash_est_pairs",
         "ts18_perplexity_buckets",
         "tv6_query_likelihood",
+        # round-6 third wave: the sparse AllPairs join (df-capped
+        # prefix filter — the measured claim is candidates stay
+        # sub-quadratic after the cap), per-doc novelty and the
+        # source-containment matrix (both bounded-key equi shuffles),
+        # and the screens→dedup composition (expected ≈ td15 plus a
+        # map-side screen pass)
+        "td24_allpairs_cosine",
+        "ta15_ngram_novelty",
+        "ca2_source_overlap",
+        "tp2_screen_dedup_pipeline",
     ]
     only = {a for a in sys.argv[2:]}
     known = set(FAMILY) | {"td21_sized"}
