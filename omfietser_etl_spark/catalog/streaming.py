@@ -782,6 +782,12 @@ def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     from omfietser_etl_spark.operators.rank import distributed_rank
 
     ev = load(spark, sf, "events")
+    # deliberately NOT persisted: the user frame feeds all three rank
+    # chains, but the events agg is one cheap scan and an A/B showed
+    # the persist HURTS (5.2 s -> 21.7 s cold at sf0.1) — the cached
+    # frame materializes at static width and, like the CC-family
+    # finding in SCALING.md round 6, blocks AQE from re-planning the
+    # downstream joins.
     users = ev.groupBy("user_id").agg(
         F.max(F.expr("ts div 1000")).cast("long").alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("freq"),
