@@ -817,6 +817,65 @@ def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ev8_activity_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the standard
+    one-number concentration diagnostic (how skewed is activity
+    toward power users; the same statistic data-mixture audits run on
+    per-source token shares). ONE row: (n_users, total_events,
+    gini_x1e6).
+
+    Exactness: with counts ranked ascending (ties broken by user_id —
+    any total order over equal values yields the same Σi·x_i sum for
+    the tied block... each permutation of equal x contributes the
+    same Σ), G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) is a ratio of
+    exact integers, DECIMAL-staged (Σ i·x reaches n·total ≈ 10^26 at
+    10^12 users) and emitted as floor millionths — non-negative by
+    construction, so no div-semantics hazard.
+
+    Scale shape: one user-keyed agg over the facts, one distributed
+    exact rank (never a partition-less window), one global agg whose
+    exchange carries partial rows."""
+    from omfietser_etl_spark.operators.rank import distributed_rank
+
+    dec = "decimal(38,0)"
+    ev = load(spark, sf, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ranked = distributed_rank(
+        counts, [F.col("cnt"), F.col("user_id")], rank_col="_rk", scope="ev8"
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.sum(F.expr(f"CAST(_rk AS {dec}) * cnt")).alias("_six"),
+    )
+    return sums.select(
+        "n_users",
+        "total_events",
+        F.expr(
+            f"CAST((CAST(1000000 AS {dec}) * "
+            f"(2 * _six - (n_users + 1) * CAST(total_events AS {dec}))) div "
+            f"(CAST(n_users AS {dec}) * total_events) AS BIGINT)"
+        ).alias("gini_x1e6"),
+    )
+
+
+EV8_ORACLE = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id),
+r AS (SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rk
+      FROM u),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(cnt) AS BIGINT) AS total_events,
+             SUM(CAST(rk AS HUGEINT) * cnt) AS six
+      FROM r)
+SELECT n_users, total_events,
+       CAST((1000000 * (2 * six - (n_users + 1) * CAST(total_events AS HUGEINT)))
+            // (CAST(n_users AS HUGEINT) * total_events) AS BIGINT) AS gini_x1e6
+FROM s
+"""
+
+
 EV7_ORACLE = """
 WITH u AS (SELECT user_id,
                   CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
@@ -869,4 +928,6 @@ SPECS = [
               "Markov event-type transition matrix (exact bp probabilities)"),
     QuerySpec("ev7_rfm_segments", ev7_rfm_segments, EV7_ORACLE,
               "RFM quintile segmentation via distributed exact ranks"),
+    QuerySpec("ev8_activity_gini", ev8_activity_gini, EV8_ORACLE,
+              "exact-integer Gini of per-user activity (power-user skew)"),
 ]

@@ -393,3 +393,42 @@ def test_component_split_never_straddles_and_matches_mixture_for_singletons(spar
     for d, (_, s) in out.items():
         if d not in clustered:
             assert s == base[d]  # singleton behavior == mixture_split
+
+
+def test_activity_gini_hand_checked(spark):
+    """Gini closed form on hand data: perfect equality → 0; a single
+    active user among idlers approaches (n−1)/n; Python replay of the
+    exact formula matches (including the tie-permutation invariance
+    of Σi·x over equal counts)."""
+    from omfietser_etl_spark.catalog.streaming import ev8_activity_gini  # noqa: F401
+    from omfietser_etl_spark.operators.rank import distributed_rank
+    from pyspark.sql import functions as F
+
+    def gini(counts):
+        dec = "decimal(38,0)"
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], "user_id long, cnt long"
+        )
+        ranked = distributed_rank(
+            df, [F.col("cnt"), F.col("user_id")], rank_col="_rk",
+            scope="test.gini",
+        )
+        row = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cnt").cast("long").alias("t"),
+            F.sum(F.expr(f"CAST(_rk AS {dec}) * cnt")).alias("six"),
+        ).selectExpr(
+            f"CAST((CAST(1000000 AS {dec}) * (2 * six - (n + 1) * "
+            f"CAST(t AS {dec}))) div (CAST(n AS {dec}) * t) AS BIGINT) AS g"
+        ).collect()[0]
+        return row.g
+
+    assert gini([5, 5, 5, 5]) == 0                      # perfect equality
+    assert gini([0 + 1, 1, 1, 1, 96]) > 700_000          # one power user
+    # Python replay with a different (but valid) tie order
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    n, t = len(counts), sum(counts)
+    xs = sorted(counts)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (1_000_000 * (2 * six - (n + 1) * t)) // (n * t)
+    assert gini(counts) == expect
