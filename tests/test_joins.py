@@ -240,3 +240,20 @@ def test_modularity_two_triangles(spark):
     one = spark.createDataFrame([(n, 1) for n in range(1, 7)],
                                 "node long, label long")
     assert modularity(edges, one, "u", "v").collect()[0].modularity_x1e6 == 0
+
+
+def test_hits_restores_aqe_cached_plan_conf(spark):
+    """hits() must leave no session-conf residue: it enables AQE
+    cached-plan re-planning only for its own loop (SCALING.md round 6
+    — session-wide the conf breaks the CC loop's exchange-free cached
+    edges), so the value observed after the call must equal the value
+    before, for both settings."""
+    from omfietser_etl_spark.operators.graph import hits
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    for prev in ("false", "true"):
+        spark.conf.set(key, prev)
+        hits(edges, "src", "dst", iters=1).collect()
+        assert spark.conf.get(key) == prev
+    spark.conf.set(key, "false")
