@@ -210,6 +210,40 @@ def j5_multiway_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def j9_salted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe SALTED shuffle join (operators/joins.py::salted_join)
+    gated under the plain-join oracle: lineitem's supplier key is the
+    hot key x7 diagnoses, the big side scatters each key over 16
+    deterministic salts and the small side replicates — output is
+    provably identical to the unsalted join (the oracle IS the plain
+    SQL join), which is exactly the property a salting rewrite must
+    preserve. Revenue follows the j5 exact-basis-points convention."""
+    from omfietser_etl_spark.operators.joins import salted_join
+
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_discount",
+    )
+    supp = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, supp, ["l_suppkey"])
+    return j.groupBy("s_nationkey").agg(
+        exact.sum_bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue_bp"),
+        F.count("*").alias("n_items"),
+    )
+
+
+J9_ORACLE = """
+SELECT s_nationkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_bp,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 J5_ORACLE = """
 SELECT r_name, n_name,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_bp,
@@ -1188,6 +1222,8 @@ SPECS = [
     QuerySpec("dd1_latest_per_key", dd1_latest_per_key, DD1_ORACLE, "DD1/ST3 dedupe"),
     QuerySpec("j1_broadcast_enrich", j1_broadcast_enrich, J1_ORACLE, "J1/J2 broadcast join"),
     QuerySpec("j5_multiway_revenue", j5_multiway_revenue, J5_ORACLE, "J5/J6 multiway join"),
+    QuerySpec("j9_salted_revenue", j9_salted_revenue, J9_ORACLE,
+              "skew-salted shuffle join == plain join (oracle-gated)"),
     QuerySpec("j3_fuzzy_theta", j3_fuzzy_theta, J3_ORACLE, "J3/DD3 fuzzy theta join"),
     QuerySpec("u4_anti_join_missing", u4_anti_join_missing, U4_ORACLE, "U4 anti join"),
     QuerySpec("semi_join_active", semi_join_active, SEMI_ORACLE, "semi join"),
