@@ -2546,6 +2546,17 @@ def dd4_neardup_components(spark: SparkSession, sf: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+def dd5_star_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    2014; textops/dedup.py::connected_components_star) over the SAME
+    td3 LSH pair graph as dd4 — upgrading the O(log²)-round
+    alternative from unit-only to the full driver gate under the
+    identical recursive-CTE oracle: both algorithms must produce the
+    same (node, min-reachable-id) partition."""
+    pairs = dd.minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text")
+    return dd.connected_components_star(pairs)
+
+
 def _dd4_oracle() -> str:
     """Recursive-CTE transitive closure over the SAME pair graph the
     td3 oracle produces; component = min reachable node (order-free,
@@ -2901,6 +2912,8 @@ SPECS = [
     QuerySpec("ta4_fingerprint", ta4_fingerprint, TA4_ORACLE, "doc fingerprint hash"),
     QuerySpec("dd4_neardup_components", dd4_neardup_components, _dd4_oracle(),
               "near-dup connected components"),
+    QuerySpec("dd5_star_components", dd5_star_components, _dd4_oracle(),
+              "large-star/small-star CC == min-label CC (same oracle)"),
     QuerySpec("td15_fuzzy_dedup_e2e", td15_fuzzy_dedup_e2e, _td15_oracle(),
               "fuzzy dedup end-to-end (LSH → components → keep/drop)"),
     QuerySpec("tc1_doc_chunking", tc1_doc_chunking, TC1_ORACLE,
