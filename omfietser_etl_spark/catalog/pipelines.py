@@ -386,9 +386,53 @@ FROM part WHERE p_partkey % 4 <> 3
 """
 
 
+def f5_incomplete_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 incomplete-row filter under the gate (ref dedupe.ts:83-93):
+    a controlled incompleteness pattern is injected into p1's unified
+    output (p_partkey%3==0 → title NULL, %3==1 → title '', %5==0 →
+    current_price NULL) and drop_incomplete must keep exactly the
+    rows the oracle's replay of the JS-truthiness rules keeps —
+    upgrading F5 from unit-only to the driver gate."""
+    from omfietser_etl_spark.textops.dedup import drop_incomplete
+
+    u = p1_ah_pipeline(spark, sf)
+    k = F.col("p_partkey")
+    mangled = u.withColumn(
+        "title",
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .when(k % 3 == 1, F.lit(""))
+        .otherwise(F.col("title")),
+    ).withColumn(
+        "current_price",
+        F.when(k % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("current_price")),
+    )
+    return drop_incomplete(mangled).select(
+        "p_partkey", "unified_id", "shop_type", "title", "current_price"
+    )
+
+
+F5_ORACLE = f"""
+SELECT p_partkey, unified_id, shop_type, title, current_price FROM (
+  SELECT p_partkey, unified_id, shop_type,
+         CASE WHEN p_partkey % 3 = 0 THEN NULL
+              WHEN p_partkey % 3 = 1 THEN ''
+              ELSE title END AS title,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL
+              ELSE current_price END AS current_price
+  FROM ({P1_ORACLE}) AS _p1
+) WHERE current_price IS NOT NULL
+  AND unified_id IS NOT NULL AND CAST(unified_id AS VARCHAR) <> ''
+  AND shop_type IS NOT NULL AND CAST(shop_type AS VARCHAR) <> ''
+  AND title IS NOT NULL AND CAST(title AS VARCHAR) <> ''
+"""
+
+
 SPECS = [
     QuerySpec("p1_ah_pipeline", p1_ah_pipeline, P1_ORACLE,
               "P1 full AH raw→unified pipeline"),
+    QuerySpec("f5_incomplete_filter", f5_incomplete_filter, F5_ORACLE,
+              "F5 JS-truthiness incomplete-row filter (gated on p1 output)"),
     QuerySpec("p2_jumbo_pipeline", p2_jumbo_pipeline, P2_ORACLE,
               "P2 full jumbo raw→unified pipeline"),
     QuerySpec("p3_aldi_pipeline", p3_aldi_pipeline, P3_ORACLE,
