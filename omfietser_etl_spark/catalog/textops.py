@@ -1672,8 +1672,11 @@ dots AS (SELECT a.doc AS doc_lo, b.doc AS doc_hi,
                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
          FROM tf a JOIN tf b USING (f) WHERE a.doc < b.doc GROUP BY 1, 2)
 SELECT doc_lo, doc_hi, dot, na.nsq AS norm_lo_sq, nb.nsq AS norm_hi_sq,
-       CAST((100000000 * CAST(dot AS HUGEINT) * dot)
-            // (CAST(na.nsq AS HUGEINT) * nb.nsq) AS BIGINT) AS cos2_bp
+       CAST(10000 * ((10000 * CAST(dot AS HUGEINT) * dot)
+                     // (CAST(na.nsq AS HUGEINT) * nb.nsq))
+            + ((10000 * ((10000 * CAST(dot AS HUGEINT) * dot)
+                         % (CAST(na.nsq AS HUGEINT) * nb.nsq)))
+               // (CAST(na.nsq AS HUGEINT) * nb.nsq)) AS BIGINT) AS cos2_bp
 FROM dots
 JOIN n na ON na.doc = dots.doc_lo
 JOIN n nb ON nb.doc = dots.doc_hi

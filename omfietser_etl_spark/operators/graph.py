@@ -552,6 +552,12 @@ def hits(
     """
     from omfietser_etl_spark import cacheutil
 
+    if iters < 1:
+        # iters=0 would leave the auth frame undefined at the final
+        # h⋈a join (and flip the session conf for nothing) — there is
+        # no meaningful zero-round HITS, so fail before touching any
+        # session state.
+        raise ValueError(f"hits() requires iters >= 1, got {iters}")
     cacheutil.release("hits")
     # Let AQE re-plan the cached/checkpointed materializations for
     # the DURATION OF THE LOOP (38.8 s -> ~7 s at gate scale under
@@ -751,13 +757,21 @@ def modularity(
             F.expr(f"4 * CAST(m_edges AS {dec}) * e_c - CAST(d_c AS {dec}) * d_c")
         ).alias("q_num"),
     )
+    # Empty-graph guard: m_edges = 0 makes the denominator 0 — Spark
+    # (non-ANSI) would emit a NULL row while DuckDB raises, a silent
+    # engine divergence on degenerate input. Q is 0/undefined on an
+    # empty edge set anyway, so greatest(m_edges, 1) keeps both
+    # engines on the same (NULL-modularity, 0-edge) row; m_edges
+    # itself coalesces to 0 because Spark's max() over the empty
+    # per-community frame is NULL where the oracle's count(*) is 0.
     return q.select(
         "n_communities",
-        "m_edges",
+        F.coalesce(F.col("m_edges"), F.lit(0).cast("long")).alias("m_edges"),
         F.expr(
             f"CAST(CASE WHEN q_num < 0 THEN -1 ELSE 1 END * "
             f"((CAST(1000000 AS {dec}) * abs(q_num)) div "
-            f"(4 * CAST(m_edges AS {dec}) * m_edges)) AS BIGINT)"
+            f"(4 * CAST(greatest(m_edges, 1) AS {dec}) * greatest(m_edges, 1)))"
+            f" AS BIGINT)"
         ).alias("modularity_x1e6"),
     )
 
@@ -795,7 +809,8 @@ q7_q AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
 SELECT q7_q.n_communities, q7_m.m_edges,
        CAST((CASE WHEN q7_q.q_num < 0 THEN -1 ELSE 1 END)
             * ((1000000 * abs(q7_q.q_num))
-               // (4 * CAST(q7_m.m_edges AS HUGEINT) * q7_m.m_edges)) AS BIGINT)
+               // (4 * CAST(greatest(q7_m.m_edges, 1) AS HUGEINT)
+                   * greatest(q7_m.m_edges, 1))) AS BIGINT)
          AS modularity_x1e6
 FROM q7_q CROSS JOIN q7_m
 """

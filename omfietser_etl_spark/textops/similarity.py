@@ -667,6 +667,30 @@ def mmr_diversify(
     return out.select("step", "nid", F.round("mmr", 6).alias("mmr"))
 
 
+def cos2_bp_expr(
+    dot: str = "dot",
+    norm_lo_sq: str = "norm_lo_sq",
+    norm_hi_sq: str = "norm_hi_sq",
+) -> str:
+    """SQL for cos2_bp = floor(10^8·dot² / (‖a‖²‖b‖²)) as the
+    two-stage exact division 10^4·q + (10^4·r) div D, where q/r are
+    the quotient/remainder of (10^4·dot²) by D = norm_lo_sq·norm_hi_sq.
+    Every intermediate stays ≤ 10^36 at the documented envelope
+    (dot ≤ 10^16, so r < D ≤ 10^32) — the naive 10^8·dot² form
+    reaches 10^40 > DECIMAL(38,0), where Spark's non-ANSI decimal
+    overflow yields NULL silently while the oracle's HUGEINT errors
+    loudly. Exactness: q ≤ 10^4 by Cauchy–Schwarz (dot² ≤ D), and
+    10^8·dot² = 10^4·q·D + 10^4·r, so flooring the second term gives
+    the same value as the one-shot division."""
+    dec = "decimal(38,0)"
+    t4 = f"(CAST(10000 AS {dec}) * {dot} * {dot})"
+    d = f"(CAST({norm_lo_sq} AS {dec}) * {norm_hi_sq})"
+    return (
+        f"CAST(10000 * ({t4} div {d}) + "
+        f"((10000 * ({t4} % {d})) div {d}) AS BIGINT)"
+    )
+
+
 def allpairs_tf_cosine(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -706,7 +730,10 @@ def allpairs_tf_cosine(
     the BRUTE-FORCE all-pairs join — the gate therefore also proves
     the prefix filter lossless on real data. cos2_bp =
     floor(10^8·dot²/(‖a‖²‖b‖²)) (basis points of cos², monotone in
-    cosine).
+    cosine), computed as the two-stage division 10^4·q + (10^4·r) div
+    D with q/r the quotient/remainder of (10^4·dot²) by D = ‖a‖²‖b‖²
+    so no intermediate exceeds 10^36 at the envelope (the naive
+    10^8·dot² reaches 10^40 > DECIMAL(38,0), a silent-NULL overflow).
 
     Scale shape: per-doc quantities never grow with the corpus (doc
     length bounds them); the candidate join's per-feature fan-out is
@@ -808,9 +835,6 @@ def allpairs_tf_cosine(
             "dot",
             "norm_lo_sq",
             "norm_hi_sq",
-            F.expr(
-                f"CAST((CAST(100000000 AS {dec}) * dot * dot) div "
-                f"(CAST(norm_lo_sq AS {dec}) * norm_hi_sq) AS BIGINT)"
-            ).alias("cos2_bp"),
+            F.expr(cos2_bp_expr()).alias("cos2_bp"),
         )
     )

@@ -257,3 +257,43 @@ def test_hits_restores_aqe_cached_plan_conf(spark):
         hits(edges, "src", "dst", iters=1).collect()
         assert spark.conf.get(key) == prev
     spark.conf.set(key, "false")
+
+
+def test_hits_rejects_zero_iters(spark):
+    """ADVICE r06: iters=0 used to leave the auth frame undefined and
+    crash at the final join AFTER flipping the session AQE conf —
+    now it raises up front, before touching any session state."""
+    import pytest
+
+    from omfietser_etl_spark.operators.graph import hits
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    spark.conf.set(key, "false")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(edges, "src", "dst", iters=0)
+    assert spark.conf.get(key) == "false"
+
+
+def test_modularity_empty_graph_matches_oracle(spark):
+    """ADVICE r06: an empty undirected edge set made the denominator
+    4·m² = 0 — Spark emitted a NULL row while DuckDB raised. Both
+    engines now agree on the degenerate (0 communities, 0 edges,
+    NULL modularity) row via greatest(m_edges, 1)."""
+    import duckdb
+
+    from omfietser_etl_spark.operators.graph import (
+        modularity,
+        modularity_oracle_sql,
+    )
+
+    edges = spark.createDataFrame([(1, 1)], "u long, v long")  # self-loop only
+    lab = spark.createDataFrame([(1, 1)], "node long, label long")
+    row = modularity(edges, lab, "u", "v").collect()[0]
+    assert (row.n_communities, row.m_edges, row.modularity_x1e6) == (0, 0, None)
+
+    sql = modularity_oracle_sql(
+        "SELECT 1 AS u, 1 AS v", "SELECT 1 AS node, 1 AS label"
+    )
+    orc = duckdb.sql(sql).fetchall()[0]
+    assert orc == (0, 0, None)

@@ -700,3 +700,52 @@ def test_allpairs_cosine_exact_and_lossless(spark):
             if 10 * cum >= 9 * nsq:
                 indexed += 1
     assert 0 < indexed < full
+
+
+def test_cos2_bp_expr_exact_and_overflow_safe(spark):
+    """ADVICE r06: the one-shot 10^8·dot² staging overflowed
+    DECIMAL(38,0) at the documented envelope (dot = 10^16 →
+    10^40), silently NULLing in Spark while the HUGEINT oracle
+    errored. The two-stage division must (a) return the exact
+    floor(10^8·dot²/D) on arbitrary in-envelope values and (b)
+    survive the envelope's worst case, where the naive form NULLs."""
+    from pyspark.sql import functions as F
+
+    from omfietser_etl_spark.textops.similarity import cos2_bp_expr
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(10**16, 10**16, 10**16)]  # envelope worst case: cos² = 1
+    for _ in range(50):
+        nlo = rng.randint(1, 10**16)
+        nhi = rng.randint(1, 10**16)
+        # Cauchy–Schwarz: dot² ≤ nlo·nhi
+        dot = rng.randint(1, int((nlo * nhi) ** 0.5))
+        rows.append((dot, nlo, nhi))
+    df = spark.createDataFrame(
+        rows, "dot long, norm_lo_sq long, norm_hi_sq long"
+    )
+    got = [
+        r.bp
+        for r in df.select(F.expr(cos2_bp_expr()).alias("bp")).collect()
+    ]
+    want = [(10**8 * d * d) // (a * b) for d, a, b in rows]
+    assert got == want
+    assert got[0] == 10**8  # the case the naive form turned into NULL
+
+    # the naive single-stage form overflows DECIMAL(38,0) at the
+    # envelope — silent NULL under non-ANSI, ArithmeticException
+    # under ANSI (the Spark 4 default). Pin that it fails either way;
+    # the staged expression above is what avoids both.
+    dec = "decimal(38,0)"
+    try:
+        naive = df.limit(1).select(
+            F.expr(
+                f"CAST((CAST(100000000 AS {dec}) * dot * dot) div "
+                f"(CAST(norm_lo_sq AS {dec}) * norm_hi_sq) AS BIGINT)"
+            ).alias("bp")
+        ).collect()[0].bp
+        assert naive is None
+    except Exception as exc:  # noqa: BLE001 — ANSI overflow path
+        assert "Decimal" in str(exc) or "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc)
