@@ -539,7 +539,18 @@ def _td4_oracle() -> str:
 NEARDUP_TAU = 0.45
 ANN_K = 5
 ANN_QUERY_BOUND = 10  # vec_id < bound → query set
-IVF_CENTROID_MOD = 25  # vec_id % mod == 0 → codebook member
+#: Gate certification scale for the embeddings table (sf0.01 = 500
+#: vectors). Every embedding-family key-space constant below derives
+#: from it through the measured sizing rules, so a lifted spec can't
+#: silently saturate: re-evaluate the helper at the new N instead of
+#: copying the literal (SCALING.md round-6, td21 12.3× wall).
+EMB_GATE_N = 500
+#: vec_id % mod == 0 → codebook member. √N geometry via the sizing
+#: helper the round-6 stress certified (C ≈ √N, faiss nlist rule) —
+#: evaluated at the gate N so the oracle literal and the Spark build
+#: can never diverge.
+IVF_CENTROID_MOD = sim.ivf_centroid_mod_for(EMB_GATE_N)
+assert IVF_CENTROID_MOD == 22, "gate codebook rule is certified at 22"
 IVF_PROBES = 2
 
 
@@ -1007,11 +1018,8 @@ SELECT qid, rank, nid, round(dot, 6) AS sim FROM rr WHERE rank <= {ANN_K}
 
 
 #: Codebook size derived from the sizing rule the 10× stress proved
-#: (k ∝ N — clustering.semdedup_k_for): the gate certification scale
-#: is the sf0.01 embeddings table (500 vectors), giving k=8 at the
-#: 64-vector cluster target. Pinned via the hint (not live data) so
-#: the oracle literal and the Spark build can never diverge.
-EMB_GATE_N = 500
+#: (k ∝ N — clustering.semdedup_k_for), evaluated at the shared
+#: EMB_GATE_N defined with the embedding-family constants above.
 from omfietser_etl_spark.textops.clustering import semdedup_k_for  # noqa: E402
 
 KMEANS_K = semdedup_k_for(EMB_GATE_N)
