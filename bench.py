@@ -12,12 +12,13 @@ Env:
 
 Host-noise calibration: BENCH_HISTORY proved whole-run 2x wobble on
 this host (the same 115-query catalog ran 66.8s and 136.0s hours
-apart, zero code changes), so a fixed sentinel query runs at the
-start AND end of every bench. Its median vs SENTINEL_REF (the
-best-window median committed with the calibration change) yields
-host_factor; the JSON carries both the raw total and
-value_normalized = total / host_factor, and cross-round comparisons
-should use the normalized number (or best-window raw totals).
+apart, zero code changes), so a battery of FIVE frozen sentinel
+shapes (see SENTINEL_REFS) runs at the start AND end of every bench.
+host_factor = median of the per-shape end/ref ratios; host_spread =
+max/min ratio flags unevenly-loaded windows. The JSON carries the raw
+total and value_normalized = total / host_factor; cross-round
+comparisons should use the normalized number only when host_spread is
+small (≲1.3), else prefer best-window raw totals.
 
 Prints ONE compact JSON line (the driver captures only the last ~2KB
 of stdout, so the official artifact must fit):
@@ -38,20 +39,115 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: calibration queries with best-window END-of-run reference medians
-#: (sf0.1, local[32], measured round 4). Two axes because shared-host
-#: contention is not uniform: an IO-bound scan can read near-reference
-#: while CPU-heavy queries run 2x slow (observed round 4 — an
-#: interleaved A/B of r3-vs-r4 code showed identical timings while
-#: the same queries ran 2x faster in an r3-era window). s1 = parquet
-#: scan + pushed filter (IO axis); ta4 = codegen polynomial
-#: fingerprint over documents (CPU axis). host_factor = mean of the
-#: per-sentinel end/ref ratios; END only, because every run reaches
-#: it through the identical full-catalog workload (the fresh-session
-#: START sentinel runs ~1.5-2x slower — JIT warm-up — and is
-#: recorded for diagnostics only).
-SENTINELS = {"s1_scan_pushdown": 0.19, "ta4_fingerprint": 0.50}
+#: Host-noise calibration, round-7 instrument. The round-6 2-sentinel
+#: design (two sub-second CATALOG queries) disagreed with a
+#: clean-window rerun by 27% (driver host_factor 1.47 vs builder
+#: 1.034, see SCALING.md) — sub-second shapes are dominated by fixed
+#: per-query overhead, and refs pinned to catalog queries silently go
+#: stale when the query itself is optimized. The sentinels are now
+#: FIVE frozen shapes defined HERE (never touched by catalog work),
+#: each ≥ ~1.5-4.5 s at sf0.1/local[32], spanning the contention axes
+#: shared-host load hits non-uniformly: parquet scan+decode (io),
+#: wide-key exchange+agg (shuffle), whole-stage-codegen arithmetic
+#: (cpu), partitioned sort+window (sort), and the Arrow/Python worker
+#: path (arrow). host_factor = MEDIAN of the per-sentinel end/ref
+#: ratios (robust to one polluted axis); host_spread = max/min ratio
+#: is reported alongside — read cross-round deltas only when spread
+#: is small (≲1.3), otherwise the window was unevenly loaded.
+#: END-battery only, as before: every run reaches it through the
+#: identical full-catalog workload; the fresh-session START battery
+#: (JIT warm-up) is recorded for diagnostics.
+#: Refs: best-window medians (min of two 5-rep clean-window batteries,
+#: 2026-08-15, this host).
+SENTINEL_REFS = {
+    "io_scan": 1.589,
+    "shuffle_agg": 1.539,
+    "cpu_codegen": 2.330,
+    "sort_window": 4.164,
+    "arrow_python": 2.646,
+}
 SENTINEL_REPS = 5
+
+
+def _sentinel_shapes():
+    """name -> build(spark, sf_dir) -> DataFrame. Frozen: changing any
+    shape (or data size) invalidates SENTINEL_REFS — re-measure and
+    re-pin together, never independently."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def io_scan(spark, sf_dir):
+        # parquet scan+decode throughput: 40x full-width reads of the
+        # largest table, one cheap hash-fold so nothing is pruned.
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = df
+        for _ in range(39):
+            out = out.unionByName(df)
+        h = F.pmod(F.xxhash64(*df.columns), F.lit(1000000007)).cast("long")
+        return out.select(F.sum(h).alias("h"))
+
+    def shuffle_agg(spark, sf_dir):
+        # wide string-key exchange + two-level hash agg.
+        base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df = base.unionByName(base).unionByName(base).unionByName(base)
+        return (
+            df.withColumn(
+                "k", F.concat_ws("-", "l_orderkey", "l_partkey", "l_linenumber")
+            )
+            .repartition(128, "k")
+            .groupBy("k")
+            .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy(F.crc32(F.col("k")) % 9973)
+            .agg(F.sum("s").alias("t"), F.sum("n").alias("m"))
+        )
+
+    def cpu_codegen(spark, sf_dir):
+        # pure whole-stage-codegen arithmetic, data-independent.
+        x = F.col("id")
+        acc = F.lit(0).cast("long")
+        for i in range(4):
+            acc = acc + F.pmod(F.xxhash64(x + F.lit(i)), F.lit(1000000007))
+        return spark.range(1_500_000_000).select(F.sum(acc).alias("h"))
+
+    def sort_window(spark, sf_dir):
+        # partitioned sort + frame-walking window, synthetic keys.
+        df = spark.range(20_000_000).select(
+            (F.col("id") % 64).alias("b"),
+            ((F.col("id") * 2654435761) % 1000000007).alias("k"),
+        )
+        w = Window.partitionBy("b").orderBy("k")
+        return df.select(
+            (F.col("k") - F.lag("k", 1, 0).over(w)).alias("d")
+        ).agg(F.sum("d").alias("s"))
+
+    def arrow_python(spark, sf_dir):
+        # Arrow batch transfer + Python worker round-trip (closure
+        # pickled by value — no repo imports in the worker).
+        df = spark.range(16_000_000).select(
+            F.col("id"), (F.col("id") % 997).alias("v")
+        )
+
+        def fold(it):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"s": [int((pdf.id * pdf.v).sum())], "n": [len(pdf)]}
+                )
+
+        return (
+            df.repartition(32)
+            .mapInPandas(fold, "s long, n long")
+            .agg(F.sum("s").alias("t"), F.sum("n").alias("n"))
+        )
+
+    return {
+        "io_scan": io_scan,
+        "shuffle_agg": shuffle_agg,
+        "cpu_codegen": cpu_codegen,
+        "sort_window": sort_window,
+        "arrow_python": arrow_python,
+    }
 
 
 def _time_query(build, spark, sf_dir) -> float:
@@ -102,8 +198,12 @@ def main() -> None:
     # plan, not session startup.
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    shapes = _sentinel_shapes()
+    for build in shapes.values():  # one warm lap (JIT/codegen)
+        _time_query(build, spark, sf_dir)
     sentinel_start = {
-        name: _sentinel_median(qs[name], spark, sf_dir) for name in SENTINELS
+        name: _sentinel_median(build, spark, sf_dir)
+        for name, build in shapes.items()
     }
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
@@ -113,15 +213,14 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     sentinel_end = {
-        name: _sentinel_median(qs[name], spark, sf_dir) for name in SENTINELS
+        name: _sentinel_median(build, spark, sf_dir)
+        for name, build in shapes.items()
     }
-    host_factor = round(
-        max(
-            0.25,
-            statistics.mean(sentinel_end[n] / ref for n, ref in SENTINELS.items()),
-        ),
-        3,
-    )
+    ratios = {
+        n: round(sentinel_end[n] / ref, 3) for n, ref in SENTINEL_REFS.items()
+    }
+    host_factor = round(max(0.25, statistics.median(ratios.values())), 3)
+    host_spread = round(max(ratios.values()) / max(min(ratios.values()), 1e-9), 3)
 
     # family rollups (prefix-keyed) so cross-round artifact diffs read
     # at a glance; "other" catches anything unprefixed.
@@ -145,11 +244,13 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "sentinel": {
-            "refs": SENTINELS,
+            "refs": SENTINEL_REFS,
             "start": sentinel_start,
             "end": sentinel_end,
+            "ratios": ratios,
         },
         "host_factor": host_factor,
+        "host_spread": host_spread,
         "value_normalized": round(total / host_factor, 3),
         "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
     }
