@@ -36,6 +36,7 @@ import json
 import os
 import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,12 +49,25 @@ _VERSION_RE = re.compile(r"^v_(\d{8})$")
 
 
 def _atomic_write(path: str, data: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    # The tmp name must be unique PER WRITER: with a fixed `path + ".tmp"`
+    # two concurrent committers interleave on the same tmp file — one
+    # renames the other's tmp away (FileNotFoundError on the loser) and
+    # the surviving _CURRENT can carry the wrong writer's bytes. Found
+    # by the two-process race test (round 7); pid+uuid keeps the
+    # write-tmp + fsync + atomic-rename protocol truly last-wins.
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # only on a failed replace
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def _versions(path: str) -> list[int]:
@@ -64,6 +78,25 @@ def _versions(path: str) -> list[int]:
     return sorted(
         int(m.group(1)) for n in names if (m := _VERSION_RE.match(n))
     )
+
+
+def claim_version(path: str) -> tuple[int, str]:
+    """Atomically claim the next free version directory under ``path``
+    and return (version, vdir). os.mkdir either wins or raises
+    FileExistsError, so two concurrent writers (processes, not just
+    threads) can never claim the same v_N, overwrite each other's
+    parquet, or race the ``_CURRENT`` flip — the loser claims the next
+    number. Raced for real in
+    tests/test_export.py::test_concurrent_writers_claim_distinct_versions."""
+    os.makedirs(path, exist_ok=True)
+    version = (_versions(path) or [0])[-1] + 1
+    while True:
+        vdir = os.path.join(path, f"v_{version:08d}")
+        try:
+            os.mkdir(vdir)
+            return version, vdir
+        except FileExistsError:
+            version += 1
 
 
 def _current_dir(path: str) -> str:
@@ -91,21 +124,10 @@ def write_training_shards(
     rows, without reading data.
     """
     spark = df.sparkSession
-    # Claim the version dir atomically: os.mkdir either wins or raises
-    # FileExistsError, so two concurrent writers can never pick the
-    # same v_N, overwrite each other's parquet, or race the _CURRENT
-    # flip — the loser just claims the next number. (The flip itself
-    # is already an atomic rename; last committed flip wins.)
-    os.makedirs(path, exist_ok=True)
-    version = (_versions(path) or [0])[-1] + 1
-    while True:
-        vname = f"v_{version:08d}"
-        vdir = os.path.join(path, vname)
-        try:
-            os.mkdir(vdir)
-            break
-        except FileExistsError:
-            version += 1
+    # Claim the version dir atomically (see claim_version: the flip
+    # itself is an atomic rename; last committed flip wins).
+    version, vdir = claim_version(path)
+    vname = os.path.basename(vdir)
 
     # Shards land in vdir/data with the NON-destructive default write
     # mode: an overwrite write straight into vdir would first delete

@@ -88,15 +88,31 @@ def _read_manifest(state_dir: str) -> dict | None:
 def _commit_manifest(state_dir: str, manifest: dict) -> None:
     """Atomic pointer swap: write-fsync a temp file, os.replace() it
     onto _CURRENT. Readers see the old manifest or the new one, never
-    a torn write."""
+    a torn write. The tmp name is per-writer-unique (pid+uuid): a
+    FIXED tmp name lets two concurrent committers interleave on the
+    same tmp file — one renames the other's tmp away and the surviving
+    pointer can carry the wrong writer's bytes (the export-sink race
+    test caught exactly this, round 7). The state store is
+    single-writer by contract, but the commit primitive should not be
+    the thing that breaks when the contract is."""
     import json
+    import uuid
 
-    tmp = os.path.join(state_dir, f".{_MANIFEST}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(state_dir, _MANIFEST))
+    tmp = os.path.join(
+        state_dir, f".{_MANIFEST}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(state_dir, _MANIFEST))
+    finally:
+        if os.path.exists(tmp):  # only on a failed replace
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def _gc_versions(state_dir: str, manifest: dict) -> None:

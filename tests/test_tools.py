@@ -116,3 +116,35 @@ def test_bench_sentinel_shapes_build_and_run(spark):
         assert df.columns  # analysis succeeded
         if name in ("io_scan", "shuffle_agg"):
             assert df.collect()  # real data path end-to-end
+
+
+def test_coverage_ledger_in_sync_with_artifacts():
+    """The generated COVERAGE.md certification ledger must agree with a
+    from-scratch recomputation over every CORRECTNESS artifact using the
+    same green() rule — a stale ledger misleads provenance readers."""
+    import glob
+    import json
+    import re
+
+    mod = _load_update_certified()
+    from omfietser_etl_spark.catalog import all_specs
+
+    rows_only = {s.name for s in all_specs() if s.oracle is None}
+    earliest, latest = {}, {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if mod.green(row, name in rows_only):
+                latest[name] = max(latest.get(name, 0), rnd)
+                earliest.setdefault(name, rnd)
+
+    src = open(os.path.join(ROOT, "COVERAGE.md")).read()
+    assert mod.LEDGER_BEGIN in src and mod.LEDGER_END in src
+    block = src.split(mod.LEDGER_BEGIN)[1].split(mod.LEDGER_END)[0]
+    got = {
+        m.group(1): (int(m.group(2)), int(m.group(3)))
+        for m in re.finditer(r"\| (\w+) \| r(\d+) \| r(\d+) \|", block)
+    }
+    want = {n: (earliest[n], latest[n]) for n in latest}
+    assert got == want
+    assert f"{len(latest)} certified queries." in block

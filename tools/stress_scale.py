@@ -75,6 +75,38 @@ def build_corpus() -> None:
         )
         con.close()
 
+    # Graph-family corpus (g1-g7): 10 offset copies of orders+lineitem.
+    # o_orderkey/l_orderkey/o_custkey/l_partkey shift per copy (10x
+    # rows, 10x customers/parts) but l_suppkey is deliberately NOT
+    # offset: the supplier side of the g1/g6 purchase graph keeps its
+    # 1x node set, so every supplier's in-degree grows 10x — the hub/
+    # skew axis a plain disjoint-copies corpus would never exercise
+    # (the degree-ordered triangle orientation and the per-node aggs
+    # must absorb 10x-hot keys, not just 10x-more keys). The part
+    # co-occurrence graph (parts offset) scales as 10 disjoint copies
+    # — constant local density, the linear-time claim.
+    for tbl, repl in (
+        ("orders", "o_orderkey + {off} AS o_orderkey, "
+                   "o_custkey + {off} AS o_custkey"),
+        ("lineitem", "l_orderkey + {off} AS l_orderkey, "
+                     "l_partkey + {off} AS l_partkey"),
+    ):
+        out = os.path.join(STRESS, f"{tbl}.parquet")
+        if os.path.exists(out):
+            continue
+        con = duckdb.connect()
+        copies = " UNION ALL ".join(
+            f"SELECT * REPLACE ({repl.format(off=k * OFFSET)}) FROM base"
+            for k in range(COPIES)
+        )
+        con.execute(
+            f"""
+            CREATE VIEW base AS SELECT * FROM read_parquet('{BASE}/{tbl}.parquet');
+            COPY ({copies}) TO '{out}' (FORMAT parquet);
+            """
+        )
+        con.close()
+
     emb_out = os.path.join(STRESS, "embeddings.parquet")
     if not os.path.exists(emb_out):
         t = pq.read_table(os.path.join(BASE, "embeddings.parquet"))
@@ -181,6 +213,21 @@ def main() -> None:
         "ta15_ngram_novelty",
         "ca2_source_overlap",
         "tp2_screen_dedup_pipeline",
+        # round-7: the graph family. g1/g6 run on the purchase graph
+        # whose supplier hubs get 10x HOTTER (suppliers unoffset in
+        # the stress corpus); g2-g5/g7 run on 10 disjoint copies of
+        # the part co-occurrence graph (10x nodes+edges, constant
+        # density). Claims under test: degree-ordered orientation's
+        # O(m sqrt m) wedge bound (g2), linear per-round joins for the
+        # fixed-K loops (g1/g4/g5/g6), and the wedge-stage hub bound
+        # after support pruning (g3).
+        "g1_pagerank",
+        "g2_triangle_count",
+        "g3_adamic_adar",
+        "g4_kcore",
+        "g5_label_propagation",
+        "g6_hits",
+        "g7_modularity",
     ]
     only = {a for a in sys.argv[2:]}
     known = set(FAMILY) | {"td21_sized"}
@@ -273,6 +320,12 @@ def main() -> None:
             bands=4, rows=16, on_subnoise="warn",
         ).count()
         return time.perf_counter() - t0, rows
+
+    # one discarded warm-up lap (first selected query at 1x): the very
+    # first action pays JVM/codegen/parquet-footer warm-up that would
+    # otherwise inflate t_1x of the first row and deflate its ratio.
+    if FAMILY:
+        run(FAMILY[0], BASE)
 
     print(f"# stress: {BASE} (1x) vs {STRESS} (10x)\n")
     print("| query | t_1x (s) | t_10x (s) | t ratio | rows_1x | rows_10x | rows ratio |")
