@@ -22,10 +22,13 @@ classic simplification — both engines replay it identically).
 Scale shape (100 TB posture):
 - the whole K-iteration computation is ONE action, so the static
   edges+degree subtree appears K times in the plan and Spark's
-  ReuseExchange materializes its shuffle ONCE — no persist() and no
-  pinned repartition needed (a pinned partition count would also
-  defeat AQE's small-input coalescing: K × hundreds of near-empty
-  tasks is pure scheduler overhead at gate scale);
+  ReuseExchange materializes its shuffles ONCE — pagerank's static
+  subtrees (distinct, groupBy) each END in an exchange, which is what
+  makes them reusable; no persist() needed (round-7 A/B: caching them
+  was 1.5x SLOWER). Loops whose per-round probe side has NO exchange
+  (kcore/LPA join broadcast-small frames directly over the doubled
+  edge union) get the opposite treatment — _register_loop_static;
+  see that helper's docstring and SCALING.md round 7;
 - one iteration = the edges⋈ranks hash join + one groupBy(dst) + a
   node-keyed left join: shuffles of rank-sized frames, all parallel,
   partition counts AQE-sized;
@@ -44,6 +47,50 @@ PR_SCALE = 1_000_000
 PR_NUM = 85      # damping numerator
 PR_DEN = 100     # damping denominator
 
+#: AQE cached-plan re-planning — decided PER CACHED PLAN at persist
+#: registration time, not at execution (unit-pinned below), so the
+#: save/restore window only needs to span the .persist() call.
+_AQE_CACHED_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+def _register_loop_static(df: DataFrame, scope: str) -> DataFrame:
+    """Persist a loop-static frame under ``scope`` with AQE allowed to
+    re-plan reads of the cached partitions, restoring the session conf
+    immediately after registration.
+
+    Why (round-7 A/B at sf0.1, kcore): the per-round joins broadcast
+    the small rank/alive/label side, so WITHOUT a cache the whole
+    edge-build subtree (e.g. the lineitem self-join) re-executes every
+    round — ReuseExchange never fires because the probe side has no
+    exchange (~6.5 s). A plain .persist() fixes the recompute but PINS
+    the cached plan's 200/400-partition layout, and every round then
+    schedules hundreds of near-empty tasks (~12 s — WORSE). Persisting
+    under this conf gets both: one materialization AND AQE-coalesced
+    reads (~3.9 s). The conf choice is captured when the plan is
+    REGISTERED with the cache manager (the .persist() call), so it is
+    restored before returning — queries running later in the session
+    (e.g. the CC loop, whose cached pre-partitioned edges the conf
+    would break — SCALING.md round 6) never see it.
+
+    The cache is registered under ``scope`` and freed by the NEXT
+    invocation of the same operator (cacheutil.release at entry) —
+    the hits()/CC-loop discipline for repeated catalog runs."""
+    from omfietser_etl_spark import cacheutil
+
+    spark = df.sparkSession
+    try:
+        prev = spark.conf.get(_AQE_CACHED_KEY)
+    except Exception:  # noqa: BLE001 — unset and no default
+        prev = None
+    spark.conf.set(_AQE_CACHED_KEY, "true")
+    try:
+        return cacheutil.register(scope, df.persist())
+    finally:
+        if prev is None:
+            spark.conf.unset(_AQE_CACHED_KEY)
+        else:
+            spark.conf.set(_AQE_CACHED_KEY, prev)
+
 
 def pagerank(
     edges: DataFrame,
@@ -55,7 +102,17 @@ def pagerank(
     damp_den: int = PR_DEN,
 ) -> DataFrame:
     """(node, rank_q) after ``iters`` exact integer PageRank updates
-    over the DISTINCT directed edge set. Nodes = sources ∪ sinks."""
+    over the DISTINCT directed edge set. Nodes = sources ∪ sinks.
+
+    Deliberately NOT cached (unlike kcore/LPA): pagerank's loop-static
+    subtrees (e.distinct(), deg, nodes) all end in their own shuffle
+    exchanges, which ReuseExchange DOES dedupe across rounds here —
+    the round-7 A/B measured the _register_loop_static treatment at
+    8.7 s vs 5.6 s lazy at sf0.1 (the caches add materialization
+    passes without removing any recompute). The kcore/LPA shape is
+    different: their per-round probe side has no exchange (broadcast
+    join directly over the doubled-edge union), so nothing is
+    reusable without a cache."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -350,17 +407,25 @@ def kcore(
     naive edge-subgraph recurrence references its predecessor 5x per
     round and explodes the logical tree exponentially). Zero driver
     actions: one plan, K chained (join on u, groupBy v) stages over
-    the static doubled-edge frame, whose scan+shuffle Spark's
-    ReuseExchange materializes once.
+    the static doubled-edge frame, persisted for the loop's lifetime
+    via _register_loop_static (the per-round join broadcasts the
+    small alive side, so ReuseExchange has no edge-side exchange to
+    dedupe — see the pagerank module docstring).
     """
+    from omfietser_etl_spark import cacheutil
+
+    cacheutil.release("kcore")
     a, b = F.col(u_col), F.col(v_col)
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
-    both = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    both = _register_loop_static(
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "kcore",
     )
     alive = both.select(F.col("u").alias("node")).distinct()
     for _ in range(rounds):
@@ -433,7 +498,9 @@ def label_propagation(
     each round references its predecessor exactly once: the unrolled
     lazy plan grows linearly in ``rounds`` (kcore's single-reference
     recurrence note), zero driver actions, and the static doubled-edge
-    shuffle is materialized once by ReuseExchange.
+    frame persists for the loop's lifetime via _register_loop_static
+    (broadcast per-round joins leave ReuseExchange nothing to dedupe —
+    see the pagerank module docstring).
 
     Scale shape per round: one hash join (labels onto edge sources,
     both label-frame-sized and edge-frame-sized shuffles on node
@@ -441,14 +508,20 @@ def label_propagation(
     (v, label) keys; the two-level agg (partial map-side combine)
     absorbs them exactly as in triangle counting.
     """
+    from omfietser_etl_spark import cacheutil
+
+    cacheutil.release("lpa")
     a, b = F.col(u_col), F.col(v_col)
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
-    both = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    both = _register_loop_static(
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "lpa",
     )
     labels = both.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -725,7 +798,17 @@ def modularity(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    lab = labels.select(F.col("node"), F.col("label"))
+    # labels is referenced THREE times below (the lu/lv sides of the
+    # within-community edge count and the degree rollup); when the
+    # caller passes an expensive lazy frame (g7 passes the whole LPA
+    # loop) each reference re-executes it. Persist under the loop-
+    # static discipline: round-7 A/B at sf0.1 measured 9.3 s -> 3.7 s.
+    from omfietser_etl_spark import cacheutil
+
+    cacheutil.release("modularity")
+    lab = _register_loop_static(
+        labels.select(F.col("node"), F.col("label")), "modularity"
+    )
     ec = (
         und.join(lab.withColumnRenamed("node", "u")
                  .withColumnRenamed("label", "lu"), "u")

@@ -297,3 +297,29 @@ def test_modularity_empty_graph_matches_oracle(spark):
     )
     orc = duckdb.sql(sql).fetchall()[0]
     assert orc == (0, 0, None)
+
+
+def test_register_loop_static_restores_conf_and_caches(spark):
+    """_register_loop_static must (a) leave the session AQE cached-plan
+    conf exactly as found for both prior values, (b) actually register
+    the cache so the loop reads one materialization, and (c) release
+    on the operator's next invocation (scope discipline)."""
+    from omfietser_etl_spark.operators.graph import (
+        _AQE_CACHED_KEY,
+        kcore,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    for prev in ("false", "true"):
+        spark.conf.set(_AQE_CACHED_KEY, prev)
+        out = kcore(edges, "src", "dst", k=2, rounds=2)
+        assert spark.conf.get(_AQE_CACHED_KEY) == prev  # restored pre-action
+        out.collect()
+        assert spark.conf.get(_AQE_CACHED_KEY) == prev
+    # LPA on the undirected view — same contract
+    spark.conf.set(_AQE_CACHED_KEY, "false")
+    label_propagation(edges, "src", "dst", rounds=2).collect()
+    assert spark.conf.get(_AQE_CACHED_KEY) == "false"
