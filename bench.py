@@ -57,14 +57,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: END-battery only, as before: every run reaches it through the
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
-#: Refs: best-window medians (min of two 5-rep clean-window batteries,
-#: 2026-08-15, this host).
+#: Refs: the END battery of a clean full-catalog run (host_factor
+#: 0.996 on idle-window refs, 2026-08-15). END-position matters:
+#: arrow_python measures 1.6 s on a fresh session but 4.6 s after the
+#: full catalog (Python-worker daemon state accumulates) — an
+#: idle-session ref would read every clean END battery as 1.7x
+#: "host load". Every ref below is therefore anchored at the same
+#: point in the run where the measurement battery executes.
 SENTINEL_REFS = {
-    "io_scan": 1.589,
-    "shuffle_agg": 1.539,
-    "cpu_codegen": 2.330,
-    "sort_window": 4.164,
-    "arrow_python": 2.646,
+    "io_scan": 1.345,
+    "shuffle_agg": 1.559,
+    "cpu_codegen": 2.298,
+    "sort_window": 4.146,
+    "arrow_python": 4.581,
 }
 SENTINEL_REPS = 5
 
