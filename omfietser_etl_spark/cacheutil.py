@@ -88,6 +88,19 @@ def release(scope: str) -> None:
         unpersist_rdd_ids(sc, ids)
 
 
+def release_all() -> None:
+    """Release EVERY scope. For sequential per-query harnesses
+    (driver_sim, bench-like loops): a scope's frames normally live
+    until the SAME operator's next invocation, so over a 173-query
+    catalog run dozens of one-shot scopes linger to the end — at
+    sf0.1 under the vanilla 1g heap that accumulated pressure OOM'd
+    the g2 wedge join (round-7 sweep) even though g2 alone runs fine.
+    Call between queries once the previous query's result is fully
+    consumed; later actions on previously returned frames recompute."""
+    for scope in list(_SCOPES) + list(_RDD_SCOPES):
+        release(scope)
+
+
 def release_then_register(scope: str, df: DataFrame) -> DataFrame:
     """Release the scope's PREVIOUS frames, then register ``df`` —
     the self-cleaning pattern for once-per-invocation persists."""

@@ -749,3 +749,30 @@ def test_cos2_bp_expr_exact_and_overflow_safe(spark):
         assert naive is None
     except Exception as exc:  # noqa: BLE001 — ANSI overflow path
         assert "Decimal" in str(exc) or "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc)
+
+
+def test_release_all_frees_every_scope(spark):
+    """cacheutil.release_all() must return the persistent-RDD census to
+    baseline across MULTIPLE operator scopes at once — the sequential-
+    harness hygiene hook (the round-7 sf0.1 sweep OOM'd the vanilla 1g
+    heap from one-shot scopes lingering to the end of the catalog)."""
+    from omfietser_etl_spark import cacheutil
+    from omfietser_etl_spark.operators.graph import hits, kcore
+    from omfietser_etl_spark.textops import dedup as dd
+
+    sc = spark.sparkContext
+    cacheutil.release_all()
+    baseline = cacheutil.persistent_rdd_ids(sc)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+    )
+    kcore(edges, "u", "v", k=2, rounds=2).collect()
+    hits(edges, "u", "v", iters=1).collect()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_lo long, doc_hi long")
+    dd.connected_components(pairs).collect()
+    assert cacheutil.persistent_rdd_ids(sc) - baseline  # something cached
+
+    cacheutil.release_all()
+    leftover = cacheutil.persistent_rdd_ids(sc) - baseline
+    assert leftover == set(), f"leaked persisted RDDs: {leftover}"

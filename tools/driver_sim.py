@@ -55,6 +55,14 @@ def main() -> int:
         print(f"{name}: {status} ({n} rows, {time.time() - t0:.1f}s)")
         if not ok:
             failures.append(name)
+        # The query's result is fully consumed (compare/count above) —
+        # free every cacheutil scope so one-shot operator caches can't
+        # accumulate across the 173-query run (the sf0.1 sweep OOM'd
+        # the vanilla 1g heap from exactly that buildup; see
+        # cacheutil.release_all).
+        from omfietser_etl_spark import cacheutil
+
+        cacheutil.release_all()
     print(f"done: {len(failures)} failures")
     return 1 if failures else 0
 
