@@ -120,8 +120,16 @@ def _cooc_edges(spark: SparkSession, sf: str, min_support: int = 1) -> DataFrame
     analytics on co-occurrence data)."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # merge hint: both join sides are the SAME fact projection, so a
+    # shuffle join hashes ONE exchange that ReuseExchange shares for
+    # both sides, while the planner's default (the 2-column projection
+    # squeaks under the broadcast threshold at gate scales) broadcasts
+    # a full fact-table copy PER REFERENCE of this frame — g2's plan
+    # carried 4+ simultaneous 600k-row HashedRelations, which OOM'd
+    # the vanilla 1g sweep session at sf0.1 (round 7) and is never the
+    # plan at 100 TB, where lineitem would exceed any threshold anyway.
     pairs = (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("merge"), "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     )
