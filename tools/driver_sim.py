@@ -59,10 +59,18 @@ def main() -> int:
         # free every cacheutil scope so one-shot operator caches can't
         # accumulate across the 173-query run (the sf0.1 sweep OOM'd
         # the vanilla 1g heap from exactly that buildup; see
-        # cacheutil.release_all).
+        # cacheutil.release_all), and nudge the driver GC: Spark's
+        # ContextCleaner reclaims stale broadcast/shuffle state only
+        # when the JVM collects the corresponding driver references,
+        # so 140+ queries of lag exhausts a 1g heap before any single
+        # query would (g2 alone runs in 28 s under the same session).
         from omfietser_etl_spark import cacheutil
 
         cacheutil.release_all()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — diagnostics only
+            pass
     print(f"done: {len(failures)} failures")
     return 1 if failures else 0
 
