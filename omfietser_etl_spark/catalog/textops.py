@@ -1837,6 +1837,62 @@ FROM sz LEFT JOIN ht ON sz.doc = ht.doc
 )
 
 
+#: td25 — fuzzy decontamination: eval slice + Jaccard threshold. The
+#: doc_id % 7 slice cross-cuts the planted near-dup pairs (a
+#: source-based slice would leave only one cross-boundary pair at
+#: sf0.01); τ = 1/2 keeps the gate output non-trivial (9 rows sf0.01)
+#: while any real pipeline would set τ per its eval-leak tolerance.
+TD25_MOD = 7
+TD25_TAU = (1, 2)
+
+
+def td25_fuzzy_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy decontamination (textops/decontam.py::
+    fuzzy_contamination_pairs): every (training doc, benchmark doc)
+    pair with shingle-Jaccard ≥ 1/2 — the near-duplicate eval-leak
+    check real pipelines run AFTER td9's exact-overlap share (a
+    paraphrased eval question still leaks; per-shingle overlap can't
+    name WHICH eval doc leaked). Exact recall-1 bipartite blocking
+    (shared-shingle equi-join, benchmark side broadcast, corpus never
+    shuffles for candidates) + integer cross-multiplied verify; the
+    brute-force DuckDB oracle therefore doubles as the losslessness
+    proof of the blocking (the td24 discipline)."""
+    from omfietser_etl_spark.textops.decontam import fuzzy_contamination_pairs
+
+    docs = load(spark, sf, "documents")
+    num, den = TD25_TAU
+    return fuzzy_contamination_pairs(
+        docs.filter(F.col("doc_id") % TD25_MOD != 0),
+        docs.filter(F.col("doc_id") % TD25_MOD == 0),
+        "doc_id",
+        "text",
+        tau_num=num,
+        tau_den=den,
+    )
+
+
+TD25_ORACLE = (
+    _DOCS_CTE
+    + f"""
+, tr AS (SELECT doc, s FROM sh WHERE doc % {TD25_MOD} <> 0)
+, ev AS (SELECT doc, s FROM sh WHERE doc % {TD25_MOD} = 0)
+, szt AS (SELECT doc, count(*) AS n_t FROM tr GROUP BY doc)
+, sze AS (SELECT doc, count(*) AS n_e FROM ev GROUP BY doc)
+, inter AS (SELECT tr.doc AS doc, ev.doc AS bench,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM tr JOIN ev USING (s) GROUP BY 1, 2)
+SELECT i.doc, i.bench, i.n_inter,
+       CAST((10000 * i.n_inter) // (szt.n_t + sze.n_e - i.n_inter)
+            AS BIGINT) AS jaccard_bp
+FROM inter i
+JOIN szt ON szt.doc = i.doc
+JOIN sze ON sze.doc = i.bench
+WHERE {TD25_TAU[1]} * i.n_inter
+      >= {TD25_TAU[0]} * (szt.n_t + sze.n_e - i.n_inter)
+"""
+)
+
+
 TD18_BP = 2000
 
 
@@ -2860,6 +2916,8 @@ SPECS = [
               "SemDeDup cluster-blocked cosine near-dup pairs"),
     QuerySpec("td9_contamination", td9_contamination, TD9_ORACLE,
               "benchmark decontamination check"),
+    QuerySpec("td25_fuzzy_decontam", td25_fuzzy_decontam, TD25_ORACLE,
+              "fuzzy eval-leak pairs: bipartite shingle blocking, exact Jaccard"),
     QuerySpec("td18_bloom_decontam", td18_bloom_decontam, _td18_oracle(),
               "Bloom-bounded decontamination (fixed-memory eval set)"),
     QuerySpec("td10_quantize", td10_quantize, TD10_ORACLE,

@@ -68,6 +68,68 @@ def contamination_stats(
     )
 
 
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """(doc, bench, n_inter, jaccard_bp) — every (training doc,
+    benchmark doc) pair whose distinct-shingle Jaccard ≥ τ =
+    tau_num/tau_den: FUZZY decontamination, the near-duplicate
+    complement of :func:`contamination_stats`'s exact-overlap share
+    (the Dolma/FineWeb eval-dedup step — an eval question paraphrased
+    or lightly edited into the crawl still leaks the benchmark, and
+    per-shingle overlap alone cannot say WHICH eval doc it leaks).
+
+    EXACT, recall 1: candidates come from the BIPARTITE shared-shingle
+    equi-join (any pair with J ≥ τ > 0 shares ≥ 1 shingle — lossless,
+    the td2 blocking argument), then the integer cross-multiplied test
+    tau_den·|∩| ≥ tau_num·|∪| verifies with no float anywhere;
+    jaccard_bp = (10000·|∩|) div |∪|.
+
+    Scale shape: eval suites are small (10³-10⁵ docs), so the
+    benchmark shingle frame BROADCASTS and the training corpus never
+    shuffles for candidate generation — per-shingle fan-out is
+    n_train(s)·n_eval(s), bounded by the compact eval side exactly
+    where a self-join would explode. One (doc, bench) hash agg and a
+    size join verify. ``hash_shingles=True`` is the 8-byte-key path
+    (see doc_shingles).
+    """
+    tr = doc_shingles(corpus, id_col, text_col, n, hash_shingles)
+    ev = doc_shingles(eval_df, id_col, text_col, n, hash_shingles)
+    szt = tr.groupBy("doc").agg(F.count("*").alias("n_t"))
+    sze = ev.groupBy("doc").agg(F.count("*").alias("n_e"))
+    inter = (
+        tr.join(
+            F.broadcast(ev.withColumnRenamed("doc", "bench")), "s"
+        )
+        .groupBy("doc", "bench")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(szt, "doc")
+        .join(F.broadcast(sze.withColumnRenamed("doc", "bench")), "bench")
+        .filter(
+            F.expr(
+                f"{tau_den} * n_inter >= {tau_num} * (n_t + n_e - n_inter)"
+            )
+        )
+        .select(
+            "doc",
+            "bench",
+            "n_inter",
+            F.expr("(10000 * n_inter) div (n_t + n_e - n_inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
 def ngram_repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -178,3 +178,51 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
     )
     out2 = {r.doc: r for r in line_dedup(docs2, "doc_id", "text", 2).collect()}
     assert out2[5].clean_text == "" and out2[5].n_kept == 0
+
+
+def test_fuzzy_contamination_pairs_exact_jaccard(spark):
+    """Hand-checked bipartite Jaccard: an identical doc across the
+    corpus/benchmark boundary scores 10000 bp; a half-overlapping one
+    passes τ=1/2 with the exact floor-bp value; disjoint docs emit no
+    row. Blocking is lossless (every emitted pair shares a shingle)."""
+    from omfietser_etl_spark.textops.decontam import fuzzy_contamination_pairs
+
+    text_a = "alpha beta gamma delta epsilon zeta"       # 4 shingles (n=3)
+    # shares shingles 'alpha beta gamma'/'beta gamma delta' with text_a
+    text_b = "alpha beta gamma delta other words here"
+    corpus = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, "totally different content entirely now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, text_a)], ["doc_id", "text"])
+
+    out = {
+        (r.doc, r.bench): (r.n_inter, r.jaccard_bp)
+        for r in fuzzy_contamination_pairs(
+            corpus, bench, "doc_id", "text", tau_num=1, tau_den=3
+        ).collect()
+    }
+    # doc 1 ≡ bench 100: inter=4, union=4 → 10000 bp
+    assert out[(1, 100)] == (4, 10000)
+    # doc 2: 5 shingles, shares 2 with bench's 4 → J = 2/7 < 1/3? NO:
+    # 3*2 >= 1*7 fails... compute: union = 5+4-2 = 7; τ=1/3 → 3*2=6 < 7
+    assert (2, 100) not in out
+    assert (3, 100) not in out
+
+    # lower τ to 1/4: doc 2 passes with floor(20000/7) = 2857 bp
+    out2 = {
+        (r.doc, r.bench): r.jaccard_bp
+        for r in fuzzy_contamination_pairs(
+            corpus, bench, "doc_id", "text", tau_num=1, tau_den=4
+        ).collect()
+    }
+    assert out2[(2, 100)] == 2857
+    # hashed-key path produces the identical output
+    out3 = {
+        (r.doc, r.bench): r.jaccard_bp
+        for r in fuzzy_contamination_pairs(
+            corpus, bench, "doc_id", "text",
+            tau_num=1, tau_den=4, hash_shingles=True,
+        ).collect()
+    }
+    assert out3 == out2

@@ -228,6 +228,11 @@ def main() -> None:
         "g5_label_propagation",
         "g6_hits",
         "g7_modularity",
+        # round-7: fuzzy decontamination — bipartite shingle blocking
+        # against the (1/7-of-corpus) eval slice; the measured claim
+        # is candidates ∝ N·|eval-overlap|, linear when the corpus
+        # grows with its own fresh near-dup structure
+        "td25_fuzzy_decontam",
     ]
     only = {a for a in sys.argv[2:]}
     known = set(FAMILY) | {"td21_sized"}
