@@ -568,6 +568,71 @@ WHERE round({dk_dot('a.embedding', 'b.embedding')}, 4) >= {NEARDUP_TAU}
 """
 
 
+#: td26 — semantic decontamination: per-training-doc BEST-matching
+#: eval doc above τ. vec_id % 7 slices the eval set (the td25
+#: convention); τ = 0.40. The output is the TOP-1 per doc, never the
+#: full pair set: a raw ≥ τ pair dump below the dim-64 noise floor
+#: (6/√64 = 0.75) grows ∝ |corpus|·|eval| in NOISE pairs (the round-7
+#: stress measured 107× output at 10× data for the pair form —
+#: random cosines clear 3.2σ with p ≈ 7e-4), while the per-doc argmax
+#: is ≤ |corpus| rows by construction at any τ. Flagging a doc only
+#: says "inspect against THIS eval doc", which is the actual
+#: decontam workflow.
+TD26_MOD = 7
+TD26_TAU = 0.40
+
+
+def td26_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space eval-leak check (textops/similarity.py::
+    bipartite_cosine_pairs + per-doc argmax): for every training vec
+    whose best benchmark cosine ≥ τ, the best-matching eval doc and
+    that similarity — the dense complement of td25's shingle Jaccard
+    (a paraphrase sharing few shingles still lands next to its eval
+    source in embedding space; the phi-4-style semantic decontam
+    pass). Benchmark matrix collected once (bounded: eval suites are
+    small by contract) and shipped by value in the mapInPandas
+    closure; the training side is a ZERO-shuffle map-side scan, and
+    the argmax is one doc-keyed partial agg — output ≤ |corpus| rows
+    at any τ (see the noise note above). Ties at the max (rounded)
+    sim break to the SMALLEST bench id via the (sim, −bench) struct
+    max, replayed two-step in the oracle (the LPA discipline)."""
+    from omfietser_etl_spark.textops.similarity import bipartite_cosine_pairs
+
+    emb = load(spark, sf, "embeddings")
+    # on_subnoise='warn': τ=0.40 is ABOVE the gate-scale floor
+    # (bipartite_tau_floor(64, 71) ≈ 0.37) but a grown eval slice
+    # raises the floor past it — the helper is what a lifted spec
+    # must re-evaluate (the rh_params_for discipline).
+    pairs = bipartite_cosine_pairs(
+        emb.filter(F.col("vec_id") % TD26_MOD != 0),
+        emb.filter(F.col("vec_id") % TD26_MOD == 0),
+        "vec_id",
+        "embedding",
+        TD26_TAU,
+        on_subnoise="warn",
+    )
+    return (
+        pairs.groupBy("doc")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("bench")).alias("nb"))).alias("m"))
+        .select("doc", (-F.col("m.nb")).cast("long").alias("bench"),
+                F.col("m.sim").alias("sim"))
+    )
+
+
+TD26_ORACLE = f"""
+WITH p AS (
+  SELECT a.vec_id AS doc, b.vec_id AS bench,
+         round({dk_dot('a.embedding', 'b.embedding')}, 4) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % {TD26_MOD} <> 0 AND b.vec_id % {TD26_MOD} = 0
+  WHERE round({dk_dot('a.embedding', 'b.embedding')}, 4) >= {TD26_TAU}
+), m AS (SELECT doc, max(sim) AS ms FROM p GROUP BY doc)
+SELECT p.doc, CAST(min(p.bench) AS BIGINT) AS bench, m.ms AS sim
+FROM p JOIN m ON p.doc = m.doc AND p.sim = m.ms
+GROUP BY p.doc, m.ms
+"""
+
+
 EMB_DIM = 64  # embeddings table vector dimension (TESTDATA.md)
 
 
@@ -2918,6 +2983,8 @@ SPECS = [
               "benchmark decontamination check"),
     QuerySpec("td25_fuzzy_decontam", td25_fuzzy_decontam, TD25_ORACLE,
               "fuzzy eval-leak pairs: bipartite shingle blocking, exact Jaccard"),
+    QuerySpec("td26_semantic_decontam", td26_semantic_decontam, TD26_ORACLE,
+              "semantic eval-leak pairs: broadcast bench matrix, map-side scan"),
     QuerySpec("td18_bloom_decontam", td18_bloom_decontam, _td18_oracle(),
               "Bloom-bounded decontamination (fixed-memory eval set)"),
     QuerySpec("td10_quantize", td10_quantize, TD10_ORACLE,

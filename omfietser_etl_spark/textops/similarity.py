@@ -667,6 +667,105 @@ def mmr_diversify(
     return out.select("step", "nid", F.round("mmr", 6).alias("mmr"))
 
 
+def bipartite_tau_floor(dim: int, n_eval: int) -> float:
+    """Smallest meaningful semantic-decontam threshold for a
+    ``dim``-dimensional space and an ``n_eval``-doc benchmark: the
+    expected MAX of n_eval independent null cosines (~N(0, 1/dim)) is
+    ≈ √(2·ln n_eval)/√dim, so a per-doc best-match below this flags
+    essentially every training doc once the eval suite is large (the
+    round-7 10× stress measured 63× flagged docs at 10× data with a
+    sub-floor τ — noise maxima, not leaks). Unlike
+    :func:`cosine_noise_floor` (which guards quadratic PAIR growth in
+    N×N mining), this floor grows with the BENCHMARK size — re-derive
+    it whenever the eval suite changes."""
+    import math
+
+    return math.sqrt(2.0 * math.log(max(2, int(n_eval)))) / math.sqrt(dim)
+
+
+def bipartite_cosine_pairs(
+    emb: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    on_subnoise: str = "raise",
+) -> DataFrame:
+    """(doc, bench, sim) — every (corpus row, benchmark row) pair with
+    cosine ≥ threshold (vectors pre-normalized → cosine = dot): the
+    EMBEDDING-space eval-leak check (semantic decontamination), the
+    dense complement of the shingle-Jaccard fuzzy decontam — a
+    paraphrase that shares few shingles still lands next to its eval
+    source in embedding space.
+
+    Scale shape: the benchmark matrix is COLLECTED once (bounded by
+    contract — eval suites are 10³–10⁵ rows, the td9 broadcast-set
+    argument) and shipped BY VALUE inside the mapInPandas closure
+    (plain ndarrays; workers need no repo imports), so the training
+    side streams through in Arrow batches with ZERO shuffle — a pure
+    map-side scan however large the corpus. Exactness: the dot
+    accumulates dimension-major (acc += A[:,k]·b[:,k]), the same
+    double-addition order as the sequential SQL/DuckDB left fold, so
+    the oracle replays bit-for-bit (the cosine_neardup_pairs
+    discipline); 4dp rounding and the threshold compare stay
+    Spark-side on the raw double, with the kernel keeping a pre-round
+    guard band of 1e-4.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = bench.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    out_schema = "doc long, bench long, dot double"
+    if not rows:
+        return emb.sparkSession.createDataFrame([], out_schema).select(
+            "doc", "bench", F.col("dot").alias("sim")
+        )
+    ids_b = np.array([r.i for r in rows], dtype=np.int64)
+    mat_b = np.array([list(r.v) for r in rows], dtype=np.float64)
+    floor = bipartite_tau_floor(mat_b.shape[1], len(ids_b))
+    if threshold < floor:
+        msg = (
+            f"bipartite_cosine_pairs: threshold={threshold} is below the "
+            f"expected max null cosine {floor:.3f} for dim={mat_b.shape[1]}"
+            f", n_eval={len(ids_b)} (≈√(2·ln n)/√d): per-doc best matches "
+            "at this τ are noise maxima, not leaks (63× flagged docs at "
+            "10× data measured, SCALING.md round 7). Raise τ, or pass "
+            "on_subnoise='warn'/'off' for small-benchmark use."
+        )
+        if on_subnoise == "warn":
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+        elif on_subnoise != "off":
+            raise ValueError(msg)
+    guard = threshold - 1e-4
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_a = pdf["_id"].to_numpy(np.int64)
+            mat_a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            sims = np.zeros((len(ids_a), len(ids_b)))
+            for k in range(mat_b.shape[1]):  # fold-order accumulation
+                sims += np.outer(mat_a[:, k], mat_b[:, k])
+            ii, jj = np.nonzero(sims >= guard)
+            if len(ii):
+                yield pd.DataFrame(
+                    {"doc": ids_a[ii], "bench": ids_b[jj], "dot": sims[ii, jj]}
+                )
+
+    out = src.mapInPandas(kernel, out_schema)
+    return (
+        out.withColumn("sim", F.round(F.col("dot"), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("doc", "bench", "sim")
+    )
+
+
 def cos2_bp_expr(
     dot: str = "dot",
     norm_lo_sq: str = "norm_lo_sq",

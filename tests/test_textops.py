@@ -776,3 +776,41 @@ def test_release_all_frees_every_scope(spark):
     cacheutil.release_all()
     leftover = cacheutil.persistent_rdd_ids(sc) - baseline
     assert leftover == set(), f"leaked persisted RDDs: {leftover}"
+
+
+def test_bipartite_cosine_pairs_semantics(spark):
+    """Hand-checked semantic decontam: the identical vector scores
+    sim = 1.0, an orthogonal one emits no row, empty benchmark yields
+    an empty frame with the contract schema."""
+    from omfietser_etl_spark.textops.similarity import bipartite_cosine_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.8, 0.6])],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame([(100, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = {
+        (r.doc, r.bench): r.sim
+        for r in bipartite_cosine_pairs(
+            corpus, bench, "vec_id", "embedding", 0.5, on_subnoise="off"
+        ).collect()
+    }
+    assert out == {(1, 100): 1.0, (3, 100): 0.8}
+
+    empty = bipartite_cosine_pairs(
+        corpus, bench.filter("vec_id < 0"), "vec_id", "embedding", 0.5
+    )
+    assert empty.columns == ["doc", "bench", "sim"]
+    assert empty.count() == 0
+
+    # sub-floor τ raises by default: dim=2, n_eval=1 → floor ≈ 0.83,
+    # so τ=0.5 on this toy geometry is a noise-maxima footgun
+    import pytest
+
+    from omfietser_etl_spark.textops.similarity import bipartite_tau_floor
+
+    assert bipartite_tau_floor(2, 1) > 0.5
+    with pytest.raises(ValueError, match="null cosine"):
+        bipartite_cosine_pairs(corpus, bench, "vec_id", "embedding", 0.5)
+    # the td26 gate geometry sits above its floor
+    assert bipartite_tau_floor(64, 71) < 0.40

@@ -233,6 +233,9 @@ def main() -> None:
         # is candidates ∝ N·|eval-overlap|, linear when the corpus
         # grows with its own fresh near-dup structure
         "td25_fuzzy_decontam",
+        # td26: zero-shuffle map-side scan vs the broadcast bench
+        # matrix — time should be ~linear in corpus rows
+        "td26_semantic_decontam",
     ]
     only = {a for a in sys.argv[2:]}
     known = set(FAMILY) | {"td21_sized"}
