@@ -3,11 +3,20 @@ oracle under a VANILLA SparkSession (no engine confs), exactly like
 the round driver does.
 
 Usage:
-    python tools/driver_sim.py [sf_dir] [query ...]
+    python tools/driver_sim.py [--chunks N] [sf_dir] [query ...]
 
 Defaults to /root/testdata/sf0.01 and all queries. Exits non-zero on
 any failure. This is the runtime surface — `pytest tests/` mirrors it
 at sf0.001 with the engine session, but THIS is what the gate runs.
+
+--chunks N splits the catalog across N sequential FRESH-JVM
+subprocesses. Use for full-catalog sweeps at sf0.1: the vanilla
+session's 1g heap survives any 50-query driver window (the actual
+gate contract) but a single 175-query sf0.1 run accumulates enough
+JVM residue (ContextCleaner lag, codegen caches) to OOM the heaviest
+query near the end even with per-query cache release + GC nudges —
+per-query correctness is what the sweep certifies, not 175-in-one-
+heap endurance.
 """
 
 from __future__ import annotations
@@ -19,7 +28,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _run_chunked(n_chunks: int, argv: list[str]) -> int:
+    import subprocess
+
+    from omfietser_etl_spark.catalog import all_specs
+
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    names = [s.name for s in all_specs()]
+    if len(argv) > 1:
+        wanted = set(argv[1:])
+        names = [n for n in names if n in wanted]
+    per = -(-len(names) // max(1, n_chunks))
+    rc = 0
+    for i in range(0, len(names), per):
+        chunk = names[i : i + per]
+        print(f"--- chunk {i // per + 1}: {len(chunk)} queries ---", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf, *chunk]
+        ).returncode
+        rc = rc or r
+    return rc
+
+
 def main() -> int:
+    args = sys.argv[1:]
+    if args and args[0] == "--chunks":
+        return _run_chunked(int(args[1]), args[2:])
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
