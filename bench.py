@@ -72,6 +72,36 @@ SENTINEL_REFS = {
     "arrow_python": 4.581,
 }
 SENTINEL_REPS = 5
+#: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
+#: (round-7 ADVICE): the END-battery position encodes session state
+#: accumulated over the CURRENT catalog — arrow_python measures 1.6 s
+#: fresh vs 4.6 s after the 175-query battery, so adding/removing
+#: queries silently shifts that axis and biases host_factor. The refs
+#: above were pinned against the catalog fingerprinted below; when the
+#: catalog changes, re-measure the END battery on a clean window and
+#: re-pin SENTINEL_REFS + SENTINEL_REF_CATALOG together
+#: (tests/test_tools.py::test_bench_refs_pinned_to_current_catalog
+#: enforces the pairing). Until re-pinned, bench.py self-reports
+#: refs_stale=true and comparable=false in the artifact.
+SENTINEL_REF_CATALOG = "072e7035cc6ad6c2"  # 175 queries, pinned 2026-08-15
+#: host_spread above this means the window was unevenly loaded and
+#: cross-round normalized deltas must not be read (the r06 1.47-spread
+#: window is the motivating example).
+COMPARABLE_SPREAD_MAX = 1.3
+
+
+def catalog_fingerprint(names) -> str:
+    """Stable 16-hex digest of the sorted query-name set."""
+    import hashlib
+
+    return hashlib.sha256("\n".join(sorted(names)).encode()).hexdigest()[:16]
+
+
+def comparable(host_spread: float, refs_stale: bool) -> bool:
+    """True when this run's normalized number may be compared across
+    rounds: sentinel refs match the catalog they were pinned on AND
+    the window's load was even (spread within COMPARABLE_SPREAD_MAX)."""
+    return (not refs_stale) and host_spread <= COMPARABLE_SPREAD_MAX
 
 
 def _sentinel_shapes():
@@ -226,6 +256,7 @@ def main() -> None:
     }
     host_factor = round(max(0.25, statistics.median(ratios.values())), 3)
     host_spread = round(max(ratios.values()) / max(min(ratios.values()), 1e-9), 3)
+    refs_stale = catalog_fingerprint(qs) != SENTINEL_REF_CATALOG
 
     # family rollups (prefix-keyed) so cross-round artifact diffs read
     # at a glance; "other" catches anything unprefixed.
@@ -256,6 +287,8 @@ def main() -> None:
         },
         "host_factor": host_factor,
         "host_spread": host_spread,
+        "refs_stale": refs_stale,
+        "comparable": comparable(host_spread, refs_stale),
         "value_normalized": round(total / host_factor, 3),
         "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
     }

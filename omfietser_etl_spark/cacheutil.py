@@ -96,7 +96,11 @@ def release_all() -> None:
     sf0.1 under the vanilla 1g heap that accumulated pressure OOM'd
     the g2 wedge join (round-7 sweep) even though g2 alone runs fine.
     Call between queries once the previous query's result is fully
-    consumed; later actions on previously returned frames recompute."""
+    consumed. Later actions on previously returned PLAIN-persisted
+    frames recompute; localCheckpoint-backed frames (the _RDD_SCOPES
+    entries) have truncated lineage, so reusing one after release
+    fails with a block-fetch error BY DESIGN (see unpersist_rdd_ids) —
+    a harness keeping frames across queries must re-build them."""
     for scope in list(_SCOPES) + list(_RDD_SCOPES):
         release(scope)
 

@@ -37,6 +37,13 @@ def _run_chunked(n_chunks: int, argv: list[str]) -> int:
     names = [s.name for s in all_specs()]
     if len(argv) > 1:
         wanted = set(argv[1:])
+        unknown = wanted - set(names)
+        if unknown:
+            # a typo'd name must not yield a vacuous green sweep
+            # (round-7 ADVICE) — mirror the lookup failure a
+            # single-process run would surface.
+            print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+            return 2
         names = [n for n in names if n in wanted]
     per = -(-len(names) // max(1, n_chunks))
     rc = 0
@@ -50,9 +57,18 @@ def _run_chunked(n_chunks: int, argv: list[str]) -> int:
     return rc
 
 
+USAGE = "usage: python tools/driver_sim.py [--chunks N] [sf_dir] [query ...]"
+
+
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "--chunks":
+        # validate argv up front (round-7 ADVICE): a missing or
+        # non-numeric N must print usage, not die with a traceback.
+        if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
+            print(USAGE, file=sys.stderr)
+            print("--chunks requires a positive integer N", file=sys.stderr)
+            return 2
         return _run_chunked(int(args[1]), args[2:])
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,6 +87,26 @@ def main() -> int:
 
     con = duck_connect(sf)
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+    n_requested = len(only) if only else len(qs)
+    try:
+        sf_val = float(os.path.basename(sf.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf_val = 0.0
+    if n_requested > 60 and sf_val >= 0.1:
+        # The r07 sf0.1 sweep OOM'd the vanilla 1g heap near the end of
+        # a single-JVM 175-query run (JVM residue: ContextCleaner lag,
+        # codegen caches — SCALING.md round-7 autopsy). Chunked mode is
+        # the documented default above the 50-query gate window.
+        print(
+            f"WARNING: {n_requested} queries at sf{sf_val} in ONE JVM — "
+            "use --chunks 4 for full-catalog sweeps at sf>=0.1 "
+            "(see SCALING.md round-7 OOM autopsy)",
+            file=sys.stderr,
+        )
     failures = []
     for name, build in qs.items():
         if only and name not in only:
