@@ -191,6 +191,70 @@ def _race_writer(args):
     return tag, claimed
 
 
+def _crashing_writer(args):
+    """Module-level worker (picklable): claim the next version, run the
+    commit protocol up to ``die_after`` steps, then hard-exit like a
+    killed process (no cleanup, no atexit — the claim dir stays)."""
+    import json
+    import os
+
+    from omfietser_etl_spark.sinks.export import (
+        MANIFEST_NAME,
+        _atomic_write,
+        claim_version,
+    )
+
+    path, die_after = args
+    v, vdir = claim_version(path)
+    if die_after >= 1:  # data+manifest written, _CURRENT flip never reached
+        _atomic_write(
+            os.path.join(vdir, MANIFEST_NAME),
+            json.dumps({"writer": "crash", "version": v}),
+        )
+    os._exit(1)
+
+
+def test_crash_between_claim_and_current_flip(spark, tmp_path):
+    """Round-7 verdict item 4: a writer that dies after claiming v_N
+    (with or without having committed its manifest) must leave readers
+    resolving the PREVIOUS _CURRENT, and a subsequent writer must not
+    reuse v_N. The dead writer is a real forked process that os._exit()s
+    mid-protocol."""
+    import multiprocessing as mp
+    import os
+
+    path = str(tmp_path / "exp")
+    df = spark.range(20).selectExpr("id", "cast(id as string) as doc_id")
+    m1 = write_training_shards(df, path, "doc_id", n_shards=2)
+    ctx = mp.get_context("fork")
+
+    # Case A: dies right after the os.mkdir claim — bare v_2, no manifest.
+    p = ctx.Process(target=_crashing_writer, args=((path, 0),))
+    p.start(); p.join()
+    assert p.exitcode == 1
+    v2 = os.path.join(path, f"v_{m1['version'] + 1:08d}")
+    assert os.path.isdir(v2) and not os.listdir(v2)  # dangling claim left behind
+    assert read_manifest(path) == m1  # readers still resolve v_1
+
+    # Case B: dies after committing its manifest but BEFORE the flip —
+    # the orphan is never visible through _CURRENT.
+    p = ctx.Process(target=_crashing_writer, args=((path, 1),))
+    p.start(); p.join()
+    assert p.exitcode == 1
+    assert read_manifest(path) == m1  # _CURRENT untouched by the orphan
+
+    # A subsequent healthy writer skips BOTH dead claims (never reuses
+    # v_N) and flips _CURRENT past the orphans.
+    m4 = write_training_shards(df, path, "doc_id", n_shards=2)
+    assert m4["version"] == m1["version"] + 3
+    assert (tmp_path / "exp" / "_CURRENT").read_text() == f"v_{m4['version']:08d}"
+    assert read_manifest(path) == m4
+    # the bare dangling claim survives (operator-reclaimed only); the
+    # orphaned-manifest dir counts as committed for retention, which is
+    # safe because pruning runs only after the new flip
+    assert os.path.isdir(v2)
+
+
 def test_concurrent_writers_claim_distinct_versions(tmp_path):
     """Two-writer race on the REAL filesystem across OS processes (the
     round-6 verdict item): every claimed v_N is globally unique, no
