@@ -57,19 +57,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: END-battery only, as before: every run reaches it through the
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
-#: Refs: the END battery of a clean full-catalog run (host_factor
-#: 0.996 on idle-window refs, 2026-08-15). END-position matters:
-#: arrow_python measures 1.6 s on a fresh session but 4.6 s after the
-#: full catalog (Python-worker daemon state accumulates) — an
-#: idle-session ref would read every clean END battery as 1.7x
-#: "host load". Every ref below is therefore anchored at the same
-#: point in the run where the measurement battery executes.
+#: Refs: per-axis MEDIAN of the END batteries of THREE clean
+#: full-catalog runs at the 176-query catalog (2026-08-15, round 8;
+#: totals 230.8/239.0/225.5 s). Median-of-3 batteries, not one run:
+#: the arrow axis measured 4.44/4.62/7.54 s across back-to-back idle
+#: windows — single-window refs would bake one draw of that wobble
+#: into every future ratio. END-position matters: arrow_python
+#: measures ~1.6 s on a fresh session but ~4.6 s after the full
+#: catalog (Python-worker daemon state accumulates) — an idle-session
+#: ref would read every clean END battery as 1.7x "host load". Every
+#: ref below is therefore anchored at the same point in the run where
+#: the measurement battery executes.
 SENTINEL_REFS = {
-    "io_scan": 1.345,
-    "shuffle_agg": 1.559,
-    "cpu_codegen": 2.298,
-    "sort_window": 4.146,
-    "arrow_python": 4.581,
+    "io_scan": 1.458,
+    "shuffle_agg": 2.047,
+    "cpu_codegen": 2.327,
+    "sort_window": 4.459,
+    "arrow_python": 4.621,
 }
 SENTINEL_REPS = 5
 #: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
@@ -83,7 +87,7 @@ SENTINEL_REPS = 5
 #: (tests/test_tools.py::test_bench_refs_pinned_to_current_catalog
 #: enforces the pairing). Until re-pinned, bench.py self-reports
 #: refs_stale=true and comparable=false in the artifact.
-SENTINEL_REF_CATALOG = "072e7035cc6ad6c2"  # 175 queries, pinned 2026-08-15
+SENTINEL_REF_CATALOG = "854ebcc3be225c80"  # 176 queries, pinned 2026-08-15 (r8)
 #: host_spread above this means the window was unevenly loaded and
 #: cross-round normalized deltas must not be read (the r06 1.47-spread
 #: window is the motivating example).

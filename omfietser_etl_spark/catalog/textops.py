@@ -633,6 +633,74 @@ GROUP BY p.doc, m.ms
 """
 
 
+#: td27 — the LARGE-eval-suite fallback for td26: td26's dense scan is
+#: |corpus|·|eval|·d flops by construction (fine at eval suites of
+#: 10³–10⁴; the wall at 10⁵+), so probes route through the td7 IVF
+#: machinery instead — centroids sized ≈ √|eval| over the BENCHMARK
+#: (the ivf_centroid_mod_for rule applied to the eval count, NOT the
+#: corpus count: the cell geometry partitions the bench side).
+#: Gate eval slice = 72 ids (multiples of 7 in 0..499), isqrt(72) = 8
+#: → every 8th bench id is a centroid: vec_id % (7·8) == 0.
+TD26_EVAL_GATE_N = 72
+TD27_CENT_MOD = TD26_MOD * sim.ivf_centroid_mod_for(TD26_EVAL_GATE_N)
+assert TD27_CENT_MOD == 56, "gate bench-codebook rule is certified at 56"
+
+
+def td27_semantic_decontam_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-routed semantic decontamination (textops/similarity.py::
+    bipartite_cosine_pairs_ivf): td26's check for benchmarks too large
+    to dense-scan — benchmark vectors are assigned to ≈√|eval|
+    centroid cells, each training doc probes its n_probe nearest cells
+    and computes exact dots only there, cutting per-doc flops from
+    |eval|·d to (C + n_probe·|eval|/C)·d. Recall < 1 by design (td7's
+    contract); the oracle replays the identical assignment + probe
+    set, so parity is exact. Still a ZERO-shuffle corpus scan: cells,
+    codebook, and routing ship by value in the mapInPandas closure.
+    Output is the ≥ τ pair set within probed cells — bounded per doc
+    by the probed cells' bench rows, the structural analogue of td26's
+    argmax bound."""
+    from omfietser_etl_spark.textops.similarity import bipartite_cosine_pairs_ivf
+
+    emb = load(spark, sf, "embeddings")
+    # on_subnoise='warn', not 'raise': τ=0.40 clears the gate-scale
+    # floor (bipartite_tau_floor(64, 72) ≈ 0.37) but the sf0.1 eval
+    # slice (286 ids) raises the floor to ≈ 0.42 — the sweep must
+    # still run there, with the signal fired (td26's discipline).
+    return bipartite_cosine_pairs_ivf(
+        emb.filter(F.col("vec_id") % TD26_MOD != 0),
+        emb.filter(F.col("vec_id") % TD26_MOD == 0),
+        emb.filter(F.col("vec_id") % TD27_CENT_MOD == 0),
+        "vec_id",
+        "embedding",
+        TD26_TAU,
+        n_probe=IVF_PROBES,
+        on_subnoise="warn",
+    )
+
+
+TD27_ORACLE = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id % {TD27_CENT_MOD} = 0),
+b AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings
+      WHERE vec_id % {TD26_MOD} = 0),
+asg AS (SELECT bid, bv, cid FROM (
+    SELECT b.bid, b.bv, c.cid,
+           row_number() OVER (PARTITION BY b.bid
+               ORDER BY {dk_dot('b.bv', 'c.cv')} DESC, c.cid ASC) AS r
+    FROM b CROSS JOIN c) WHERE r = 1),
+t AS (SELECT vec_id AS doc, embedding AS tv FROM embeddings
+      WHERE vec_id % {TD26_MOD} <> 0),
+probes AS (SELECT doc, tv, cid FROM (
+    SELECT t.doc, t.tv, c.cid,
+           row_number() OVER (PARTITION BY t.doc
+               ORDER BY {dk_dot('t.tv', 'c.cv')} DESC, c.cid ASC) AS pr
+    FROM t CROSS JOIN c) WHERE pr <= {IVF_PROBES})
+SELECT p.doc, a.bid AS bench, round({dk_dot('p.tv', 'a.bv')}, 4) AS sim
+FROM probes p JOIN asg a ON a.cid = p.cid
+WHERE round({dk_dot('p.tv', 'a.bv')}, 4) >= {TD26_TAU}
+"""
+
+
 EMB_DIM = 64  # embeddings table vector dimension (TESTDATA.md)
 
 
@@ -2985,6 +3053,8 @@ SPECS = [
               "fuzzy eval-leak pairs: bipartite shingle blocking, exact Jaccard"),
     QuerySpec("td26_semantic_decontam", td26_semantic_decontam, TD26_ORACLE,
               "semantic eval-leak pairs: broadcast bench matrix, map-side scan"),
+    QuerySpec("td27_semantic_decontam_ivf", td27_semantic_decontam_ivf, TD27_ORACLE,
+              "IVF-routed semantic decontam (√|eval| cells, large-benchmark path)"),
     QuerySpec("td18_bloom_decontam", td18_bloom_decontam, _td18_oracle(),
               "Bloom-bounded decontamination (fixed-memory eval set)"),
     QuerySpec("td10_quantize", td10_quantize, TD10_ORACLE,

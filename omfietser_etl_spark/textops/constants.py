@@ -19,6 +19,16 @@ CHAR_SEED = 7
 
 # MinHash: N_HASHES affine maps h_i(x) = (a_i * x + b_i) % MOD, split
 # into BANDS bands of ROWS rows for LSH banding. a_i*x < MOD^2 < 2^60.
+#
+# No corpus-sizing helper on purpose (round-8 constant sweep): unlike
+# RH-LSH keys (truncated BIT strings whose 2^rows space saturates as N
+# grows — rh_params_for exists for exactly that), a MinHash band key
+# is a tuple of ROWS values from the full 10^9 hash space, so random
+# collisions stay negligible at any corpus size; the geometry sets the
+# RECALL curve P(candidate) = 1-(1-J^ROWS)^BANDS at the target τ,
+# which is scale-free (4×4 ⇒ ~0.96 at τ=0.8). Candidate growth is
+# governed by true near-dup density, measured linear in SCALING.md
+# ("minhash-band" rows).
 N_HASHES = 16
 BANDS = 4
 ROWS = 4

@@ -766,6 +766,134 @@ def bipartite_cosine_pairs(
     )
 
 
+def bipartite_cosine_pairs_ivf(
+    emb: DataFrame,
+    bench: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_probe: int = 2,
+    on_subnoise: str = "raise",
+) -> DataFrame:
+    """(doc, bench, sim) — IVF-routed semantic decontamination: the
+    LARGE-eval-suite fallback for :func:`bipartite_cosine_pairs`,
+    whose dense scan costs |corpus|·|eval|·d flops by construction.
+    Benchmark vectors are assigned to their nearest centroid (argmax
+    dot, smallest-cid tiebreak — the td7 assignment rule); each corpus
+    doc probes its ``n_probe`` nearest centroids and computes exact
+    dots ONLY against benchmark vectors in those cells, cutting
+    per-doc flops from |eval|·d to (C + n_probe·|eval|/C)·d — minimized
+    at C ≈ √|eval| (size ``centroids`` with
+    :func:`ivf_centroid_mod_for` over the BENCHMARK count). Recall < 1
+    by design (a leak whose eval source lands outside the probed cells
+    is missed); the oracle replays the identical probe set, so gate
+    parity is exact, and ``n_probe ≥ C`` degenerates to the dense
+    output bit-for-bit.
+
+    Scale shape: the benchmark matrix, centroid codebook, and cell
+    routing are all collected once (bounded: eval suites are 10³–10⁵
+    rows) and shipped BY VALUE in the mapInPandas closure — the
+    training corpus streams through in Arrow batches with ZERO
+    shuffle, exactly the dense path's plan, just fewer flops per row.
+    Exactness: every dot (probe and verify) accumulates
+    dimension-major, the sequential left-fold order DuckDB replays;
+    probe ranking uses a stable argsort over cid-ascending columns ≡
+    ORDER BY dot DESC, cid ASC.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc long, bench long, dot double"
+    b_rows = bench.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    if not b_rows:
+        return emb.sparkSession.createDataFrame([], out_schema).select(
+            "doc", "bench", F.col("dot").alias("sim")
+        )
+    c_rows = centroids.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    if not c_rows:
+        raise ValueError(
+            "bipartite_cosine_pairs_ivf: empty centroid codebook — size it "
+            "over the benchmark with ivf_centroid_mod_for(n_eval)"
+        )
+    # cid-ascending column order makes a STABLE argsort of -dots break
+    # ties to the smallest cid, matching the oracle's ORDER BY.
+    c_rows.sort(key=lambda r: r.i)
+    ids_c = np.array([r.i for r in c_rows], dtype=np.int64)
+    mat_c = np.array([list(r.v) for r in c_rows], dtype=np.float64)
+    ids_b = np.array([r.i for r in b_rows], dtype=np.int64)
+    mat_b = np.array([list(r.v) for r in b_rows], dtype=np.float64)
+    dim = mat_b.shape[1]
+
+    floor = bipartite_tau_floor(dim, len(ids_b))
+    if threshold < floor:
+        msg = (
+            f"bipartite_cosine_pairs_ivf: threshold={threshold} is below "
+            f"the expected max null cosine {floor:.3f} for dim={dim}, "
+            f"n_eval={len(ids_b)} (≈√(2·ln n)/√d): per-doc best matches at "
+            "this τ are noise maxima, not leaks. Raise τ, or pass "
+            "on_subnoise='warn'/'off' for small-benchmark use."
+        )
+        if on_subnoise == "warn":
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+        elif on_subnoise != "off":
+            raise ValueError(msg)
+
+    # Benchmark→cell assignment, driver-side (eval-sized work): fold-
+    # order dots against the codebook, stable argmax = first column.
+    bc = np.zeros((len(ids_b), len(ids_c)))
+    for k in range(dim):
+        bc += np.outer(mat_b[:, k], mat_c[:, k])
+    assign = np.argsort(-bc, axis=1, kind="stable")[:, 0]
+    cells = {
+        int(j): (ids_b[assign == j], mat_b[assign == j])
+        for j in np.unique(assign)
+    }
+    n_probe_eff = min(int(n_probe), len(ids_c))
+    guard = threshold - 1e-4
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_a = pdf["_id"].to_numpy(np.int64)
+            mat_a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            qc = np.zeros((len(ids_a), len(ids_c)))
+            for k in range(dim):  # fold-order probe dots
+                qc += np.outer(mat_a[:, k], mat_c[:, k])
+            probed = np.argsort(-qc, axis=1, kind="stable")[:, :n_probe_eff]
+            for j, (cids, cmat) in cells.items():
+                rows = np.nonzero((probed == j).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                sims = np.zeros((len(rows), len(cids)))
+                for k in range(dim):  # fold-order verify dots
+                    sims += np.outer(mat_a[rows, k], cmat[:, k])
+                ii, jj = np.nonzero(sims >= guard)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "doc": ids_a[rows[ii]],
+                            "bench": cids[jj],
+                            "dot": sims[ii, jj],
+                        }
+                    )
+
+    out = src.mapInPandas(kernel, out_schema)
+    return (
+        out.withColumn("sim", F.round(F.col("dot"), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("doc", "bench", "sim")
+    )
+
+
 def cos2_bp_expr(
     dot: str = "dot",
     norm_lo_sq: str = "norm_lo_sq",

@@ -129,9 +129,27 @@ def cms_estimate(
 
 #: bloom geometry: k hashes over m bits. At n = m·ln2/k keys the
 #: false-positive rate is ~(1/2)^k ≈ 6% (k=4); size m to ~2.9 bits
-#: per expected key per point of 2^-k target.
+#: per expected key per point of 2^-k target. The gate literal below
+#: is bloom_m_for(22_700) — certified for eval suites up to ~22k
+#: distinct shingles; a larger benchmark must re-derive m through the
+#: helper AND regenerate the oracle constant with it (the
+#: ivf_centroid_mod_for discipline: never scale by copying the
+#: literal).
 BLOOM_K = 4
 BLOOM_M = 1 << 17
+
+
+def bloom_m_for(n_keys: int, k: int = BLOOM_K) -> int:
+    """Bits for a k-hash Bloom filter holding ``n_keys`` at the
+    ~(1/2)^k false-positive operating point: m = n·k/ln2, rounded up
+    to a power of two. Holding m FIXED as the key set grows pushes the
+    filter past its operating point and the false-positive rate toward
+    1 — over-flagging every training doc (false negatives stay
+    impossible, but the filter stops discriminating)."""
+    import math
+
+    need = max(1, math.ceil(int(n_keys) * k / math.log(2.0)))
+    return 1 << (need - 1).bit_length()
 
 
 def bloom_build(

@@ -181,6 +181,25 @@ def test_bloom_hits_keeps_null_keys_as_false(spark):
     assert len(rows) == 3
 
 
+def test_bloom_m_sizing_helper():
+    """bloom_m_for sizes m = n·k/ln2 rounded up to a power of two (the
+    ~(1/2)^k FPR operating point), and the committed gate literal is
+    the helper's output at its certified key budget — the
+    ivf_centroid_mod_for discipline applied to the Bloom geometry
+    (round-8 constant sweep)."""
+    import math
+
+    from omfietser_etl_spark.textops.sketch import BLOOM_K, BLOOM_M, bloom_m_for
+
+    assert bloom_m_for(22_700) == BLOOM_M  # gate literal certified
+    for n in (1, 100, 10_000, 1_000_000):
+        m = bloom_m_for(n)
+        assert m & (m - 1) == 0  # power of two
+        assert m >= n * BLOOM_K / math.log(2.0)  # at or past the operating point
+        assert m < 2 * math.ceil(max(1, n * BLOOM_K / math.log(2.0)))  # tight
+    assert bloom_m_for(10_000, k=8) == 2 * bloom_m_for(10_000, k=4)
+
+
 def test_hll_branches_and_mergeability(spark):
     """hll_distinct exercises BOTH estimate branches (linear counting
     for small groups, raw harmonic mean for large) within the 3-sigma

@@ -814,3 +814,80 @@ def test_bipartite_cosine_pairs_semantics(spark):
         bipartite_cosine_pairs(corpus, bench, "vec_id", "embedding", 0.5)
     # the td26 gate geometry sits above its floor
     assert bipartite_tau_floor(64, 71) < 0.40
+
+
+def test_bipartite_cosine_pairs_ivf(spark):
+    """The IVF-routed large-eval-suite path (round-7 verdict item 3):
+    probing ALL cells degenerates to the dense output bit-for-bit;
+    fewer probes yield a strict SUBSET (recall < 1 by design); routing
+    is verifiable on a hand-built geometry; empty codebook raises."""
+    import pytest
+
+    from omfietser_etl_spark.session import load
+    from omfietser_etl_spark.textops.similarity import (
+        bipartite_cosine_pairs,
+        bipartite_cosine_pairs_ivf,
+    )
+
+    # real embeddings: td26's gate slices at the test scale
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    cents = bench.filter(F.col("vec_id") % 21 == 0)  # ~1/3 of bench
+    n_cells = cents.count()
+    assert n_cells >= 2
+
+    dense = {
+        (r.doc, r.bench): r.sim
+        for r in bipartite_cosine_pairs(
+            corpus, bench, "vec_id", "embedding", 0.40, on_subnoise="off"
+        ).collect()
+    }
+    full_probe = {
+        (r.doc, r.bench): r.sim
+        for r in bipartite_cosine_pairs_ivf(
+            corpus, bench, cents, "vec_id", "embedding", 0.40,
+            n_probe=n_cells, on_subnoise="off",
+        ).collect()
+    }
+    assert full_probe == dense  # n_probe = C ≡ dense, values included
+
+    narrow = {
+        (r.doc, r.bench): r.sim
+        for r in bipartite_cosine_pairs_ivf(
+            corpus, bench, cents, "vec_id", "embedding", 0.40,
+            n_probe=1, on_subnoise="off",
+        ).collect()
+    }
+    assert set(narrow) <= set(dense)
+    assert all(narrow[k] == dense[k] for k in narrow)  # exact where probed
+
+    # hand-built routing check: two orthogonal cells; with n_probe=1 a
+    # corpus vector between them only sees its NEAREST cell's bench doc
+    c2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    b2 = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    q2 = spark.createDataFrame([(5, [0.8, 0.6])], ["vec_id", "embedding"])
+    got = {
+        (r.doc, r.bench): r.sim
+        for r in bipartite_cosine_pairs_ivf(
+            q2, b2, c2, "vec_id", "embedding", 0.5, n_probe=1,
+            on_subnoise="off",
+        ).collect()
+    }
+    assert got == {(5, 10): 0.8}  # 0.6-sim bench doc 20 unprobed, dropped
+
+    with pytest.raises(ValueError, match="empty centroid codebook"):
+        bipartite_cosine_pairs_ivf(
+            q2, b2, c2.filter("vec_id < 0"), "vec_id", "embedding", 0.5,
+            on_subnoise="off",
+        )
+    with pytest.raises(ValueError, match="null cosine"):
+        bipartite_cosine_pairs_ivf(q2, b2, c2, "vec_id", "embedding", 0.1)
