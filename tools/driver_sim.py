@@ -10,13 +10,15 @@ any failure. This is the runtime surface — `pytest tests/` mirrors it
 at sf0.001 with the engine session, but THIS is what the gate runs.
 
 --chunks N splits the catalog across N sequential FRESH-JVM
-subprocesses. Use for full-catalog sweeps at sf0.1: the vanilla
-session's 1g heap survives any 50-query driver window (the actual
-gate contract) but a single 175-query sf0.1 run accumulates enough
-JVM residue (ContextCleaner lag, codegen caches) to OOM the heaviest
-query near the end even with per-query cache release + GC nudges —
-per-query correctness is what the sweep certifies, not 175-in-one-
-heap endurance.
+subprocesses. Use --chunks 8 for full-catalog sweeps at sf0.1: the
+vanilla session's 1g heap survives any 50-query driver window at
+sf0.01 (the actual gate contract) but a long sf0.1 run accumulates
+JVM residue (ContextCleaner lag, codegen caches) that can OOM a heavy
+query near the chunk's end even with per-query cache release + GC
+nudges — and 44-query chunks proved MARGIN-FLAKY (round 8: g2 failed
+in a sweep, then the identical 44-query chunk passed on re-run;
+22-query chunks are reliably green). Per-query correctness is what
+the sweep certifies, not N-in-one-heap endurance.
 """
 
 from __future__ import annotations
@@ -103,8 +105,9 @@ def main() -> int:
         # the documented default above the 50-query gate window.
         print(
             f"WARNING: {n_requested} queries at sf{sf_val} in ONE JVM — "
-            "use --chunks 4 for full-catalog sweeps at sf>=0.1 "
-            "(see SCALING.md round-7 OOM autopsy)",
+            "use --chunks 8 (<=22 queries per JVM) for full-catalog sweeps "
+            "at sf>=0.1 (SCALING.md round-7 OOM autopsy; round-8 found "
+            "44-query chunks margin-flaky)",
             file=sys.stderr,
         )
     failures = []
