@@ -526,15 +526,29 @@ def kcenter_coreset(
     the standard coreset radius curve).
 
     Scale shape: greedy k-center is INHERENTLY sequential (center
-    i+1 depends on i) — the loop is k−1 driver rounds of ONE
-    map-side corpus pass each: quantized vectors (cached once) ×
-    broadcast chosen-set → min-distance agg → TakeOrdered(1). No
-    shuffle beyond the vid agg; k bounds the rounds (the BPE-trainer
-    collect discipline — tiny argmax rows to the driver, never data).
+    i+1 depends on i) — the loop is k−1 driver rounds, each a pure
+    MAP over the cached quantized corpus: the classic incremental
+    form carries a running ``dmin`` column and folds in ONLY the
+    newest center (as a literal int array — no join, no broadcast,
+    no per-round groupBy shuffle), so total distance evals are
+    O(N·k), not the O(N·k²) of re-scoring the whole chosen set each
+    round (round-8 rewrite: the join+groupBy form spent ~1.2 s/round
+    in shuffle+agg overhead at sf0.1 — 5.0 s → 3.3 s warm measured at
+    k=5, identical output; k=20 runs in 8 s where the joined form
+    would re-score 190 center-pairs). Every 8 rounds the map stack is
+    truncated with a tracked
+    localCheckpoint (the connected-components discipline) so the
+    recompute-per-action and codegen depth stay bounded at large k;
+    k bounds the rounds (the BPE-trainer collect discipline — tiny
+    argmax rows to the driver, never data).
     """
     from pyspark import StorageLevel
 
-    from ..cacheutil import release_then_register
+    from ..cacheutil import (
+        register_rdd_ids,
+        release_then_register,
+        tracked_local_checkpoint,
+    )
 
     spark = emb.sparkSession
     v = vec_col
@@ -552,21 +566,26 @@ def kcenter_coreset(
     seed = q.orderBy("vid").limit(1).collect()
     if not seed:
         return spark.createDataFrame([], "ord long, vec_id long, dmin_q long")
-    chosen = [(1, int(seed[0].vid), 0, [int(x) for x in seed[0].qv])]
-    d2 = (
-        "aggregate(zip_with(qv, cqv, (a, b) -> "
-        "CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)), 0L, (acc, x) -> acc + x)"
-    )
+    chosen = [(1, int(seed[0].vid), 0)]
+    cur_qv = [int(x) for x in seed[0].qv]
+    # running min distance to the chosen set; the first fold replaces
+    # the +inf sentinel (any real d2 ≤ 64·254² ≪ 2^62).
+    state = q.select("vid", "qv", F.lit(1 << 62).cast("long").alias("dmin"))
     for step in range(2, k + 1):
-        centers = spark.createDataFrame(
-            [(c[1], c[3]) for c in chosen], "cid long, cqv array<int>"
+        lit = "array(" + ", ".join(str(x) for x in cur_qv) + ")"
+        d2_new = (
+            f"aggregate(zip_with(qv, {lit}, (a, b) -> "
+            "CAST(a - b AS BIGINT) * CAST(a - b AS BIGINT)), "
+            "0L, (acc, x) -> acc + x)"
         )
+        state = state.select(
+            "vid", "qv", F.expr(f"least(dmin, {d2_new})").alias("dmin")
+        )
+        if (step - 1) % 8 == 0:
+            state, ck_ids = tracked_local_checkpoint(state)
+            register_rdd_ids("similarity.kcenter", spark.sparkContext, ck_ids)
         nxt = (
-            q.join(F.broadcast(centers))
-            .select("vid", "qv", F.expr(d2).alias("d2"))
-            .groupBy("vid")
-            .agg(F.min("d2").alias("dmin"), F.first("qv").alias("qv"))
-            .filter(~F.col("vid").isin([c[1] for c in chosen]))
+            state.filter(~F.col("vid").isin([c[1] for c in chosen]))
             .orderBy(F.col("dmin").desc(), F.col("vid"))
             .limit(1)
             .collect()
@@ -574,11 +593,9 @@ def kcenter_coreset(
         if not nxt:
             break
         r = nxt[0]
-        chosen.append((step, int(r.vid), int(r.dmin), [int(x) for x in r.qv]))
-    return spark.createDataFrame(
-        [(o, vid, dm) for o, vid, dm, _ in chosen],
-        "ord long, vec_id long, dmin_q long",
-    )
+        chosen.append((step, int(r.vid), int(r.dmin)))
+        cur_qv = [int(x) for x in r.qv]
+    return spark.createDataFrame(chosen, "ord long, vec_id long, dmin_q long")
 
 
 # ---------------------------------------------------------------------------
