@@ -211,6 +211,10 @@ def main() -> None:
         "td22_pq_rerank",
         "tv5_rrf_fusion",
         "ts17_cluster_prototypes",
+        # round-8: incremental k-center (O(N·k) distance folds, map-
+        # only rounds) — the measured claim is ~linear time at 10×
+        # vectors since each round is one cached-corpus map + top-1
+        "ts19_kcenter_coreset",
         # perceptual near-dup (image dHash / audio fingerprint): pair
         # output should scale ~linearly (per-doc planted twins + the
         # within-copy text-dup cliques, both ∝ N)
