@@ -891,3 +891,58 @@ def test_bipartite_cosine_pairs_ivf(spark):
         )
     with pytest.raises(ValueError, match="null cosine"):
         bipartite_cosine_pairs_ivf(q2, b2, c2, "vec_id", "embedding", 0.1)
+
+
+def test_bipartite_ivf_random_geometry_invariants(spark):
+    """Randomized-geometry property check for the IVF decontam route:
+    across seeded random corpora/benchmarks/codebooks and every
+    n_probe, (1) the IVF output is a SUBSET of the dense pairs, (2)
+    sims agree exactly where probed, (3) n_probe = C reproduces the
+    dense output in full. Deterministic seeds, three distinct
+    geometries (clustered, uniform, degenerate duplicate vectors)."""
+    import numpy as np
+
+    from omfietser_etl_spark.textops.similarity import (
+        bipartite_cosine_pairs,
+        bipartite_cosine_pairs_ivf,
+    )
+
+    for seed, shape in ((0, "uniform"), (1, "clustered"), (2, "dupes")):
+        rng = np.random.default_rng(seed)
+        dim = 8
+        if shape == "clustered":
+            centers = rng.normal(size=(3, dim))
+            raw = np.vstack([
+                c + 0.1 * rng.normal(size=(20, dim)) for c in centers
+            ])
+        elif shape == "dupes":
+            base = rng.normal(size=(6, dim))
+            raw = np.vstack([base] * 10)  # heavy exact duplicates
+        else:
+            raw = rng.normal(size=(60, dim))
+        vecs = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        corpus = df.filter("vec_id % 3 != 0")
+        bench = df.filter("vec_id % 3 = 0")
+        cents = df.filter("vec_id % 9 = 0")
+        n_cells = cents.count()
+        tau = 0.5
+        dense = {
+            (r.doc, r.bench): r.sim
+            for r in bipartite_cosine_pairs(
+                corpus, bench, "vec_id", "embedding", tau, on_subnoise="off"
+            ).collect()
+        }
+        for n_probe in (1, 2, n_cells):
+            got = {
+                (r.doc, r.bench): r.sim
+                for r in bipartite_cosine_pairs_ivf(
+                    corpus, bench, cents, "vec_id", "embedding", tau,
+                    n_probe=n_probe, on_subnoise="off",
+                ).collect()
+            }
+            assert set(got) <= set(dense), (seed, shape, n_probe)
+            assert all(got[k] == dense[k] for k in got), (seed, shape, n_probe)
+            if n_probe >= n_cells:
+                assert got == dense, (seed, shape)
