@@ -47,11 +47,18 @@ def _run_chunked(n_chunks: int, argv: list[str]) -> int:
             print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
             return 2
         names = [n for n in names if n in wanted]
-    per = -(-len(names) // max(1, n_chunks))
+    # STRIPED assignment (names[k::N]), not contiguous slices: the
+    # rotation orders by certification age, which correlates heavy
+    # families together — round 8's contiguous chunk 2 packed tp1 +
+    # dd5 + the rank family + g1–g3 and OOM'd the 1g heap at 44
+    # queries, while a striped chunk gets an even heavy/light mix.
+    # Per-query correctness is chunk-order-independent.
     rc = 0
-    for i in range(0, len(names), per):
-        chunk = names[i : i + per]
-        print(f"--- chunk {i // per + 1}: {len(chunk)} queries ---", flush=True)
+    for k in range(max(1, n_chunks)):
+        chunk = names[k::n_chunks]
+        if not chunk:
+            continue
+        print(f"--- chunk {k + 1}: {len(chunk)} queries ---", flush=True)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), sf, *chunk]
         ).returncode
