@@ -90,7 +90,22 @@ SENTINEL_REPS = 5
 SENTINEL_REF_CATALOG = "854ebcc3be225c80"  # 176 queries, pinned 2026-08-15 (r8)
 #: host_spread above this means the window was unevenly loaded and
 #: cross-round normalized deltas must not be read (the r06 1.47-spread
-#: window is the motivating example).
+#: window is the motivating example). DELIBERATELY CONSERVATIVE: the
+#: arrow axis is BIMODAL across clean windows (round-8 probe: a fresh
+#: reuse=true session settles at ~1.5 s, but the aged END value lands
+#: at ~4.5 s or ~8 s depending on daemon state — 4.44/4.62/7.54/8.0
+#: measured on idle windows, same catalog), so clean windows often
+#: flag as incomparable. That false-positive direction is safe (a bad
+#: delta is never read as real); the robust cross-round practice is
+#: best-of-raw over ≥3 windows. Excluding arrow from the spread was
+#: measured and REJECTED: the round-8 close-1 window (sentinels fast
+#: 0.77–0.94, catalog slow — load arrived mid-window) would have
+#: passed a 4-axis gate at 1.23 and mislabeled a misleading
+#: normalized total as comparable. If a future round needs a flat
+#: arrow axis: spark.python.worker.reuse=false measures 2.3 s ±0.1
+#: regardless of session age (fork-per-task, ~0.8 s slower than warm
+#: reuse on the 16M-row shape) — a session-conf change that
+#: invalidates ALL refs; re-pin under it.
 COMPARABLE_SPREAD_MAX = 1.3
 
 
