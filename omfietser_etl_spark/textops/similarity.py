@@ -548,6 +548,7 @@ def kcenter_coreset(
         register_rdd_ids,
         release_then_register,
         tracked_local_checkpoint,
+        unpersist_rdd_ids,
     )
 
     spark = emb.sparkSession
@@ -571,6 +572,7 @@ def kcenter_coreset(
     # running min distance to the chosen set; the first fold replaces
     # the +inf sentinel (any real d2 ≤ 64·254² ≪ 2^62).
     state = q.select("vid", "qv", F.lit(1 << 62).cast("long").alias("dmin"))
+    prev_ck: set[int] = set()
     for step in range(2, k + 1):
         lit = "array(" + ", ".join(str(x) for x in cur_qv) + ")"
         d2_new = (
@@ -583,7 +585,12 @@ def kcenter_coreset(
         )
         if (step - 1) % 8 == 0:
             state, ck_ids = tracked_local_checkpoint(state)
-            register_rdd_ids("similarity.kcenter", spark.sparkContext, ck_ids)
+            # localCheckpoint is eager, so the superseded snapshot's
+            # blocks are free-able the moment the new one exists — the
+            # CC loop discipline (dedup.py); only the LIVE checkpoint
+            # stays registered for the next invocation's release.
+            unpersist_rdd_ids(spark.sparkContext, prev_ck)
+            prev_ck = ck_ids
         nxt = (
             state.filter(~F.col("vid").isin([c[1] for c in chosen]))
             .orderBy(F.col("dmin").desc(), F.col("vid"))
@@ -595,6 +602,7 @@ def kcenter_coreset(
         r = nxt[0]
         chosen.append((step, int(r.vid), int(r.dmin)))
         cur_qv = [int(x) for x in r.qv]
+    register_rdd_ids("similarity.kcenter", spark.sparkContext, prev_ck)
     return spark.createDataFrame(chosen, "ord long, vec_id long, dmin_q long")
 
 
@@ -700,6 +708,38 @@ def bipartite_tau_floor(dim: int, n_eval: int) -> float:
     return math.sqrt(2.0 * math.log(max(2, int(n_eval)))) / math.sqrt(dim)
 
 
+def _bipartite_floor_check(
+    threshold: float, dim: int, n_eval: int, on_subnoise: str, op: str
+) -> None:
+    """Shared sub-noise τ guard for the bipartite decontam family
+    (dense and IVF paths — one copy of the message/formula, the
+    check_noise_floor pattern)."""
+    floor = bipartite_tau_floor(dim, n_eval)
+    if on_subnoise == "off" or threshold >= floor:
+        return
+    msg = (
+        f"{op}: threshold={threshold} is below the expected max null "
+        f"cosine {floor:.3f} for dim={dim}, n_eval={n_eval} "
+        "(≈√(2·ln n)/√d): per-doc best matches at this τ are noise "
+        "maxima, not leaks (63× flagged docs at 10× data measured, "
+        "SCALING.md round 7). Raise τ, or pass on_subnoise='warn'/'off' "
+        "for small-benchmark use."
+    )
+    if on_subnoise == "warn":
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    else:
+        raise ValueError(msg)
+
+
+def _empty_pairs(spark) -> DataFrame:
+    """Empty (doc, bench, sim) frame with the decontam contract schema."""
+    return spark.createDataFrame([], "doc long, bench long, dot double").select(
+        "doc", "bench", F.col("dot").alias("sim")
+    )
+
+
 def bipartite_cosine_pairs(
     emb: DataFrame,
     bench: DataFrame,
@@ -736,27 +776,13 @@ def bipartite_cosine_pairs(
     ).collect()
     out_schema = "doc long, bench long, dot double"
     if not rows:
-        return emb.sparkSession.createDataFrame([], out_schema).select(
-            "doc", "bench", F.col("dot").alias("sim")
-        )
+        return _empty_pairs(emb.sparkSession)
     ids_b = np.array([r.i for r in rows], dtype=np.int64)
     mat_b = np.array([list(r.v) for r in rows], dtype=np.float64)
-    floor = bipartite_tau_floor(mat_b.shape[1], len(ids_b))
-    if threshold < floor:
-        msg = (
-            f"bipartite_cosine_pairs: threshold={threshold} is below the "
-            f"expected max null cosine {floor:.3f} for dim={mat_b.shape[1]}"
-            f", n_eval={len(ids_b)} (≈√(2·ln n)/√d): per-doc best matches "
-            "at this τ are noise maxima, not leaks (63× flagged docs at "
-            "10× data measured, SCALING.md round 7). Raise τ, or pass "
-            "on_subnoise='warn'/'off' for small-benchmark use."
-        )
-        if on_subnoise == "warn":
-            import warnings
-
-            warnings.warn(msg, stacklevel=2)
-        elif on_subnoise != "off":
-            raise ValueError(msg)
+    _bipartite_floor_check(
+        threshold, mat_b.shape[1], len(ids_b), on_subnoise,
+        "bipartite_cosine_pairs",
+    )
     guard = threshold - 1e-4
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
@@ -826,9 +852,7 @@ def bipartite_cosine_pairs_ivf(
         F.col(id_col).alias("i"), F.col(vec_col).alias("v")
     ).collect()
     if not b_rows:
-        return emb.sparkSession.createDataFrame([], out_schema).select(
-            "doc", "bench", F.col("dot").alias("sim")
-        )
+        return _empty_pairs(emb.sparkSession)
     c_rows = centroids.select(
         F.col(id_col).alias("i"), F.col(vec_col).alias("v")
     ).collect()
@@ -846,21 +870,9 @@ def bipartite_cosine_pairs_ivf(
     mat_b = np.array([list(r.v) for r in b_rows], dtype=np.float64)
     dim = mat_b.shape[1]
 
-    floor = bipartite_tau_floor(dim, len(ids_b))
-    if threshold < floor:
-        msg = (
-            f"bipartite_cosine_pairs_ivf: threshold={threshold} is below "
-            f"the expected max null cosine {floor:.3f} for dim={dim}, "
-            f"n_eval={len(ids_b)} (≈√(2·ln n)/√d): per-doc best matches at "
-            "this τ are noise maxima, not leaks. Raise τ, or pass "
-            "on_subnoise='warn'/'off' for small-benchmark use."
-        )
-        if on_subnoise == "warn":
-            import warnings
-
-            warnings.warn(msg, stacklevel=2)
-        elif on_subnoise != "off":
-            raise ValueError(msg)
+    _bipartite_floor_check(
+        threshold, dim, len(ids_b), on_subnoise, "bipartite_cosine_pairs_ivf"
+    )
 
     # Benchmark→cell assignment, driver-side (eval-sized work): fold-
     # order dots against the codebook, stable argmax = first column.

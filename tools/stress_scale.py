@@ -368,11 +368,15 @@ def main() -> None:
         for c in hot_copies[1:]:
             ev_hot = ev_hot.unionByName(c)
 
+        # the corpus side is identical across all three eval variants —
+        # build its per-shingle counts once (round-8 review item)
+        tr = (
+            dd.doc_shingles(corpus, "doc_id", "text")
+            .groupBy("s").agg(F.count("*").alias("nt"))
+            .persist()
+        )
+
         def bipartite_candidates(ev) -> int:
-            tr = (
-                dd.doc_shingles(corpus, "doc_id", "text")
-                .groupBy("s").agg(F.count("*").alias("nt"))
-            )
             es = (
                 dd.doc_shingles(ev, "doc_id", "text")
                 .groupBy("s").agg(F.count("*").alias("ne"))
@@ -393,6 +397,7 @@ def main() -> None:
             ).count()
             t = time.perf_counter() - t0
             print(f"| {tag} | {t:.1f} | {rows} | {bipartite_candidates(ev)} |")
+        tr.unpersist()
 
     def run_semantic_bench10k() -> None:
         """td26/td27 at a 10⁴-row BENCHMARK (round-8): corpus = the 10x
