@@ -137,6 +137,31 @@ def test_bench_comparable_gate():
     assert bench.catalog_fingerprint(["a"]) != bench.catalog_fingerprint(["a", "b"])
 
 
+def test_driver_sim_chunk_assignment_covers_all_once():
+    """Striped chunking must place EVERY query in EXACTLY one chunk for
+    any chunk count (a dropped or doubled query would silently weaken
+    or skew a sweep), and actually stripe (round-8: contiguous slices
+    packed the heavy families into one chunk and OOM'd the 1g heap)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim", os.path.join(ROOT, "tools", "driver_sim.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = [f"q{i}" for i in range(176)]
+    for n in (1, 2, 4, 7, 8, 176, 300):
+        chunks = mod.chunk_assignment(names, n)
+        flat = [x for c in chunks for x in c]
+        assert sorted(flat) == sorted(names), n  # exactly-once coverage
+        sizes = [len(c) for c in chunks if c]
+        assert max(sizes) - min(sizes) <= 1, n  # balanced
+    # striping: adjacent rotation entries land in different chunks
+    c8 = mod.chunk_assignment(names, 8)
+    assert names[0] in c8[0] and names[1] in c8[1]
+
+
 def test_driver_sim_argv_validation():
     """--chunks without a positive integer prints usage (rc 2, no
     traceback); unknown query names error instead of silently running

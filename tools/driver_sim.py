@@ -30,6 +30,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def chunk_assignment(names: list[str], n_chunks: int) -> list[list[str]]:
+    """Striped split (names[k::N]) — every name in exactly one chunk,
+    heavy/light mixed (see module docstring). Pure so the coverage
+    invariant is unit-testable."""
+    return [names[k :: max(1, n_chunks)] for k in range(max(1, n_chunks))]
+
+
 def _run_chunked(n_chunks: int, argv: list[str]) -> int:
     import subprocess
 
@@ -54,8 +61,7 @@ def _run_chunked(n_chunks: int, argv: list[str]) -> int:
     # queries, while a striped chunk gets an even heavy/light mix.
     # Per-query correctness is chunk-order-independent.
     rc = 0
-    for k in range(max(1, n_chunks)):
-        chunk = names[k::n_chunks]
+    for k, chunk in enumerate(chunk_assignment(names, n_chunks)):
         if not chunk:
             continue
         print(f"--- chunk {k + 1}: {len(chunk)} queries ---", flush=True)
