@@ -162,6 +162,41 @@ def test_driver_sim_chunk_assignment_covers_all_once():
     assert names[0] in c8[0] and names[1] in c8[1]
 
 
+def test_bench_trend_epochs_and_diff(tmp_path):
+    """bench_trend groups history rows into catalog-composition epochs
+    (consecutive; a repeated composition later = a NEW epoch), picks
+    each epoch's lowest-raw window, and diffs the last two epochs'
+    best windows on the shared queries with added/removed named."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_trend", os.path.join(ROOT, "tools", "bench_trend.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rows = [
+        {"value": 10.0, "queries": {"a": 4.0, "b": 6.0}},
+        {"value": 8.0, "queries": {"a": 3.0, "b": 5.0}},   # epoch-1 best
+        {"value": 9.5, "queries": {"a": 2.0, "b": 6.0, "c": 1.5}},  # epoch 2
+        {"value": 7.0, "queries": {"a": 3.5, "b": 3.5}},   # composition repeats -> epoch 3
+        {"value": 1.0},                                     # no detail: skipped
+    ]
+    hist = tmp_path / "hist.jsonl"
+    hist.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    epochs = mod.load_epochs(str(hist))
+    assert [len(e["key"]) for e in epochs] == [2, 3, 2]
+    assert [e["best"]["value"] for e in epochs] == [8.0, 9.5, 7.0]
+    assert epochs[0]["windows"] == 2
+
+    lines = mod.diff_best(epochs[-2]["best"], epochs[-1]["best"], top_n=5)
+    assert "shared 2 queries" in lines[0]
+    assert "removed: c" in lines[0]
+    assert any("| b | 6.00 | 3.50 | -2.50 |" in ln for ln in lines)
+
+
 def test_driver_sim_argv_validation():
     """--chunks without a positive integer prints usage (rc 2, no
     traceback); unknown query names error instead of silently running
