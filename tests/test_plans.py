@@ -620,3 +620,25 @@ def test_catalog_wide_no_single_partition_or_cartesian(spark):
         if sp or n_cp:
             offenders[s.name] = (sp, n_cp)
     assert not offenders, offenders
+
+
+def test_g2_final_plan_scans_once(spark):
+    """g2's EXECUTED adaptive plan must materialize the fact table
+    exactly once: the oriented edge frame `w` feeds three joins, and
+    its explicit repartition(src) root + ReuseExchange collapse every
+    downstream reference onto one scan. Round-9 lesson baked in: count
+    nodes in the FINAL-plan tree only — `explain formatted` on an
+    executed AQE query appends an `== Initial Plan ==` section plus
+    per-node details for BOTH trees, which inflates naive whole-string
+    counts ~4x (the round-8 '37 FileScans' verdict was that artifact)."""
+    from omfietser_etl_spark.catalog.opsspec import g2_triangle_count
+
+    df = g2_triangle_count(spark, SF_SMOKE)
+    df.collect()  # run df's OWN QueryExecution so its AQE plan finalizes
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    final_tree = plan.split("== Initial Plan ==")[0]
+    scans = final_tree.count("Scan parquet")
+    assert scans == 1, f"fact table must materialize once, saw {scans} scans"
+    assert "ReusedExchange" in final_tree  # stage reuse actually fired
+    assert "REPARTITION_BY_COL" in plan  # w's structural exchange root
