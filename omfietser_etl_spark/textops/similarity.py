@@ -834,11 +834,17 @@ def bipartite_cosine_pairs_ivf(
     parity is exact, and ``n_probe ≥ C`` degenerates to the dense
     output bit-for-bit.
 
-    Scale shape: the benchmark matrix, centroid codebook, and cell
-    routing are all collected once (bounded: eval suites are 10³–10⁵
+    Scale shape: the benchmark matrix, centroid codebook, and per-cell
+    ROW INDICES are collected once (bounded: eval suites are 10³–10⁵
     rows) and shipped BY VALUE in the mapInPandas closure — the
     training corpus streams through in Arrow batches with ZERO
     shuffle, exactly the dense path's plan, just fewer flops per row.
+    Closure-size ceiling: the pickled command carries ONE |eval|×d
+    float64 matrix (cell views are rebuilt worker-side from the index
+    arrays, never duplicated in the closure) — ~80 MB at the 10⁵×100
+    documented upper bound; PySpark auto-broadcasts commands over
+    1 MB, so it ships once per executor, not per task, but executor
+    memory must still hold one copy per running Python worker.
     Exactness: every dot (probe and verify) accumulates
     dimension-major, the sequential left-fold order DuckDB replays;
     probe ranking uses a stable argsort over cid-ascending columns ≡
@@ -880,15 +886,19 @@ def bipartite_cosine_pairs_ivf(
     for k in range(dim):
         bc += np.outer(mat_b[:, k], mat_c[:, k])
     assign = np.argsort(-bc, axis=1, kind="stable")[:, 0]
-    cells = {
-        int(j): (ids_b[assign == j], mat_b[assign == j])
-        for j in np.unique(assign)
-    }
+    # Ship ROW INDICES per cell, not per-cell matrix copies: the
+    # closure then carries exactly one benchmark matrix (+ tiny index
+    # arrays) instead of a second, cell-sliced copy of it (round-8
+    # ADVICE); workers rebuild the cell views once per task.
+    cell_idx = {int(j): np.nonzero(assign == j)[0] for j in np.unique(assign)}
     n_probe_eff = min(int(n_probe), len(ids_c))
     guard = threshold - 1e-4
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     def kernel(batches):
+        cells = {
+            j: (ids_b[idx], mat_b[idx]) for j, idx in cell_idx.items()
+        }  # once per task; np.nonzero order == the old boolean-mask order
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -177,10 +177,12 @@ def test_bench_trend_epochs_and_diff(tmp_path):
     spec.loader.exec_module(mod)
 
     rows = [
-        {"value": 10.0, "queries": {"a": 4.0, "b": 6.0}},
-        {"value": 8.0, "queries": {"a": 3.0, "b": 5.0}},   # epoch-1 best
+        {"value": 10.0, "queries": {"a": 4.0, "b": 6.0},
+         "comparable": True, "value_normalized": 9.0},
+        {"value": 8.0, "queries": {"a": 3.0, "b": 5.0},    # epoch-1 best
+         "comparable": False, "value_normalized": 5.5},    # flagged: norm ignored
         {"value": 9.5, "queries": {"a": 2.0, "b": 6.0, "c": 1.5}},  # epoch 2
-        {"value": 7.0, "queries": {"a": 3.5, "b": 3.5}},   # composition repeats -> epoch 3
+        {"queries": {"a": 3.5, "b": 3.5}},  # repeat -> epoch 3; total derived
         {"value": 1.0},                                     # no detail: skipped
     ]
     hist = tmp_path / "hist.jsonl"
@@ -190,6 +192,11 @@ def test_bench_trend_epochs_and_diff(tmp_path):
     assert [len(e["key"]) for e in epochs] == [2, 3, 2]
     assert [e["best"]["value"] for e in epochs] == [8.0, 9.5, 7.0]
     assert epochs[0]["windows"] == 2
+    # comparable-awareness: epoch 1 has ONE clean window and its
+    # normalized best comes from that window, never the flagged one
+    assert epochs[0]["clean_windows"] == 1
+    assert epochs[0]["best_norm"] == 9.0
+    assert epochs[1]["clean_windows"] == 0 and epochs[1]["best_norm"] is None
 
     lines = mod.diff_best(epochs[-2]["best"], epochs[-1]["best"], top_n=5)
     assert "shared 2 queries" in lines[0]

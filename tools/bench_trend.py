@@ -31,7 +31,14 @@ def load_epochs(path: str) -> list[dict]:
     composition, each epoch represented by its best (lowest raw
     total) full-detail window. Epochs are consecutive: a composition
     seen again later (rollback) starts a NEW epoch rather than
-    polluting the old one. Rows without per-query detail are skipped."""
+    polluting the old one. Rows without per-query detail are skipped;
+    a detail-bearing row missing its total derives it from the
+    per-query sums instead of aborting the whole read (round-8
+    ADVICE). Normalized totals are tracked ONLY from windows whose
+    `comparable` flag is true — the raw best may come from a flagged
+    window (raw totals are load-inclusive either way), but a
+    normalized number from an unevenly-loaded window is exactly the
+    misread the flag exists to prevent."""
     epochs: list[dict] = []
     with open(path) as f:
         for line in f:
@@ -42,13 +49,26 @@ def load_epochs(path: str) -> list[dict]:
             queries = row.get("queries")
             if not queries:
                 continue
+            if row.get("value") is None:
+                row["value"] = round(sum(queries.values()), 3)
+            comp = bool(row.get("comparable"))
+            norm = row.get("value_normalized") if comp else None
             key = tuple(sorted(queries))
             if not epochs or epochs[-1]["key"] != key:
-                epochs.append({"key": key, "best": row, "windows": 1})
+                epochs.append({"key": key, "best": row, "windows": 1,
+                               "clean_windows": int(comp),
+                               "best_norm": norm})
             else:
-                epochs[-1]["windows"] += 1
-                if row["value"] < epochs[-1]["best"]["value"]:
-                    epochs[-1]["best"] = row
+                e = epochs[-1]
+                e["windows"] += 1
+                if row["value"] < e["best"]["value"]:
+                    e["best"] = row
+                if comp:
+                    e["clean_windows"] += 1
+                    if norm is not None and (
+                        e["best_norm"] is None or norm < e["best_norm"]
+                    ):
+                        e["best_norm"] = norm
     return epochs
 
 
@@ -96,11 +116,13 @@ def main() -> int:
         print("no full-detail bench rows found", file=sys.stderr)
         return 1
 
-    print("| epoch | queries | windows | best raw (s) |")
-    print("|---|---|---|---|")
+    print("| epoch | queries | windows | clean | best raw (s) "
+          "| best normalized (clean only) |")
+    print("|---|---|---|---|---|---|")
     for i, e in enumerate(epochs, 1):
+        norm = e["best_norm"] if e["best_norm"] is not None else "—"
         print(f"| {i} | {len(e['key'])} | {e['windows']} "
-              f"| {e['best']['value']} |")
+              f"| {e['clean_windows']} | {e['best']['value']} | {norm} |")
     if len(epochs) >= 2:
         print(f"\n## best-window diff: epoch {len(epochs) - 1} -> "
               f"{len(epochs)}\n")

@@ -43,6 +43,15 @@ def _run_chunked(n_chunks: int, argv: list[str]) -> int:
     from omfietser_etl_spark.catalog import all_specs
 
     sf = argv[0] if argv else "/root/testdata/sf0.01"
+    if argv and not os.path.isdir(sf):
+        # a lone query name ('--chunks 2 td1_exact_dedup') must not be
+        # consumed as the sf_dir — every chunk would then run the FULL
+        # catalog against a nonexistent dir, a noisy failure instead of
+        # the clear unknown-name error below (round-8 ADVICE).
+        print(USAGE, file=sys.stderr)
+        print(f"not a data directory: {sf!r} (pass sf_dir before query "
+              "names)", file=sys.stderr)
+        return 2
     names = [s.name for s in all_specs()]
     if len(argv) > 1:
         wanted = set(argv[1:])
@@ -86,6 +95,11 @@ def main() -> int:
             return 2
         return _run_chunked(int(args[1]), args[2:])
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 1 and not os.path.isdir(sf):
+        print(USAGE, file=sys.stderr)
+        print(f"not a data directory: {sf!r} (pass sf_dir before query "
+              "names)", file=sys.stderr)
+        return 2
     only = set(sys.argv[2:])
 
     from pyspark.sql import SparkSession
