@@ -900,8 +900,81 @@ FROM q
 """
 
 
+#: st12 — the K2/K3 MERGE state machine under the oracle (round-8
+#: verdict item 5): fold K deterministic micro-batches through the
+#: REAL versioned parquet store and gate the final table. Batches are
+#: sliced by o_orderkey % K and reduced to ONE row per key per batch
+#: (merge_batch's determinism contract); the sequential fold's result
+#: is then SQL-expressible — per key, the row of the batch with the
+#: maximum ord, later batch winning ties (the `_src DESC` arrival-
+#: order tie-break) ≡ argmax over (ord, batch_index).
+ST12_BATCHES = 4
+
+
+def st12_merge_state(spark: SparkSession, sf: str) -> DataFrame:
+    """K2/K3 sequential-MERGE end state (streaming/incremental.py::
+    merge_batch → _merge_parquet; reference semantics
+    postgres-adapter.ts:637-788): four deterministic micro-batches of
+    per-customer order summaries merge latest-wins into the versioned
+    parquet state store (real version dirs, manifest swaps, GC), and
+    the committed state is the query result. Within-batch payloads
+    (max date / max key / count per customer) make each batch one row
+    per key, so the fold is exactly the oracle's argmax over
+    (ord DESC, batch_index DESC) — ties on ord exercise the merge's
+    batch-beats-state rule, not just order comparison. The state dir
+    is self-cleaning per invocation (release_then_register's pattern:
+    the PREVIOUS call's store dies when the next call starts; a fresh
+    uuid dir keeps the returned frame's lazy reads valid meanwhile)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..cacheutil import release_then_register
+    from ..streaming.incremental import merge_batch, read_state
+
+    orders = load(spark, sf, "orders")
+    batches = orders.groupBy(
+        F.col("o_custkey").alias("key"),
+        F.pmod(F.col("o_orderkey"), F.lit(ST12_BATCHES)).alias("bi"),
+    ).agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("ord"),
+        F.max("o_orderkey").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # persisted: each of the K merges actions a filter of this frame
+    batches = release_then_register("catalog.st12", batches.persist())
+    root = "/tmp/spark_graft_st12"
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, uuid.uuid4().hex[:8])
+    for i in range(ST12_BATCHES):
+        merge_batch(
+            batches.filter(F.col("bi") == i).drop("bi"),
+            state_dir, ["key"], "ord",
+        )
+    return read_state(spark, state_dir).select("key", "ord", "last_order", "n")
+
+
+ST12_ORACLE = f"""
+WITH b AS (
+  SELECT o_custkey AS key, o_orderkey % {ST12_BATCHES} AS bi,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS ord,
+         CAST(max(o_orderkey) AS BIGINT) AS last_order,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT key, ord, last_order, n,
+         row_number() OVER (PARTITION BY key
+             ORDER BY ord DESC, bi DESC) AS rn
+  FROM b
+)
+SELECT key, ord, last_order, n FROM r WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
+    QuerySpec("st12_merge_state", st12_merge_state, ST12_ORACLE,
+              "K sequential MERGEs through the real versioned state store"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
     QuerySpec("st6_window_counts", st6_window_counts, ST6_ORACLE, "ST6 tumbling window"),
     QuerySpec("u4_new_disappeared", u4_new_keys_between_halves, U4H_ORACLE, "U4 new/gone keys"),

@@ -248,6 +248,25 @@ def skip_unchanged(batch: DataFrame, state_dir: str, keys: list[str]) -> DataFra
     return batch.join(state, on=[*keys, "content_hash"], how="left_anti")
 
 
+def merge_batch(
+    batch: DataFrame,
+    state_dir: str,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Public batch-incremental MERGE: fold one micro-batch into the
+    versioned parquet state store (latest row per key wins by
+    ``order_col``; ties → the incoming batch). This IS
+    :func:`upsert_stream`'s foreachBatch core — exposed directly for
+    callers that drive the batch loop themselves, the reference's
+    sequential job-loop shape (`postgres-adapter.ts:637-788`'s MERGE
+    without the stream wrapper). Determinism contract for oracle-gated
+    use: at most ONE row per key per batch (the tie order among
+    same-key same-``order_col`` rows WITHIN a batch is unspecified,
+    exactly like SQL MERGE's multiple-matched-rows error case)."""
+    _merge_parquet(batch, state_dir, keys, order_col)
+
+
 def upsert_stream(
     stream: DataFrame,
     state_dir: str,

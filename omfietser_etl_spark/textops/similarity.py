@@ -933,6 +933,56 @@ def bipartite_cosine_pairs_ivf(
     )
 
 
+#: decontam_semantic's dense-scan ceiling on the EVAL side. Below it
+#: the dense kernel is exact (recall 1) and its |corpus|·|eval|·d flop
+#: bill is fine; above it the IVF route cuts per-doc flops to
+#: (C + n_probe·|eval|/C)·d — measured 40× wall at 0.998 recall on an
+#: 18k benchmark (SCALING.md round 8; the dense leg took 137 s against
+#: a 20k corpus there and grows linearly in BOTH sides). 10⁴ is the
+#: documented boundary of the dense contract ("eval suites are
+#: 10³–10⁴; the wall at 10⁵+").
+DENSE_EVAL_MAX = 10_000
+
+
+def decontam_semantic(
+    emb: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dense_eval_max: int = DENSE_EVAL_MAX,
+    n_probe: int = 2,
+    on_subnoise: str = "raise",
+) -> DataFrame:
+    """(doc, bench, sim) — semantic decontamination with AUTOMATIC
+    routing on benchmark size (the composition td26's docstring
+    promises): ≤ ``dense_eval_max`` eval rows dense-scan via
+    :func:`bipartite_cosine_pairs` (exact, recall 1); larger suites
+    route through :func:`bipartite_cosine_pairs_ivf` with the
+    ``ivf_centroid_mod_for`` geometry applied to the BENCHMARK count
+    (C ≈ √|eval| cells, centroids = bench rows with id ≡ 0 mod
+    ⌈√|eval|⌉ — callers whose ids are non-uniform in residue space
+    should call the IVF kernel directly with their own codebook).
+    Recall/speed trade at the switch is measured, not guessed:
+    SCALING.md round 9 carries the n_probe ∈ {1, 2, 4, C} curve.
+
+    The routing decision costs ONE bounded count() on the eval side —
+    both kernels collect the benchmark anyway, so the action adds no
+    asymptotic cost. The corpus side stays a zero-shuffle Arrow scan
+    on either route."""
+    n_eval = bench.count()
+    if n_eval <= int(dense_eval_max):
+        return bipartite_cosine_pairs(
+            emb, bench, id_col, vec_col, threshold, on_subnoise=on_subnoise
+        )
+    mod = ivf_centroid_mod_for(n_eval)
+    cents = bench.filter(F.pmod(F.col(id_col), F.lit(mod)) == 0)
+    return bipartite_cosine_pairs_ivf(
+        emb, bench, cents, id_col, vec_col, threshold,
+        n_probe=n_probe, on_subnoise=on_subnoise,
+    )
+
+
 def cos2_bp_expr(
     dot: str = "dot",
     norm_lo_sq: str = "norm_lo_sq",

@@ -946,3 +946,65 @@ def test_bipartite_ivf_random_geometry_invariants(spark):
             assert all(got[k] == dense[k] for k in got), (seed, shape, n_probe)
             if n_probe >= n_cells:
                 assert got == dense, (seed, shape)
+
+
+def test_decontam_semantic_routes_on_eval_size(spark, monkeypatch):
+    """decontam_semantic (round-8 verdict item 6): |eval| <= the dense
+    ceiling runs the exact dense kernel; above it the IVF kernel with
+    the ivf_centroid_mod_for geometry over the BENCHMARK count. The
+    switch point is pinned exactly at dense_eval_max vs +1."""
+    from pyspark.sql import functions as F
+
+    import omfietser_etl_spark.textops.similarity as sim
+    from omfietser_etl_spark.session import load
+
+    from .conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    n_eval = bench.count()
+
+    routes = []
+    orig_dense, orig_ivf = sim.bipartite_cosine_pairs, sim.bipartite_cosine_pairs_ivf
+
+    def spy_dense(*a, **k):
+        routes.append("dense")
+        return orig_dense(*a, **k)
+
+    def spy_ivf(emb_, bench_, cents, *a, **k):
+        routes.append(("ivf", cents))
+        return orig_ivf(emb_, bench_, cents, *a, **k)
+
+    monkeypatch.setattr(sim, "bipartite_cosine_pairs", spy_dense)
+    monkeypatch.setattr(sim, "bipartite_cosine_pairs_ivf", spy_ivf)
+
+    # exactly at the ceiling -> dense (exact output ≡ direct kernel)
+    out = sim.decontam_semantic(
+        corpus, bench, "vec_id", "embedding", 0.40,
+        dense_eval_max=n_eval, on_subnoise="off",
+    )
+    assert routes == ["dense"]
+    dense_pairs = {(r.doc, r.bench, r.sim) for r in out.collect()}
+    assert dense_pairs == {
+        (r.doc, r.bench, r.sim)
+        for r in orig_dense(
+            corpus, bench, "vec_id", "embedding", 0.40, on_subnoise="off"
+        ).collect()
+    }
+
+    # one past the ceiling -> IVF, codebook = bench ids ≡ 0 mod
+    # ivf_centroid_mod_for(|eval|), output ⊆ dense with exact values
+    routes.clear()
+    out = sim.decontam_semantic(
+        corpus, bench, "vec_id", "embedding", 0.40,
+        dense_eval_max=n_eval - 1, on_subnoise="off",
+    )
+    ivf_pairs = {(r.doc, r.bench, r.sim) for r in out.collect()}
+    assert len(routes) == 1 and routes[0][0] == "ivf"
+    mod = sim.ivf_centroid_mod_for(n_eval)
+    cent_ids = {r.vec_id for r in routes[0][1].select("vec_id").collect()}
+    assert cent_ids == {
+        r.vec_id for r in bench.filter(F.col("vec_id") % mod == 0).collect()
+    }
+    assert ivf_pairs <= dense_pairs

@@ -422,21 +422,29 @@ def main() -> None:
         )
         dense_rows = {(r.doc, r.bench) for r in dense.collect()}
         t_dense = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ivf = sim.bipartite_cosine_pairs_ivf(
-            emb10, bench, cents, "vec_id", "embedding", tau, n_probe=2
-        )
-        ivf_rows = {(r.doc, r.bench) for r in ivf.collect()}
-        t_ivf = time.perf_counter() - t0
-        assert ivf_rows <= dense_rows, "IVF emitted a pair the dense scan did not"
-        recall = len(ivf_rows) / max(1, len(dense_rows))
+        n_cells = cents.count()
         print(f"\n| td26/td27 bench={n_eval} (corpus 20k) | t (s) | pairs | recall |")
         print("|---|---|---|---|")
         print(f"| dense (td26 path) | {t_dense:.1f} | {len(dense_rows)} | 1.000 |")
-        print(
-            f"| IVF C={n_eval // mod} n_probe=2 (td27 path) "
-            f"| {t_ivf:.1f} | {len(ivf_rows)} | {recall:.3f} |"
-        )
+        # recall-vs-n_probe curve (round-9): users trade recall for
+        # wall via decontam_semantic's n_probe; n_probe=C must hit
+        # recall 1.000 (≡ dense, the unit-pinned degenerate case).
+        for np_ in (1, 2, 4, n_cells):
+            t0 = time.perf_counter()
+            ivf = sim.bipartite_cosine_pairs_ivf(
+                emb10, bench, cents, "vec_id", "embedding", tau, n_probe=np_
+            )
+            ivf_rows = {(r.doc, r.bench) for r in ivf.collect()}
+            t_ivf = time.perf_counter() - t0
+            assert ivf_rows <= dense_rows, "IVF emitted a pair dense did not"
+            if np_ >= n_cells:
+                assert ivf_rows == dense_rows, "n_probe=C must equal dense"
+            recall = len(ivf_rows) / max(1, len(dense_rows))
+            label = f"n_probe={np_}" + (" (=C)" if np_ >= n_cells else "")
+            print(
+                f"| IVF C={n_cells} {label} "
+                f"| {t_ivf:.1f} | {len(ivf_rows)} | {recall:.3f} |"
+            )
 
     def run_rh_scaled(sf_dir: str) -> tuple[float, int]:
         # td16 with corpus-sized geometry: 16-bit band keys (65536
