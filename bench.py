@@ -249,7 +249,19 @@ def main() -> None:
     qs = entry_mod.queries()
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
-    # plan, not session startup.
+    # plan, not session startup — including one full-width noop scan of
+    # EVERY table so the parquet footprint (OS page cache, decoder JIT,
+    # file-index metadata) is warm before the first timed query.
+    # Without this, whichever queries run first (the fresh-first
+    # ordering puts NEW queries there) absorb the whole cold-IO cost
+    # into their recorded medians: round-9 measurement — st12 benched
+    # 17.7 s in a window where its steady-state cost is 3.4 s, purely
+    # because it was the first fresh query over cold sf0.1 parquet.
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     shapes = _sentinel_shapes()

@@ -171,6 +171,35 @@ def _x9_oracle() -> str:
     )
 
 
+def x11_ols_normal_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """3-parameter OLS (extendedprice ~ 1 + quantity + discount, all
+    ×100 exact BIGINT fixed-point) via the normal equations — one
+    map-side-combined aggregate over the fact table + an in-plan
+    Cramer solve (operators/regression.py::ols3_fit). The plan's only
+    exchange carries 9 longs per map task; zero collect, zero driver
+    actions — the pattern that replaces per-epoch gradient passes for
+    small-k linear fits at 100 TB."""
+    from omfietser_etl_spark.operators.regression import ols3_fit, scaled_long
+
+    li = load(spark, sf, "lineitem").select(
+        scaled_long(F.col("l_quantity")).alias("x1"),
+        scaled_long(F.col("l_discount")).alias("x2"),
+        scaled_long(F.col("l_extendedprice")).alias("y"),
+    )
+    return ols3_fit(li, "x1", "x2", "y")
+
+
+def _x11_oracle() -> str:
+    from omfietser_etl_spark.operators.regression import OLS_SCALE, ols3_oracle_sql
+
+    s = OLS_SCALE
+    return ols3_oracle_sql(
+        f"SELECT CAST(round(l_quantity * {s}) AS BIGINT) AS x1, "
+        f"CAST(round(l_discount * {s}) AS BIGINT) AS x2, "
+        f"CAST(round(l_extendedprice * {s}) AS BIGINT) AS y FROM lineitem"
+    )
+
+
 SPECS = [
     QuerySpec(
         "x2_online_inference",
@@ -189,5 +218,11 @@ SPECS = [
         x9_nb_train_fit,
         _x9_oracle(),
         "NB artifact self-certifies its training-alias fit bound",
+    ),
+    QuerySpec(
+        "x11_ols_normal_eq",
+        x11_ols_normal_eq,
+        _x11_oracle(),
+        "distributed OLS: one 9-sum aggregate + in-plan Cramer solve",
     ),
 ]

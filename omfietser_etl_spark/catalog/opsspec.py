@@ -281,6 +281,25 @@ def _g7_oracle() -> str:
     )
 
 
+def g8_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS min-hop labels (operators/graph.py::bfs_hops)
+    over the support-≥2 part co-occurrence graph, seeded at the
+    ~1/97 deterministic node sample — seed-distance as a quality
+    prior (the crawl-pipeline pattern: hops from a trusted seed set
+    weight documents before sampling). Four synchronous frontier
+    expansions, min-hop elected in one terminal agg; one lazy plan,
+    zero driver actions; the oracle unrolls the frontiers."""
+    from omfietser_etl_spark.operators.graph import bfs_hops
+
+    return bfs_hops(_cooc_edges(spark, sf, min_support=2), "u", "v")
+
+
+def _g8_oracle() -> str:
+    from omfietser_etl_spark.operators.graph import bfs_hops_oracle_sql
+
+    return bfs_hops_oracle_sql(_COOC_SUPP2_CTE)
+
+
 SPECS = [
     QuerySpec("a17_incremental_rollup", a17_incremental_rollup, A17_ORACLE,
               "mergeable agg state: merge(batches) ≡ direct recompute"),
@@ -300,4 +319,6 @@ SPECS = [
               "HITS hubs/authorities, exact-integer L1-normalized rounds"),
     QuerySpec("g7_modularity", g7_modularity, _g7_oracle(),
               "Newman modularity of the LPA partition, exact millionths"),
+    QuerySpec("g8_bfs_hops", g8_bfs_hops, _g8_oracle(),
+              "multi-source BFS min-hop labels, 4 unrolled frontiers"),
 ]

@@ -176,6 +176,41 @@ def td2h_ngram_jaccard_hashed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- #
+# td28 — asymmetric shingle containment (onion/quote direction):
+# |A∩B| / |A|, the metric that catches a snippet embedded in a long
+# page where Jaccard stays tiny (union dominated by the page).
+# ---------------------------------------------------------------- #
+
+def td28_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Through the 8-byte hashed-shingle shuffle path (the 100 TB
+    configuration, td2h's contract): the string-shingle oracle gating
+    it end-to-end proves the hashed candidate join + exact integer
+    argmax produce the identical containment report."""
+    return dd.containment_flags(
+        load(spark, sf, "documents"), "doc_id", "text", hash_shingles=True
+    )
+
+
+TD28_ORACLE = (
+    _DOCS_CTE
+    + f"""
+, c_sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)
+, c_inter AS (SELECT a.doc AS doc, b.doc AS other, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc <> b.doc
+    GROUP BY 1, 2)
+, c_best AS (SELECT doc, other, n_inter,
+    row_number() OVER (PARTITION BY doc
+                       ORDER BY n_inter DESC, other ASC) AS rn
+    FROM c_inter)
+SELECT b.doc, b.other AS contained_in,
+       round(b.n_inter / z.n_sh, 4) AS containment
+FROM c_best b JOIN c_sz z USING (doc)
+WHERE rn = 1 AND round(b.n_inter / z.n_sh, 4) >= {dd.CONTAINMENT_THRESHOLD}
+"""
+)
+
+
+# ---------------------------------------------------------------- #
 # td12 — Jaccard with the degenerate-shingle guard (document-
 # frequency cap). The scale-correct variant of td2: shingles in more
 # than max(3, ceil(1% of docs)) documents are boilerplate and would
@@ -3009,6 +3044,10 @@ SPECS = [
     QuerySpec(
         "td12_jaccard_guarded", td12_jaccard_guarded, TD12_ORACLE,
         "Jaccard near-dup with degenerate-shingle DF guard",
+    ),
+    QuerySpec(
+        "td28_containment", td28_containment, TD28_ORACLE,
+        "asymmetric shingle containment (onion/quote dedup direction)",
     ),
     QuerySpec("td3_minhash_lsh", td3_minhash_lsh, _td3_oracle(), "MinHash LSH near-dup"),
     QuerySpec("td23_minhash_est_pairs", td23_minhash_est_pairs, _td23_oracle(),

@@ -919,3 +919,109 @@ SELECT q7_q.n_communities, q7_m.m_edges,
          AS modularity_x1e6
 FROM q7_q CROSS JOIN q7_m
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS — frontier expansion with min-hop election.
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 97
+
+
+def bfs_hops(
+    edges: DataFrame,
+    u_col: str,
+    v_col: str,
+    rounds: int = BFS_ROUNDS,
+    seed_mod: int = BFS_SEED_MOD,
+) -> DataFrame:
+    """(node, hop) — minimum hop distance from ANY seed node within
+    ``rounds`` synchronous frontier expansions over the undirected
+    simple graph from ``edges``; unreached nodes are absent. Seeds are
+    the graph nodes with ``node % seed_mod == 0`` (a deterministic
+    ~1/seed_mod sample — standing in for the labeled/trusted set a
+    crawl pipeline expands from, e.g. seed-domain distance as a
+    quality prior in Common-Crawl curation).
+
+    Algorithm (the Pregel/GraphX BFS shape, without the framework):
+    frontier_0 = seeds; frontier_{r+1} = distinct neighbors of
+    frontier_r. Each frontier references ONLY its predecessor, so the
+    unrolled lazy plan grows linearly like kcore's peel recurrence;
+    hop labels are elected at the END as min(r) over the K+1 frontier
+    levels (one union + one hash agg) instead of maintaining a
+    visited set inside the loop — a visited-set loop references the
+    accumulated state twice per round (join + union), doubling the
+    plan subtree each round, while this formulation re-visits some
+    settled nodes (bounded by |V| per round, the frontier is
+    distinct) but keeps the plan linear and the whole computation ONE
+    action with zero driver round-trips.
+
+    Scale shape per round: one hash join of the persisted doubled
+    edge frame (loop-static, _register_loop_static — the per-round
+    frontier side is small and broadcasts, so without the cache the
+    edge-build subtree would re-execute every round) + one distinct
+    exchange on the node key. Hot hub nodes fan out to many
+    neighbors; the distinct's partial map-side combine absorbs the
+    duplicate neighbor emissions exactly as in LPA's (v, label) agg.
+    At true 100 TB scale an UNBOUNDED BFS would checkpoint each
+    frontier and stop on an empty-frontier count; fixed K keeps the
+    gate contract replayable (the g1/g4/g5 discipline).
+    """
+    from omfietser_etl_spark import cacheutil
+
+    cacheutil.release("bfs")
+    a, b = F.col(u_col), F.col(v_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    both = _register_loop_static(
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "bfs",
+    )
+    frontier = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.pmod(F.col("node"), F.lit(seed_mod)) == 0)
+    )
+    levels = frontier.select("node", F.lit(0).alias("hop"))
+    for r in range(1, rounds + 1):
+        frontier = (
+            both.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        levels = levels.unionByName(
+            frontier.select("node", F.lit(r).alias("hop"))
+        )
+    return levels.groupBy("node").agg(F.min("hop").cast("long").alias("hop"))
+
+
+def bfs_hops_oracle_sql(
+    edges_cte: str, rounds: int = BFS_ROUNDS, seed_mod: int = BFS_SEED_MOD
+) -> str:
+    """DuckDB twin of :func:`bfs_hops`: the same ``rounds`` frontier
+    expansions unrolled as CTE steps (a recursive UNION ALL CTE would
+    enumerate paths, not frontiers — exponential on cyclic graphs)."""
+    steps = [
+        f"raw AS ({edges_cte})",
+        "und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v"
+        " FROM raw WHERE u <> v)",
+        "both_ AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)",
+        f"f0 AS (SELECT DISTINCT u AS node FROM both_ WHERE u % {seed_mod} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"f{i} AS (SELECT DISTINCT b.v AS node FROM both_ b "
+            f"JOIN f{i - 1} p ON p.node = b.u)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node, {i} AS hop FROM f{i}" for i in range(rounds + 1)
+    )
+    return (
+        "WITH " + ", ".join(steps)
+        + f", lv AS ({union}) "
+        "SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM lv GROUP BY node"
+    )

@@ -863,3 +863,76 @@ def winnowing_pairs(
         .filter(F.col("sim") >= threshold)
         .select("doc_lo", "doc_hi", "sim")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    n: int = SHINGLE_N,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """(doc, contained_in, containment) — documents whose shingle set
+    is mostly inside some OTHER document's: containment
+    C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold,
+    reporting each contained doc's best container (the onion/quote
+    case Jaccard structurally misses: a snippet quoted inside a long
+    page has tiny Jaccard — the union is dominated by the page — but
+    containment ≈ 1, and it is the SNIPPET that a dedup pass should
+    drop; ref dedupe.ts:100-124 handles only the symmetric key case).
+
+    Same blocking discipline as :func:`jaccard_pairs` — a pair exists
+    only if it shares ≥1 shingle (candidate equi-join on the shingle
+    key, never all-pairs). The metric is asymmetric but the
+    INTERSECTION is not: the self-join keeps only a.doc < b.doc (half
+    the post-join rows through the heavy first aggregate) and both
+    directions are recovered afterwards by unioning the swapped
+    per-pair counts — measured ~2× less agg input than joining on
+    a.doc != b.doc for the identical result. The per-doc argmax
+    compares the raw integer intersection count, NOT the ratio: the
+    denominator |shingles(a)| is constant within the group, so
+    (inter DESC, container ASC) is the exact containment order with
+    no float comparison anywhere — the division happens once, after
+    the election (the a4/o4 exact-argmax discipline).
+
+    ``hash_shingles=True`` is the 100 TB path (8-byte xxhash64
+    shuffle keys, see :func:`doc_shingles`); output is
+    representation-agnostic, so the string-shingle oracle replays it
+    bit-for-bit modulo 64-bit collisions (the td2h/td12 contract).
+    """
+    sh = doc_shingles(df, id_col, text_col, n, hash_shingles=hash_shingles)
+    sh = release_then_register("dedup.containment", sh.cache())
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    pair = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("lo"), F.col("b.doc").alias("hi"))
+        .agg(F.count("*").alias("inter"))
+    )
+    inter = pair.select(
+        F.col("lo").alias("doc"), F.col("hi").alias("other"), "inter"
+    ).unionByName(
+        pair.select(F.col("hi").alias("doc"), F.col("lo").alias("other"), "inter")
+    )
+    best = inter.groupBy("doc").agg(
+        F.max(
+            F.struct(F.col("inter"), (-F.col("other")).alias("no"))
+        ).alias("m")
+    )
+    return (
+        best.join(sizes, "doc")
+        .withColumn("containment", F.round(F.col("m.inter") / F.col("n_sh"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc",
+            (-F.col("m.no")).alias("contained_in"),
+            "containment",
+        )
+    )

@@ -192,3 +192,36 @@ def test_nb_exact_quantization_matches_float_argmax_on_aliases():
         for bk in nb_trigram_buckets(text, dim, seed, mod):
             v[bk] += 1
         assert int(np.argmax(Wq @ v + priorq)) == int(np.argmax(W @ v + b))
+
+
+def test_ols3_fit_recovers_exact_plane(spark):
+    """y = 3 + 2·x1 − x2 with zero noise: the normal-equation solve
+    must return the exact coefficients (integers survive the double
+    Cramer path and the 6-dp round untouched)."""
+    from omfietser_etl_spark.operators.regression import ols3_fit
+
+    rows = [(x1, x2, 3 + 2 * x1 - x2)
+            for x1 in range(0, 20, 3) for x2 in range(-5, 6, 2)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    out = ols3_fit(df, "x1", "x2", "y").collect()[0]
+    assert out.n_rows == len(rows)
+    assert (out.beta0, out.beta1, out.beta2) == (3.0, 2.0, -1.0)
+
+
+def test_ols3_fit_matches_numpy_lstsq(spark):
+    """Noisy integer data: betas agree with numpy's lstsq to 1e-6
+    (the solve is exact Cramer over exact integer sums, so the only
+    divergence from lstsq is float round-off)."""
+    import numpy as np
+
+    from omfietser_etl_spark.operators.regression import ols3_fit
+
+    rng = [(i, (i * 7) % 13, 100 + 5 * i - 3 * ((i * 7) % 13) + (i * i) % 11)
+           for i in range(60)]
+    df = spark.createDataFrame(rng, ["x1", "x2", "y"])
+    out = ols3_fit(df, "x1", "x2", "y").collect()[0]
+    a = np.array([[1.0, x1, x2] for x1, x2, _ in rng])
+    b = np.array([float(y) for _, _, y in rng])
+    beta = np.linalg.lstsq(a, b, rcond=None)[0]
+    got = (out.beta0, out.beta1, out.beta2)
+    assert max(abs(g - e) for g, e in zip(got, beta)) < 1e-6

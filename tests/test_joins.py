@@ -323,3 +323,33 @@ def test_register_loop_static_restores_conf_and_caches(spark):
     spark.conf.set(_AQE_CACHED_KEY, "false")
     label_propagation(edges, "src", "dst", rounds=2).collect()
     assert spark.conf.get(_AQE_CACHED_KEY) == "false"
+
+
+def test_bfs_hops_path_and_shortcut(spark):
+    """Path 0-1-2-3-4 seeded at node 0 (0 % 97 == 0): hop = position.
+    Adding shortcut edge 0-4 must re-elect node 4 to hop 1 and node 3
+    to hop 2 (min over frontier levels, not first-touch). Reversed /
+    duplicate / self-loop edges normalize away."""
+    from omfietser_etl_spark.operators.graph import bfs_hops
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 0), (2, 2)], ["u", "v"]
+    )
+    out = {r.node: r.hop for r in bfs_hops(path, "u", "v").collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    short = path.unionByName(spark.createDataFrame([(4, 0)], ["u", "v"]))
+    out = {r.node: r.hop for r in bfs_hops(short, "u", "v").collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_bfs_hops_bounded_rounds_and_no_seed(spark):
+    """rounds=1 reaches only direct neighbors; a component with no
+    seed node stays entirely unlabeled (absent, not hop-null)."""
+    from omfietser_etl_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["u", "v"]
+    )
+    out = {r.node: r.hop for r in bfs_hops(df, "u", "v", rounds=1).collect()}
+    assert out == {0: 0, 1: 1}

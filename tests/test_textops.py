@@ -1008,3 +1008,43 @@ def test_decontam_semantic_routes_on_eval_size(spark, monkeypatch):
         r.vec_id for r in bench.filter(F.col("vec_id") % mod == 0).collect()
     }
     assert ivf_pairs <= dense_pairs
+
+
+def test_containment_flags_snippet_in_page(spark):
+    """A snippet quoted verbatim inside a longer page: Jaccard is
+    small (union dominated by the page) but containment(snippet→page)
+    is 1.0 — the asymmetric direction is the whole point. The page
+    itself stays below threshold, as does the unrelated doc."""
+    snippet = "alpha beta gamma delta epsilon zeta"
+    page = snippet + " " + " ".join(f"filler{w} word{w} extra{w}" for w in range(8))
+    df = spark.createDataFrame(
+        [(1, snippet), (2, page), (3, "totally unrelated content lives here now")],
+        ["doc_id", "text"],
+    )
+    rows = dd.containment_flags(df, "doc_id", "text").collect()
+    assert [(r.doc, r.contained_in, r.containment) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_containment_flags_tie_breaks_smallest_container(spark):
+    """Two containers with the SAME intersection count: the argmax
+    compares (inter, -other), so the smaller container id wins."""
+    snippet = "one two three four five"
+    pad_a = snippet + " " + " ".join(f"pada{w} qa{w}" for w in range(6))
+    pad_b = snippet + " " + " ".join(f"padb{w} qb{w}" for w in range(6))
+    df = spark.createDataFrame(
+        [(5, snippet), (9, pad_a), (7, pad_b)], ["doc_id", "text"]
+    )
+    out = {r.doc: (r.contained_in, r.containment)
+           for r in dd.containment_flags(df, "doc_id", "text").collect()}
+    assert out[5] == (7, 1.0)
+
+
+def test_containment_hashed_matches_string_path(spark):
+    docs = [(i, f"shared prefix words here padding{i} tail{i} more{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    plain = sorted(map(tuple, dd.containment_flags(
+        df, "doc_id", "text", threshold=0.2).collect()))
+    hashed = sorted(map(tuple, dd.containment_flags(
+        df, "doc_id", "text", threshold=0.2, hash_shingles=True).collect()))
+    assert plain == hashed and plain
