@@ -57,23 +57,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: END-battery only, as before: every run reaches it through the
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
-#: Refs: per-axis MEDIAN of the END batteries of THREE clean
-#: full-catalog runs at the 176-query catalog (2026-08-15, round 8;
-#: totals 230.8/239.0/225.5 s). Median-of-3 batteries, not one run:
-#: the arrow axis measured 4.44/4.62/7.54 s across back-to-back idle
-#: windows — single-window refs would bake one draw of that wobble
-#: into every future ratio. END-position matters: arrow_python
-#: measures ~1.6 s on a fresh session but ~4.6 s after the full
-#: catalog (Python-worker daemon state accumulates) — an idle-session
-#: ref would read every clean END battery as 1.7x "host load". Every
-#: ref below is therefore anchored at the same point in the run where
-#: the measurement battery executes.
+#: Refs: per-axis MEDIAN of the END batteries of FIVE clean
+#: full-catalog runs at the 180-query catalog (2026-08-16, round 9;
+#: totals 233.6/223.3/216.3/219.6/222.3 s, back-to-back idle
+#: windows). Round 8 used median-of-3; round 9 widened to 5 because
+#: the io axis now wobbles 1.89–3.88 s across IDLE same-catalog
+#: windows (the arrow axis's round-8 bimodality, 4.0–5.8 s here, has
+#: company) — with 3 samples the median itself is one draw of that
+#: wobble. END-position matters: arrow_python measures ~1.9 s on a
+#: fresh session but ~4.8 s after the full catalog (Python-worker
+#: daemon state accumulates) — an idle-session ref would read every
+#: clean END battery as ~2.5x "host load". Every ref below is
+#: therefore anchored at the same point in the run where the
+#: measurement battery executes. Of the five pinning windows
+#: themselves, two sit within the 1.3 spread gate against these
+#: medians (1.00, 1.23) and three flag on single-axis io/shuffle
+#: draws (1.37–2.02) — the gate's designed false-positive direction.
 SENTINEL_REFS = {
-    "io_scan": 1.458,
-    "shuffle_agg": 2.047,
-    "cpu_codegen": 2.327,
-    "sort_window": 4.459,
-    "arrow_python": 4.621,
+    "io_scan": 2.518,
+    "shuffle_agg": 2.182,
+    "cpu_codegen": 1.974,
+    "sort_window": 3.445,
+    "arrow_python": 4.832,
 }
 SENTINEL_REPS = 5
 #: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
@@ -87,7 +92,7 @@ SENTINEL_REPS = 5
 #: (tests/test_tools.py::test_bench_refs_pinned_to_current_catalog
 #: enforces the pairing). Until re-pinned, bench.py self-reports
 #: refs_stale=true and comparable=false in the artifact.
-SENTINEL_REF_CATALOG = "854ebcc3be225c80"  # 176 queries, pinned 2026-08-15 (r8)
+SENTINEL_REF_CATALOG = "0bbc405b2ca05dd6"  # 180 queries, pinned 2026-08-16 (r9)
 #: host_spread above this means the window was unevenly loaded and
 #: cross-round normalized deltas must not be read (the r06 1.47-spread
 #: window is the motivating example). DELIBERATELY CONSERVATIVE: the
