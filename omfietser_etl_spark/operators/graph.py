@@ -952,10 +952,12 @@ def bfs_hops(
     levels (one union + one hash agg) instead of maintaining a
     visited set inside the loop — a visited-set loop references the
     accumulated state twice per round (join + union), doubling the
-    plan subtree each round, while this formulation re-visits some
-    settled nodes (bounded by |V| per round, the frontier is
-    distinct) but keeps the plan linear and the whole computation ONE
-    action with zero driver round-trips.
+    plan subtree each round (2^K growth), while this formulation
+    re-visits some settled nodes (bounded by |V| per round, the
+    frontier is distinct) and its terminal union re-references each
+    frontier once more — O(K²) printed-tree size, each frontier
+    subtree ending in a distinct's exchange — keeping the whole
+    computation ONE action with zero driver round-trips.
 
     Scale shape per round: one hash join of the persisted doubled
     edge frame (loop-static, _register_loop_static — the per-round

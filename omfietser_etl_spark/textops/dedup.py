@@ -916,6 +916,33 @@ def containment_flags(
         .groupBy(F.col("a.doc").alias("lo"), F.col("b.doc").alias("hi"))
         .agg(F.count("*").alias("inter"))
     )
+    # The swapped union references this subtree twice, and under AQE
+    # the duplicated agg stages do NOT canonicalize into one reused
+    # exchange (measured: 0 ReusedExchange, join+agg executed twice —
+    # 11.5 s cold / 4.5 s warm at sf0.1). Persisting the tiny per-pair
+    # count frame makes single-execution structural: 4.3 s cold /
+    # 3.3 s warm, same output. The persist is registered under the
+    # cached-plan-repartitioning conf (the _register_loop_static
+    # discipline, operators/graph.py): without it the cached plan PINS
+    # the pre-AQE shuffle layout, and the vanilla gate session (no
+    # 32-partition conf) then schedules 400 near-empty tasks per read
+    # — measured 10.3 s vs ~4 s at sf0.01. The conf is captured at
+    # persist() registration and restored immediately; the pair frame
+    # carries no deliberate partitioning, so coalesced reads are safe.
+    spark = pair.sparkSession
+    _aqe_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        _prev = spark.conf.get(_aqe_key)
+    except Exception:  # noqa: BLE001 — unset and no default
+        _prev = None
+    spark.conf.set(_aqe_key, "true")
+    try:
+        pair = release_then_register("dedup.containment.pairs", pair.persist())
+    finally:
+        if _prev is None:
+            spark.conf.unset(_aqe_key)
+        else:
+            spark.conf.set(_aqe_key, _prev)
     inter = pair.select(
         F.col("lo").alias("doc"), F.col("hi").alias("other"), "inter"
     ).unionByName(
