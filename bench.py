@@ -262,8 +262,9 @@ def main() -> None:
     # into their recorded medians: round-9 measurement — st12 benched
     # 17.7 s in a window where its steady-state cost is 3.4 s, purely
     # because it was the first fresh query over cold sf0.1 parquet.
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
+    from omfietser_etl_spark.session import TABLES
+
+    for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
             "noop"
         ).mode("overwrite").save()

@@ -110,3 +110,41 @@ def release_then_register(scope: str, df: DataFrame) -> DataFrame:
     the self-cleaning pattern for once-per-invocation persists."""
     release(scope)
     return register(scope, df)
+
+
+#: AQE cached-plan re-planning — decided PER CACHED PLAN at persist
+#: registration time, not at execution, so the save/restore window
+#: only needs to span the .persist() call (unit-pinned in
+#: tests/test_plans.py).
+_AQE_CACHED_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+def persist_replannable(scope: str, df: DataFrame) -> DataFrame:
+    """``df.persist()`` registered under ``scope`` (self-cleaning, see
+    :func:`release_then_register`) with AQE allowed to re-plan reads of
+    the cached partitions; the session conf is captured and restored
+    around the ``.persist()`` call.
+
+    Why: a plain ``.persist()`` PINS the cached plan's pre-AQE shuffle
+    layout, and a vanilla session (200 default partitions) then
+    schedules hundreds of near-empty tasks per cached read — measured
+    ~12 s vs 3.9 s (kcore loop-static edges, round-7 A/B at sf0.1) and
+    10.3 s vs ~4 s (td28 pair frame at sf0.01, round 9). Persisting
+    under this conf keeps the single materialization AND AQE-coalesced
+    reads. Restore-before-return matters: queries later in the session
+    whose cached frames carry a DELIBERATE partitioning (the CC loop's
+    pre-partitioned edges — SCALING.md round 6) must not persist under
+    it."""
+    spark = df.sparkSession
+    try:
+        prev = spark.conf.get(_AQE_CACHED_KEY)
+    except Exception:  # noqa: BLE001 — unset and no default
+        prev = None
+    spark.conf.set(_AQE_CACHED_KEY, "true")
+    try:
+        return release_then_register(scope, df.persist())
+    finally:
+        if prev is None:
+            spark.conf.unset(_AQE_CACHED_KEY)
+        else:
+            spark.conf.set(_AQE_CACHED_KEY, prev)

@@ -47,16 +47,10 @@ PR_SCALE = 1_000_000
 PR_NUM = 85      # damping numerator
 PR_DEN = 100     # damping denominator
 
-#: AQE cached-plan re-planning — decided PER CACHED PLAN at persist
-#: registration time, not at execution (unit-pinned below), so the
-#: save/restore window only needs to span the .persist() call.
-_AQE_CACHED_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-
-
 def _register_loop_static(df: DataFrame, scope: str) -> DataFrame:
     """Persist a loop-static frame under ``scope`` with AQE allowed to
-    re-plan reads of the cached partitions, restoring the session conf
-    immediately after registration.
+    re-plan reads of the cached partitions (cacheutil.
+    persist_replannable — the shared save/set/restore discipline).
 
     Why (round-7 A/B at sf0.1, kcore): the per-round joins broadcast
     the small rank/alive/label side, so WITHOUT a cache the whole
@@ -65,31 +59,13 @@ def _register_loop_static(df: DataFrame, scope: str) -> DataFrame:
     exchange (~6.5 s). A plain .persist() fixes the recompute but PINS
     the cached plan's 200/400-partition layout, and every round then
     schedules hundreds of near-empty tasks (~12 s — WORSE). Persisting
-    under this conf gets both: one materialization AND AQE-coalesced
-    reads (~3.9 s). The conf choice is captured when the plan is
-    REGISTERED with the cache manager (the .persist() call), so it is
-    restored before returning — queries running later in the session
-    (e.g. the CC loop, whose cached pre-partitioned edges the conf
-    would break — SCALING.md round 6) never see it.
-
-    The cache is registered under ``scope`` and freed by the NEXT
-    invocation of the same operator (cacheutil.release at entry) —
-    the hits()/CC-loop discipline for repeated catalog runs."""
+    replannable gets both: one materialization AND AQE-coalesced
+    reads (~3.9 s). The cache is freed by the NEXT invocation of the
+    same operator (cacheutil.release at entry) — the hits()/CC-loop
+    discipline for repeated catalog runs."""
     from omfietser_etl_spark import cacheutil
 
-    spark = df.sparkSession
-    try:
-        prev = spark.conf.get(_AQE_CACHED_KEY)
-    except Exception:  # noqa: BLE001 — unset and no default
-        prev = None
-    spark.conf.set(_AQE_CACHED_KEY, "true")
-    try:
-        return cacheutil.register(scope, df.persist())
-    finally:
-        if prev is None:
-            spark.conf.unset(_AQE_CACHED_KEY)
-        else:
-            spark.conf.set(_AQE_CACHED_KEY, prev)
+    return cacheutil.persist_replannable(scope, df)
 
 
 def pagerank(
@@ -665,7 +641,7 @@ def hits(
     # persist below — a cached plan's output partitioning is fixed
     # when the plan is first registered with the cache manager, not
     # when it materializes.
-    conf_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    conf_key = cacheutil._AQE_CACHED_KEY
     spark = edges.sparkSession
     try:
         prev = spark.conf.get(conf_key)

@@ -20,8 +20,14 @@ exact integer arithmetic — bit-identical in Spark and DuckDB — and
 the float part is confined to the final Cramer expressions, which
 both engines evaluate from the SAME textual formula (shared here)
 over the SAME doubles: IEEE 754 ops on identical inputs in identical
-order give identical bits, and the 6-dp round on top makes the gate
-comparison robust anyway.
+order give identical bits. The betas are emitted as INTEGER
+micro-units (round(β·10⁶) AS BIGINT) rather than round(β, 6): a
+decimal-scale round of a double is engine-specific on exact-tie
+representations (Spark detours through BigDecimal HALF_UP of the
+shortest-decimal string; DuckDB rounds the binary value), whereas an
+integer round's only tie point k+0.5 is exactly representable and
+both engines break it away from zero — no residual flake point
+(round-9 advisor finding).
 """
 
 from __future__ import annotations
@@ -44,10 +50,13 @@ _DET1 = "(a*(q*f - r*e) - p*(b*f - c*e) + c*(b*r - c*q))"
 _DET2 = "(a*(d*r - e*q) - b*(b*r - c*q) + p*(b*e - c*d))"
 
 #: output column -> formula over the aggregated sums a..f, p..r.
+#: Integer micro-unit betas (see EXACTNESS above); nullif guards the
+#: singular det=0 case to NULL identically in both engines (a double
+#: inf/NaN would cast to BIGINT differently: Spark 0, DuckDB error).
 OLS3_BETA_EXPRS = {
-    "beta0": f"round({_DET0} / {_DET}, 6)",
-    "beta1": f"round({_DET1} / {_DET}, 6)",
-    "beta2": f"round({_DET2} / {_DET}, 6)",
+    "beta0_x1e6": f"cast(round({_DET0} * 1000000.0 / nullif({_DET}, 0.0)) as bigint)",
+    "beta1_x1e6": f"cast(round({_DET1} * 1000000.0 / nullif({_DET}, 0.0)) as bigint)",
+    "beta2_x1e6": f"cast(round({_DET2} * 1000000.0 / nullif({_DET}, 0.0)) as bigint)",
 }
 
 #: aggregate alias -> (lhs, rhs) product of input columns; "1" = the
@@ -74,11 +83,12 @@ def scaled_long(col: Column, scale: int = OLS_SCALE) -> Column:
 
 
 def ols3_fit(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
-    """1-row (n_rows, beta0, beta1, beta2) OLS fit of
+    """1-row (n_rows, beta0_x1e6, beta1_x1e6, beta2_x1e6) OLS fit of
     ``y ~ 1 + x1 + x2`` — all three columns must already be exact
-    BIGINTs (see :func:`scaled_long`); betas live in that scaled
-    space. One map-side-combined aggregate + an in-plan Cramer solve:
-    the only exchange in the whole plan carries 9 longs per task."""
+    BIGINTs (see :func:`scaled_long`); betas are integer micro-units
+    (round(β·10⁶)) in that scaled space. One map-side-combined
+    aggregate + an in-plan Cramer solve: the only exchange in the
+    whole plan carries 9 longs per task."""
 
     def term(alias: str) -> Column:
         lhs, rhs = _SUM_TERMS[alias]

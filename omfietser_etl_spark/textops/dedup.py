@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cacheutil import release_then_register
+from ..cacheutil import persist_replannable, release_then_register
 from .analysis import norm_text, poly_hash, shingles, tokens
 from .constants import (
     BANDS,
@@ -921,45 +921,34 @@ def containment_flags(
     # exchange (measured: 0 ReusedExchange, join+agg executed twice —
     # 11.5 s cold / 4.5 s warm at sf0.1). Persisting the tiny per-pair
     # count frame makes single-execution structural: 4.3 s cold /
-    # 3.3 s warm, same output. The persist is registered under the
-    # cached-plan-repartitioning conf (the _register_loop_static
-    # discipline, operators/graph.py): without it the cached plan PINS
-    # the pre-AQE shuffle layout, and the vanilla gate session (no
-    # 32-partition conf) then schedules 400 near-empty tasks per read
-    # — measured 10.3 s vs ~4 s at sf0.01. The conf is captured at
-    # persist() registration and restored immediately; the pair frame
-    # carries no deliberate partitioning, so coalesced reads are safe.
-    spark = pair.sparkSession
-    _aqe_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    try:
-        _prev = spark.conf.get(_aqe_key)
-    except Exception:  # noqa: BLE001 — unset and no default
-        _prev = None
-    spark.conf.set(_aqe_key, "true")
-    try:
-        pair = release_then_register("dedup.containment.pairs", pair.persist())
-    finally:
-        if _prev is None:
-            spark.conf.unset(_aqe_key)
-        else:
-            spark.conf.set(_aqe_key, _prev)
+    # 3.3 s warm, same output. Registered replannable (cacheutil.
+    # persist_replannable): a pinned pre-AQE layout would cost the
+    # vanilla gate session 400 near-empty tasks per read — measured
+    # 10.3 s vs ~4 s at sf0.01. The pair frame carries no deliberate
+    # partitioning, so coalesced reads are safe.
+    pair = persist_replannable("dedup.containment.pairs", pair)
     inter = pair.select(
         F.col("lo").alias("doc"), F.col("hi").alias("other"), "inter"
     ).unionByName(
         pair.select(F.col("hi").alias("doc"), F.col("lo").alias("other"), "inter")
     )
+    # Argmax via min(struct(-inter, other)): negating INTER (always a
+    # BIGINT count) keeps the struct ordering = (inter DESC, other
+    # ASC) for ANY orderable id type — negating `other` instead would
+    # implicitly cast a string doc id to double and silently null the
+    # election (round-9 advisor finding).
     best = inter.groupBy("doc").agg(
-        F.max(
-            F.struct(F.col("inter"), (-F.col("other")).alias("no"))
+        F.min(
+            F.struct((-F.col("inter")).alias("ni"), F.col("other"))
         ).alias("m")
     )
     return (
         best.join(sizes, "doc")
-        .withColumn("containment", F.round(F.col("m.inter") / F.col("n_sh"), 4))
+        .withColumn("containment", F.round(-F.col("m.ni") / F.col("n_sh"), 4))
         .filter(F.col("containment") >= threshold)
         .select(
             "doc",
-            (-F.col("m.no")).alias("contained_in"),
+            F.col("m.other").alias("contained_in"),
             "containment",
         )
     )

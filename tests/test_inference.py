@@ -197,7 +197,7 @@ def test_nb_exact_quantization_matches_float_argmax_on_aliases():
 def test_ols3_fit_recovers_exact_plane(spark):
     """y = 3 + 2·x1 − x2 with zero noise: the normal-equation solve
     must return the exact coefficients (integers survive the double
-    Cramer path and the 6-dp round untouched)."""
+    Cramer path and the micro-unit round untouched)."""
     from omfietser_etl_spark.operators.regression import ols3_fit
 
     rows = [(x1, x2, 3 + 2 * x1 - x2)
@@ -205,7 +205,9 @@ def test_ols3_fit_recovers_exact_plane(spark):
     df = spark.createDataFrame(rows, ["x1", "x2", "y"])
     out = ols3_fit(df, "x1", "x2", "y").collect()[0]
     assert out.n_rows == len(rows)
-    assert (out.beta0, out.beta1, out.beta2) == (3.0, 2.0, -1.0)
+    assert (out.beta0_x1e6, out.beta1_x1e6, out.beta2_x1e6) == (
+        3_000_000, 2_000_000, -1_000_000,
+    )
 
 
 def test_ols3_fit_matches_numpy_lstsq(spark):
@@ -223,5 +225,6 @@ def test_ols3_fit_matches_numpy_lstsq(spark):
     a = np.array([[1.0, x1, x2] for x1, x2, _ in rng])
     b = np.array([float(y) for _, _, y in rng])
     beta = np.linalg.lstsq(a, b, rcond=None)[0]
-    got = (out.beta0, out.beta1, out.beta2)
-    assert max(abs(g - e) for g, e in zip(got, beta)) < 1e-6
+    got = (out.beta0_x1e6, out.beta1_x1e6, out.beta2_x1e6)
+    # micro-unit integers: |got/1e6 - lstsq| < 1e-6 <=> within 1 unit
+    assert max(abs(g - e * 1e6) for g, e in zip(got, beta)) < 1.0

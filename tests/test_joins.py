@@ -304,8 +304,8 @@ def test_register_loop_static_restores_conf_and_caches(spark):
     conf exactly as found for both prior values, (b) actually register
     the cache so the loop reads one materialization, and (c) release
     on the operator's next invocation (scope discipline)."""
+    from omfietser_etl_spark.cacheutil import _AQE_CACHED_KEY
     from omfietser_etl_spark.operators.graph import (
-        _AQE_CACHED_KEY,
         kcore,
         label_propagation,
     )

@@ -1039,6 +1039,22 @@ def test_containment_flags_tie_breaks_smallest_container(spark):
     assert out[5] == (7, 1.0)
 
 
+def test_containment_flags_string_ids(spark):
+    """STRING doc ids: the argmax tie-break must not negate the id
+    column (unary minus on a string casts to double → null election —
+    round-9 advisor finding). Same geometry as the tie test: equal
+    intersection counts, lexicographically smaller container wins."""
+    snippet = "one two three four five"
+    pad_a = snippet + " " + " ".join(f"pada{w} qa{w}" for w in range(6))
+    pad_b = snippet + " " + " ".join(f"padb{w} qb{w}" for w in range(6))
+    df = spark.createDataFrame(
+        [("s", snippet), ("zz", pad_a), ("aa", pad_b)], ["doc_id", "text"]
+    )
+    out = {r.doc: (r.contained_in, r.containment)
+           for r in dd.containment_flags(df, "doc_id", "text").collect()}
+    assert out["s"] == ("aa", 1.0)
+
+
 def test_containment_hashed_matches_string_path(spark):
     docs = [(i, f"shared prefix words here padding{i} tail{i} more{i}")
             for i in range(12)]
