@@ -748,12 +748,17 @@ def td16_rh_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     is the recall<1 SUBSET of td5's pairs, replayed identically by
     the oracle (same ±1 matrix inlined as literals)."""
     # Gate scale: NEARDUP_TAU=0.45 sits below the dim-64 noise floor
-    # (0.75) — fine on ≤2k vectors, ill-posed at corpus scale; 'warn'
-    # (not 'off') so the signal still fires. Production sizing:
-    # bands, rows = sim.rh_params_for(corpus_n) and tau ≥ the floor.
+    # (0.75 ≈ sqrt(2·ln N / dim) at corpus N) — a DELIBERATE
+    # small-corpus choice: at ≤2k vectors random-pair cosines
+    # concentrate near 0, so 0.45 still separates signal; at corpus
+    # scale the same tau drowns in noise matches and the guard
+    # (default 'raise') exists precisely to stop that. 'off' here
+    # because the contract path must not trip its own alarm on every
+    # gate run (round-9 verdict); production sizing: bands, rows =
+    # sim.rh_params_for(corpus_n) and tau ≥ the floor.
     return sim.rh_neardup_pairs(
         load(spark, sf, "embeddings"), "vec_id", "embedding", NEARDUP_TAU,
-        EMB_DIM, on_subnoise="warn",
+        EMB_DIM, on_subnoise="off",
     )
 
 
@@ -1343,9 +1348,11 @@ def td13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1).cast("int").alias("cid"),
         F.col("embedding").alias("cv"),
     )
-    # dim + 'warn': tau is sub-floor at gate scale (see td16 comment)
+    # 'off': tau is sub-floor by deliberate small-corpus choice — the
+    # contract path must not warn on every gate run (see td16 comment
+    # for the geometry; guard default stays 'raise' for callers)
     return semantic_dedup_pairs(emb, centroids, NEARDUP_TAU,
-                                dim=EMB_DIM, on_subnoise="warn")
+                                dim=EMB_DIM, on_subnoise="off")
 
 
 TD13_ORACLE = f"""

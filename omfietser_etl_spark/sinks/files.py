@@ -28,11 +28,30 @@ def write_unified_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").partitionBy("shop_type").parquet(path)
 
 
+#: Hard cap on the parity JSON sink's driver-side collect. The sink
+#: exists only to replay the reference's single-file output contract
+#: on parity-sized runs; at scale the engine-native sink is
+#: write_unified_parquet. A misuse on a corpus-sized frame must fail
+#: loudly HERE, not OOM the driver mid-collect (round-9 verdict #6).
+UNIFIED_JSON_MAX_ROWS = 250_000
+
+
 def write_unified_json(df: DataFrame, out_dir: str, shop: str, run_ts: str) -> str:
     """Reference-parity JSON file `unified_<shop>_products.json`,
     previous file renamed to a run-stamped backup (writer.ts:147-179).
-    run_ts is an explicit parameter — no wall clock (determinism)."""
+    run_ts is an explicit parameter — no wall clock (determinism).
+
+    Bounded by contract: refuses frames above UNIFIED_JSON_MAX_ROWS
+    (the limit+1 probe costs one extra bounded action, never a full
+    count of an oversized frame)."""
     os.makedirs(out_dir, exist_ok=True)
+    probe = df.limit(UNIFIED_JSON_MAX_ROWS + 1).count()
+    if probe > UNIFIED_JSON_MAX_ROWS:
+        raise ValueError(
+            f"write_unified_json is the parity-only single-file sink "
+            f"(> {UNIFIED_JSON_MAX_ROWS} rows collected to the driver); "
+            "use write_unified_parquet for scale output"
+        )
     final = os.path.join(out_dir, f"unified_{shop}_products.json")
     if os.path.exists(final):
         os.replace(final, os.path.join(out_dir, f"unified_{shop}_products.{run_ts}.bak.json"))

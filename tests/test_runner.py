@@ -133,3 +133,25 @@ def test_run_file_mode_generic_kruidvat(spark, tmp_path):
     assert k2["main_category"] == "Drogisterij"
     assert k2["is_promotion"] and k2["discount_percentage"] == 25.0
     assert k2["price_per_standard_unit"] == 4.0
+
+
+def test_write_unified_json_bounded(spark, tmp_path, monkeypatch):
+    """K1 parity sink contract: small frames write (with backup
+    rotation); a frame above UNIFIED_JSON_MAX_ROWS fails loudly
+    BEFORE collecting (round-9 verdict #6 — a misuse at scale must
+    not OOM the driver)."""
+    from omfietser_etl_spark.sinks import files as sink_files
+
+    df = spark.range(3).selectExpr("id", "concat('p', id) AS title")
+    out = sink_files.write_unified_json(df, str(tmp_path), "ah", "t1")
+    with open(out) as f:
+        rows = json.load(f)
+    assert [r["id"] for r in rows] == [0, 1, 2]
+
+    # second write rotates the first into a run-stamped backup
+    sink_files.write_unified_json(df, str(tmp_path), "ah", "t2")
+    assert os.path.exists(str(tmp_path / "unified_ah_products.t2.bak.json"))
+
+    monkeypatch.setattr(sink_files, "UNIFIED_JSON_MAX_ROWS", 2)
+    with pytest.raises(ValueError, match="parity-only"):
+        sink_files.write_unified_json(df, str(tmp_path), "ah", "t3")
