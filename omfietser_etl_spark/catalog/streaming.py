@@ -954,6 +954,78 @@ def st12_merge_state(spark: SparkSession, sf: str) -> DataFrame:
     return read_state(spark, state_dir).select("key", "ord", "last_order", "n")
 
 
+def st13_merge_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
+    """ST4 ∘ K2: the change-detection skip path composed with the
+    sequential MERGE fold (reference semantics: the content_hash
+    check before upsert, `01-init.sql:17,26` +
+    `postgres-adapter.ts:172-251` — an unchanged payload must never
+    touch the sink, and therefore must never bump the stored row).
+
+    Construction: batch ``i`` carries, per customer, the CUMULATIVE
+    max order year over slices ``o_orderkey % K <= i`` — monotone, so
+    a key's payload repeats in every batch after the slice containing
+    its max-year order. skip_unchanged drops those repeats (left-anti
+    on (key, content_hash) against the live state), so the stored
+    batch index ``bi`` stays at the FIRST batch that attained the
+    final year. Without the skip every batch would rewrite every key
+    and the committed ``bi`` would be K-1 for all keys — the oracle
+    (min slice index among max-year orders) genuinely gates the skip,
+    not just the merge. Batches are one row per key by construction
+    (merge_batch's determinism contract); the store is the REAL
+    versioned parquet state machine (version dirs, manifest swaps,
+    GC), same as st12."""
+    import os
+    import shutil
+    import uuid
+
+    from ..cacheutil import release_then_register
+    from ..streaming.incremental import (
+        merge_batch,
+        read_state,
+        skip_unchanged,
+        with_content_hash,
+    )
+
+    k = ST12_BATCHES
+    orders = load(spark, sf, "orders")
+    per_slice = orders.groupBy(
+        F.col("o_custkey").alias("key"),
+        F.pmod(F.col("o_orderkey"), F.lit(k)).alias("slice"),
+    ).agg(F.max(F.year("o_orderdate")).cast("long").alias("slice_yr"))
+    # persisted: each of the K cumulative batches filters this frame
+    per_slice = release_then_register("catalog.st13", per_slice.persist())
+    root = "/tmp/spark_graft_st13"
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir = os.path.join(root, uuid.uuid4().hex[:8])
+    for i in range(k):
+        batch = (
+            per_slice.filter(F.col("slice") <= i)
+            .groupBy("key")
+            .agg(F.max("slice_yr").alias("yr"))
+        )
+        batch = with_content_hash(batch, "yr")
+        batch = skip_unchanged(batch, state_dir, ["key"])
+        merge_batch(
+            batch.withColumn("bi", F.lit(i).cast("long")),
+            state_dir, ["key"], "bi",
+        )
+    return read_state(spark, state_dir).select("key", "yr", "bi")
+
+
+ST13_ORACLE = f"""
+WITH f AS (
+  SELECT o_custkey AS key, CAST(max(year(o_orderdate)) AS BIGINT) AS yr
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT o.o_custkey AS key, CAST(min(o.o_orderkey % {ST12_BATCHES}) AS BIGINT) AS bi
+  FROM orders o JOIN f ON o.o_custkey = f.key
+   AND year(o.o_orderdate) = f.yr
+  GROUP BY 1
+)
+SELECT f.key, f.yr, m.bi FROM f JOIN m ON f.key = m.key
+"""
+
+
 ST12_ORACLE = f"""
 WITH b AS (
   SELECT o_custkey AS key, o_orderkey % {ST12_BATCHES} AS bi,
@@ -975,6 +1047,8 @@ SPECS = [
     QuerySpec("j7_asof_lag_delta", j7_asof_lag_delta, J7_ORACLE, "J7 as-of lag"),
     QuerySpec("st12_merge_state", st12_merge_state, ST12_ORACLE,
               "K sequential MERGEs through the real versioned state store"),
+    QuerySpec("st13_merge_skip_unchanged", st13_merge_skip_unchanged, ST13_ORACLE,
+              "ST4 skip path composed with the MERGE fold: unchanged rows never bump state"),
     QuerySpec("st4_changed_rows", st4_changed_rows, ST4_ORACLE, "ST4 change detection"),
     QuerySpec("st6_window_counts", st6_window_counts, ST6_ORACLE, "ST6 tumbling window"),
     QuerySpec("u4_new_disappeared", u4_new_keys_between_halves, U4H_ORACLE, "U4 new/gone keys"),
