@@ -769,14 +769,34 @@ LIMIT {O9_PAGE}
 def u5_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT / EXCEPT set ops (completes the u-family: union u1,
     distinct u2/u3, anti u4): customers in BOTH predicate sets, and
-    in the first but not the second, tagged and unioned. Both compile
-    to hash joins on the distinct keys — no sort, one shuffle each."""
+    in the first but not the second, tagged and unioned.
+
+    Spark-first shape: when both set-op inputs are predicates over
+    the SAME source, DataFrame ``intersect``/``exceptAll`` compile to
+    one join PER set op, and each operand frame re-executes per
+    reference — the round-10 audit measured customer scanned 4× here
+    (AQE does not canonicalize the duplicated filter subtrees; the
+    td28 class). The single-pass form computes both memberships as
+    flags in ONE scan and reduces per key (max of each flag), so
+    INTERSECT ≡ in_a ∧ in_b and EXCEPT-DISTINCT ≡ in_a ∧ ¬in_b fall
+    out of one hash agg: 1 scan + 1 shuffle replaces 4 scans + 2
+    joins, identical output for any input multiset."""
     c = load(spark, sf, "customer")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    both = a.intersect(b).withColumn("tag", F.lit("both"))
-    only_a = a.exceptAll(b).distinct().withColumn("tag", F.lit("only_building"))
-    return both.unionByName(only_a)
+    in_a = F.col("c_mktsegment") == "BUILDING"
+    in_b = F.col("c_acctbal") > 5000
+    flags = (
+        c.filter(in_a | in_b)
+        .groupBy("c_custkey")
+        .agg(
+            F.max(in_a.cast("int")).alias("in_a"),
+            F.max(in_b.cast("int")).alias("in_b"),
+        )
+        .filter(F.col("in_a") == 1)
+    )
+    return flags.select(
+        "c_custkey",
+        F.when(F.col("in_b") == 1, "both").otherwise("only_building").alias("tag"),
+    )
 
 
 U5_ORACLE = """

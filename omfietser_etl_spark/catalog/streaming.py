@@ -309,22 +309,31 @@ def ev1_funnel(spark: SparkSession, sf: str) -> DataFrame:
     that first qualifying click.
 
     Three user-keyed min-aggregates chained by filters. Scale shape:
-    every stage aggregates and joins on the SAME key (user_id), so
-    Spark reuses the hash partitioning across stages — one logical
-    repartition by user pays for the whole funnel; no stage widens
-    the data (each carries user_id + one timestamp)."""
+    every stage aggregates and joins on the SAME key (user_id) and no
+    stage widens the data (each carries user_id + one timestamp).
+    The v and c stage outputs are PERSISTED (user-keyed two-column
+    frames, bounded by distinct converting users): each feeds both
+    the next funnel stage and its own final count, and AQE does not
+    canonicalize the duplicated agg subtrees across those references
+    (the td28 class — round-10 audit measured events scanned 5x here,
+    the v subtree executing three times). With the persists, each
+    stage's filtered events scan runs exactly once."""
+    from ..cacheutil import persist_replannable
+
     ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    v = (
+    v = persist_replannable(
+        "catalog.ev1.v",
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1")),
     )
-    c = (
+    c = persist_replannable(
+        "catalog.ev1.c",
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2")),
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

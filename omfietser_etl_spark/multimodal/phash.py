@@ -100,12 +100,21 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     geometry works."""
     import re
 
+    from ..cacheutil import persist_replannable
+
     band_cols = sorted(
         (c for c in hashes.columns if re.fullmatch(r"b\d+", c)),
         key=lambda c: int(c[1:]),
     )
     n_bands = len(band_cols)
-    h = hashes.na.drop(subset=band_cols)
+    # h feeds the banded self-join (both aliases) AND both sides of
+    # the verify join — four references, and AQE does not canonicalize
+    # the duplicated upstream subtree (the td28 class): the round-10
+    # audit measured the decode mapInPandas executing 3x (documents
+    # scanned 6x in mm7/mm8). The hash table is id + n_bands ints —
+    # persisting it makes the REAL media decode (the expensive stage
+    # at 100 TB) structurally once-per-run.
+    h = persist_replannable("phash.pairs", hashes.na.drop(subset=band_cols))
     stacked = h.select(
         F.col("media_id").alias("id"),
         F.expr(

@@ -440,11 +440,23 @@ def ks_drift(df, group_col: str = "source", value_col: str = "n_chars"):
     """
     from pyspark.sql import Window
 
+    from ..cacheutil import persist_replannable
+
     dec = "decimal(38,0)"
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
     )
-    counts = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    # counts is the bounded |groups|x|values| frame, but FOUR
+    # consumers reference it (grid's two distincts, the fill join,
+    # n_g) and AQE does not canonicalize the duplicated corpus
+    # scan+agg subtrees (the td28 class — round-10 audit measured the
+    # documents table scanned 6x here). Persisting the tiny frame
+    # makes single-execution structural; replannable so the vanilla
+    # gate session gets AQE-coalesced cached reads.
+    counts = persist_replannable(
+        "analysis.ks_drift",
+        vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c")),
+    )
     grid = (
         counts.select("v").distinct()
         .crossJoin(F.broadcast(counts.select("g").distinct()))

@@ -123,6 +123,41 @@ def build_corpus() -> None:
                   f"l_partkey + {k * OFFSET} AS l_partkey) FROM base",
     )
 
+    # Remaining tables (round-10 verdict #2: the FULL catalog must
+    # sweep at a 10x-equivalent scale, so every table the 181 queries
+    # touch needs a deterministic 10x story):
+    # - region/nation: verbatim — TPC-H dimensions do not scale; the
+    #   fixed nation set means each nation gets 10x customers, the
+    #   same held-fixed hub axis as l_suppkey.
+    # - supplier: verbatim — matches lineitem's deliberately-fixed
+    #   l_suppkey (every supplier 10x hotter, not 10x more suppliers).
+    # - customer: c_custkey offset per copy (joins orders' offset
+    #   o_custkey 1:1 per copy); c_nationkey held fixed.
+    # - part: p_partkey offset per copy (joins lineitem's offset
+    #   l_partkey).
+    # - events: event_id/user_id offset per copy, ts HELD FIXED — the
+    #   time axis does not stretch when volume grows, so every
+    #   window/session/funnel absorbs 10x density, the load shape a
+    #   10x-busier product actually produces.
+    for dim in ("region", "nation", "supplier"):
+        _write_sql_copies(dim, lambda k: "SELECT * FROM base WHERE 1 = "
+                          + ("1" if k == 0 else "0"))
+    _write_sql_copies(
+        "customer",
+        lambda k: f"SELECT * REPLACE (c_custkey + {k * OFFSET} AS c_custkey) "
+                  "FROM base",
+    )
+    _write_sql_copies(
+        "part",
+        lambda k: f"SELECT * REPLACE (p_partkey + {k * OFFSET} AS p_partkey) "
+                  "FROM base",
+    )
+    _write_sql_copies(
+        "events",
+        lambda k: f"SELECT * REPLACE (event_id + {k * OFFSET} AS event_id, "
+                  f"user_id + {k * OFFSET} AS user_id) FROM base",
+    )
+
     # embeddings: copy k>0 permutes vector dimensions with rng(k) —
     # within-copy cosines preserved exactly, cross-copy cosines
     # scrambled to background (scaled axis: vec_id; the permutation is
