@@ -642,3 +642,109 @@ def test_g2_final_plan_scans_once(spark):
     assert scans == 1, f"fact table must materialize once, saw {scans} scans"
     assert "ReusedExchange" in final_tree  # stage reuse actually fired
     assert "REPARTITION_BY_COL" in plan  # w's structural exchange root
+
+
+#: Per-query EXECUTED-final-plan scan budgets (round-10 verdict #1 —
+#: the scan-once assertion g2 got, generalized catalog-wide). Keys
+#: absent default to 1 scan per source table. Every exception below
+#: was read in the round-10 audit and is a DELIBERATE multi-role or
+#: multi-pass shape, not AQE non-reuse:
+#: - bounded side-inputs re-scanned with pushdown (cheaper than
+#:   caching at scale): PQ codebooks/centroids/queries (td6-td22,
+#:   td13/td16, ts17, x10, tv5), decontam eval slices (td9/td18/
+#:   td24/td25), BPE train+encode passes (tk1-tk3), sample-vs-rest
+#:   splits (ta8/ta15, ts6/ts8/ts11/ts12, tv2/tv3/tv7, ev2);
+#: - two-snapshot / two-half compares scanning one table under two
+#:   DIFFERENT pushed filters (u1, j10, j8, a1/a4/a5/a17/a22, d2,
+#:   ev7, h2, td11/td14/td17, ts17, ev2);
+#: - g1 pagerank: deliberately LAZY loop-static subtrees — caching
+#:   measured 1.5x slower (round 7); ReuseExchange dedupes rounds.
+#: A query gaining a scan beyond its budget fails here and must
+#: either restore reuse (persist_replannable — the td28 discipline)
+#: or justify a bigger budget in this table.
+SCAN_BUDGETS = {
+    "a17_incremental_rollup": {"orders": 3},
+    "a1_status_counters": {"orders": 2},
+    "a22_hll_distinct": {"lineitem": 2, "events": 2},
+    "a4_price_stats": {"orders": 2},
+    "a5_promo_analysis": {"orders": 2},
+    "d2_quantity_standardize": {"part": 2},
+    "ev1_funnel": {"events": 3},  # one filtered scan per funnel stage
+    "ev2_retention": {"events": 2},
+    "ev7_rfm_segments": {"events": 2},
+    "g1_pagerank": {"orders": 2, "lineitem": 4},
+    "h2_gapfill": {"events": 3},
+    "j10_full_outer_reconcile": {"customer": 2},
+    "j8_range_join": {"events": 2},
+    "mm7_phash_neardup": {"documents": 2},  # orig+twin in one decode
+    "mm8_audio_fp_neardup": {"documents": 2},
+    "ta15_ngram_novelty": {"documents": 2},
+    "ta8_bigram_fluency": {"documents": 4},
+    "td11_line_dedup": {"documents": 2},
+    "td13_semantic_dedup": {"embeddings": 3},
+    "td14_substring_dedup": {"documents": 4},
+    "td16_rh_lsh_pairs": {"embeddings": 3},
+    "td17_incremental_dedup": {"documents": 2},
+    "td18_bloom_decontam": {"documents": 3},
+    "td20_pq_adc_topk": {"embeddings": 3},
+    "td21_ivfpq_topk": {"embeddings": 7},
+    "td22_pq_rerank": {"embeddings": 5},
+    "td24_allpairs_cosine": {"documents": 4},
+    "td25_fuzzy_decontam": {"documents": 4},
+    "td6_ann_topk": {"embeddings": 2},
+    "td7_ivf_ann": {"embeddings": 4},
+    "td8_kmeans_assign": {"embeddings": 2},
+    "td9_contamination": {"documents": 3},
+    "tk1_bpe_encode": {"documents": 2},
+    "tk2_bpe_roundtrip": {"documents": 3},
+    "tk3_vocab_coverage": {"documents": 2},
+    "ts11_unimax_realized": {"documents": 2},
+    "ts12_token_unimax_realized": {"documents": 2},
+    "ts17_cluster_prototypes": {"embeddings": 2},
+    "ts6_tokenize": {"documents": 2},
+    "ts8_temperature_rebalance": {"documents": 2},
+    "tv2_tfidf_terms": {"documents": 2},
+    "tv3_cms_heavy_hitters": {"documents": 2},
+    "tv5_rrf_fusion": {"embeddings": 2},
+    "tv7_retrieval_eval": {"documents": 3},
+    "u1_union_distinct": {"customer": 2},
+    "x10_knn_label_eval": {"embeddings": 4},
+}
+
+
+def test_catalog_final_plan_scan_budgets(spark):
+    """EVERY catalog query's executed adaptive plan must stay within
+    its per-table scan budget (default: each source table scanned
+    once). This is the catalog-wide generalization of g2's scan-once
+    assertion, counted the only honest way — a JVM walk of the FINAL
+    plan tree that stops at cache and reused-exchange boundaries
+    (planwalk.executed_scan_profile): string counts over `explain
+    formatted` double-book the Initial Plan section and every inlined
+    InMemoryRelation build plan (the round-8 '37 FileScans' and
+    round-10 'dd4 scans 12x' artifacts). Catches the td28 disease —
+    a duplicated subtree AQE does not canonicalize re-executing a
+    scan+agg per reference (u5 4x, ta12 6x, ev1 5x, mm7/mm8 6x before
+    the round-10 fixes)."""
+    import __spark_entry__ as entry_mod
+
+    from omfietser_etl_spark import cacheutil
+    from omfietser_etl_spark.planwalk import executed_scan_profile
+
+    offenders = []
+    for name, build in entry_mod.queries().items():
+        try:
+            df = build(spark, SF_SMOKE)
+            df.collect()  # finalize df's OWN adaptive plan
+            main = executed_scan_profile(df)["main"]
+        finally:
+            cacheutil.release_all()
+        budget = SCAN_BUDGETS.get(name, {})
+        over = {
+            t: n for t, n in main.items() if n > budget.get(t, 1)
+        }
+        if over:
+            offenders.append((name, over, budget))
+    assert not offenders, (
+        "queries exceeding their final-plan scan budget "
+        f"(table: scans, budget): {offenders}"
+    )
