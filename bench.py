@@ -222,6 +222,22 @@ def _sentinel_median(build, spark, sf_dir) -> float:
     )
 
 
+def _pretouch_sentinel_inputs(spark, sf_dir) -> None:
+    """Deterministic page-cache state before EACH sentinel battery
+    (round-10, verdict #4): the io_scan/shuffle_agg shapes read
+    lineitem, and the catalog run between the START and END batteries
+    evicts an unpredictable fraction of its pages — the io axis
+    wobbled 1.5–3.9 s across IDLE same-catalog windows in round 9,
+    flagging otherwise-clean windows. One full-width noop scan
+    immediately before the battery puts the file in the same cache
+    state every time (the same fix that killed st12's 17.7-vs-3.4 s
+    cold-read artifact on the catalog side). Refs were re-pinned
+    under this protocol — never measure a battery without it."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -273,6 +289,7 @@ def main() -> None:
     shapes = _sentinel_shapes()
     for build in shapes.values():  # one warm lap (JIT/codegen)
         _time_query(build, spark, sf_dir)
+    _pretouch_sentinel_inputs(spark, sf_dir)
     sentinel_start = {
         name: _sentinel_median(build, spark, sf_dir)
         for name, build in shapes.items()
@@ -284,6 +301,7 @@ def main() -> None:
         runs = [_time_query(build, spark, sf_dir) for _ in range(reps)]
         timings[name] = round(statistics.median(runs), 3)
 
+    _pretouch_sentinel_inputs(spark, sf_dir)
     sentinel_end = {
         name: _sentinel_median(build, spark, sf_dir)
         for name, build in shapes.items()
