@@ -81,11 +81,29 @@ def _run_chunked(n_chunks: int, argv: list[str]) -> int:
     return rc
 
 
-USAGE = "usage: python tools/driver_sim.py [--chunks N] [sf_dir] [query ...]"
+USAGE = ("usage: python tools/driver_sim.py [--session bench] [--chunks N] "
+         "[sf_dir] [query ...]")
 
 
 def main() -> int:
     args = sys.argv[1:]
+    if args and args[0] == "--session":
+        # --session bench: run the SAME oracle comparison under the
+        # bench-sized session (8g heap, CPU-count shuffle partitions)
+        # instead of the vanilla gate session. FOR SCALE SWEEPS ONLY
+        # (round-10: the sf1-equivalent 10x corpus — the vanilla 1g
+        # heap is the GATE's contract at sf<=0.01, not a constraint
+        # the engine must honor at 10x the gate's data; a 1g sweep
+        # there measures spill thrash, not correctness). The default
+        # gate simulation stays vanilla — never pass this flag when
+        # certifying the driver contract.
+        if len(args) < 2 or args[1] != "bench":
+            print(USAGE, file=sys.stderr)
+            print("--session takes exactly 'bench'", file=sys.stderr)
+            return 2
+        os.environ["SPARK_GRAFT_SIM_SESSION"] = "bench"
+        sys.argv = [sys.argv[0], *args[2:]]
+        args = args[2:]
     if args and args[0] == "--chunks":
         # validate argv up front (round-7 ADVICE): a missing or
         # non-numeric N must print usage, not die with a traceback.
@@ -104,7 +122,20 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    if os.environ.get("SPARK_GRAFT_SIM_SESSION") == "bench":
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.driver.memory", "8g")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.codegen.maxFields", "25")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
