@@ -74,6 +74,10 @@ def _value_hash(df: pd.DataFrame) -> str:
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Spill outside the repo: DuckDB's temp dir defaults to the
+    # process cwd — a big oracle (g5 at the 10x corpus) wrote 70 GB
+    # of duckdb_temp_storage-*.tmp into the repo's .tmp/ (round 10).
+    con.execute("SET temp_directory = '/tmp/spark_graft_duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
