@@ -531,9 +531,14 @@ c AS (SELECT media_id, lum,
 SELECT media_id,
        CAST({MM9_N_FRAMES} AS BIGINT) AS n_frames,
        CAST(len(cuts) AS BIGINT) AS n_cuts,
-       array_to_string(cuts, ',') AS cuts_csv
+       coalesce(array_to_string(cuts, ','), '') AS cuts_csv
 FROM c
 """
+# ^ coalesce is load-bearing: DuckDB's array_to_string([]) is NULL
+# while Spark's array_join(empty) is '' — a zero-cut video (all 11
+# luma deltas <= thr, P ~ 1e-5 per doc) first EXISTS at the 10x
+# corpus (2 of 600k docs; none at sf<=0.1). Found by the round-10
+# sf1-equivalent sweep.
 
 
 SPECS = [

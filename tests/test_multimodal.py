@@ -229,3 +229,36 @@ def test_avi_frame_decode_roundtrip_and_scene_cuts(spark):
     assert out[1].n_frames == 5
     assert out[1].cuts_csv == "2,4"  # 12->200 and 199->40
     assert out[2].n_frames == 0 and out[2].cuts_csv == ""
+
+
+def test_scene_cuts_zero_cut_video_empty_csv(spark, tmp_path):
+    """A decodable video whose luma never jumps must report
+    n_cuts=0 / cuts_csv='' on BOTH sides of the mm9 contract. The
+    engine has always emitted '' — but DuckDB's array_to_string of an
+    EMPTY list is NULL (not ''), and the first zero-cut document only
+    EXISTS at the 10x corpus (2 of 600k; none at sf<=0.1) — the
+    round-10 sf1-equivalent sweep caught the oracle divergence. The
+    oracle now coalesces; this pins both sides on an engineered
+    zero-cut input."""
+    import duckdb
+
+    from omfietser_etl_spark.multimodal.codecs import make_video_frame_tools
+    from omfietser_etl_spark.multimodal.media import scene_cuts
+
+    _decode, prefix = make_video_frame_tools()
+    lumas = [100, 120, 140, 120, 100]  # every |delta| = 20 <= 48
+    fb = 4 * 3 * 3
+    data = prefix(4, 3, len(lumas), fb) + b"".join(
+        b"00db" + fb.to_bytes(4, "little") + bytes([v]) * fb for v in lumas
+    )
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(data))], "media_id long, kind string, data binary"
+    )
+    row = scene_cuts(media, 48).collect()[0]
+    assert (row.n_cuts, row.cuts_csv) == (0, "")
+    # the oracle-side idiom, exactly as _mm9_oracle emits it
+    got = duckdb.sql(
+        "SELECT coalesce(array_to_string(list_filter([1,2], x -> x > 9), ',')"
+        ", '') AS csv"
+    ).fetchone()[0]
+    assert got == ""
