@@ -57,28 +57,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: END-battery only, as before: every run reaches it through the
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
-#: Refs: per-axis MEDIAN of the END batteries of FIVE clean
-#: full-catalog runs at the 180-query catalog (2026-08-16, round 9;
-#: totals 233.6/223.3/216.3/219.6/222.3 s, back-to-back idle
-#: windows). Round 8 used median-of-3; round 9 widened to 5 because
-#: the io axis now wobbles 1.89–3.88 s across IDLE same-catalog
-#: windows (the arrow axis's round-8 bimodality, 4.0–5.8 s here, has
-#: company) — with 3 samples the median itself is one draw of that
-#: wobble. END-position matters: arrow_python measures ~1.9 s on a
-#: fresh session but ~4.8 s after the full catalog (Python-worker
-#: daemon state accumulates) — an idle-session ref would read every
-#: clean END battery as ~2.5x "host load". Every ref below is
-#: therefore anchored at the same point in the run where the
-#: measurement battery executes. Of the five pinning windows
-#: themselves, two sit within the 1.3 spread gate against these
-#: medians (1.00, 1.23) and three flag on single-axis io/shuffle
-#: draws (1.37–2.02) — the gate's designed false-positive direction.
+#: Refs: per-axis MEDIAN of the END batteries of FIVE back-to-back
+#: full-catalog runs at the 181-query catalog (2026-08-16, round 10;
+#: totals 264.4/276.2/272.1/246.5/267.0 s — post-sweep host state,
+#: which the normalization exists to absorb). FIRST PIN UNDER THE
+#: PRE-TOUCH PROTOCOL (_pretouch_sentinel_inputs runs before every
+#: battery): the io axis, which wobbled 1.89–3.88 s (2.6x) across
+#: idle round-9 windows and was the dominant comparable=false
+#: flagger, measured 1.17–1.68 s (1.44x) across these five — never
+#: compare a battery measured WITHOUT the pre-touch against these
+#: refs. END-position still matters for arrow (~1.9 s fresh vs
+#: ~4.8–6.6 s after the full catalog — Python-worker daemon state),
+#: so refs stay anchored at the measurement battery's position.
 SENTINEL_REFS = {
-    "io_scan": 2.518,
-    "shuffle_agg": 2.182,
-    "cpu_codegen": 1.974,
-    "sort_window": 3.445,
-    "arrow_python": 4.832,
+    "io_scan": 1.364,
+    "shuffle_agg": 1.945,
+    "cpu_codegen": 2.061,
+    "sort_window": 4.100,
+    "arrow_python": 5.585,
 }
 SENTINEL_REPS = 5
 #: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
@@ -92,7 +88,7 @@ SENTINEL_REPS = 5
 #: (tests/test_tools.py::test_bench_refs_pinned_to_current_catalog
 #: enforces the pairing). Until re-pinned, bench.py self-reports
 #: refs_stale=true and comparable=false in the artifact.
-SENTINEL_REF_CATALOG = "0bbc405b2ca05dd6"  # 180 queries, pinned 2026-08-16 (r9)
+SENTINEL_REF_CATALOG = "dd329d041db65ada"  # 181 queries, pinned 2026-08-16 (r10)
 #: host_spread above this means the window was unevenly loaded and
 #: cross-round normalized deltas must not be read (the r06 1.47-spread
 #: window is the motivating example). DELIBERATELY CONSERVATIVE: the
