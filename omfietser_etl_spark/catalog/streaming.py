@@ -965,10 +965,16 @@ def st12_merge_state(spark: SparkSession, sf: str) -> DataFrame:
 
 def st13_merge_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
     """ST4 ∘ K2: the change-detection skip path composed with the
-    sequential MERGE fold (reference semantics: the content_hash
-    check before upsert, `01-init.sql:17,26` +
-    `postgres-adapter.ts:172-251` — an unchanged payload must never
-    touch the sink, and therefore must never bump the stored row).
+    sequential MERGE fold. Reference semantics: the skip models the
+    INTENDED change-detection design — content_hash is stored "for
+    change detection" (`01-init.sql:17,26`, the types.ts comment and
+    the hash index) — NOT an actual pre-upsert hash check in the
+    adapter: `postgres-adapter.ts:172-251`'s INSERT..ON CONFLICT DO
+    UPDATE updates unconditionally, bumping processed_at even for
+    unchanged hashes. The skip here is therefore deliberately
+    STRICTER than the shipped adapter (an unchanged payload never
+    touches the sink, never bumps the stored row), realizing what the
+    stored hash exists for (round-10 ADVICE correction).
 
     Construction: batch ``i`` carries, per customer, the CUMULATIVE
     max order year over slices ``o_orderkey % K <= i`` — monotone, so

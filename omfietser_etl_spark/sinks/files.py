@@ -41,21 +41,26 @@ def write_unified_json(df: DataFrame, out_dir: str, shop: str, run_ts: str) -> s
     previous file renamed to a run-stamped backup (writer.ts:147-179).
     run_ts is an explicit parameter — no wall clock (determinism).
 
-    Bounded by contract: refuses frames above UNIFIED_JSON_MAX_ROWS
-    (the limit+1 probe costs one extra bounded action, never a full
-    count of an oversized frame)."""
+    Bounded by contract: refuses frames above UNIFIED_JSON_MAX_ROWS.
+    The bound is enforced IN the single collecting pass
+    (toLocalIterator + in-loop cap), not by a separate limit+1 probe:
+    a probe executes the upstream frame twice, and on a
+    nondeterministic frame (e.g. sampled) the probe could pass while
+    the real collect exceeds the cap (round-10 ADVICE). One pass,
+    driver memory bounded by one partition + the capped row list."""
     os.makedirs(out_dir, exist_ok=True)
-    probe = df.limit(UNIFIED_JSON_MAX_ROWS + 1).count()
-    if probe > UNIFIED_JSON_MAX_ROWS:
-        raise ValueError(
-            f"write_unified_json is the parity-only single-file sink "
-            f"(> {UNIFIED_JSON_MAX_ROWS} rows collected to the driver); "
-            "use write_unified_parquet for scale output"
-        )
+    rows = []
+    for r in df.toJSON().toLocalIterator():
+        if len(rows) >= UNIFIED_JSON_MAX_ROWS:
+            raise ValueError(
+                f"write_unified_json is the parity-only single-file sink "
+                f"(> {UNIFIED_JSON_MAX_ROWS} rows collected to the driver); "
+                "use write_unified_parquet for scale output"
+            )
+        rows.append(json.loads(r))
     final = os.path.join(out_dir, f"unified_{shop}_products.json")
     if os.path.exists(final):
         os.replace(final, os.path.join(out_dir, f"unified_{shop}_products.{run_ts}.bak.json"))
-    rows = [json.loads(r) for r in df.toJSON().collect()]
     with open(final, "w") as f:
         json.dump(rows, f, indent=2, sort_keys=True)
     return final

@@ -94,9 +94,17 @@ def test_rh_lsh_pairs_subset_of_exact_with_reasonable_recall(spark):
     tau = 0.45
     exact = {(r.id_lo, r.id_hi): r.sim
              for r in cosine_neardup_pairs(emb, "vec_id", "embedding", tau).collect()}
-    lsh = {(r.id_lo, r.id_hi): r.sim
-           for r in rh_neardup_pairs(emb, "vec_id", "embedding", tau, 64,
-                                     on_subnoise="warn").collect()}
+    # τ=0.45 sits below the noise floor for this dim BY DESIGN (the
+    # recall assertion needs a pair-rich regime); assert the sub-noise
+    # guard fires on the opt-down path rather than letting its
+    # UserWarning leak into every full pytest run (round-10 verdict #5
+    # — `pytest -W error::UserWarning` must stay viable).
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="below the random-cosine noise floor"):
+        lsh = {(r.id_lo, r.id_hi): r.sim
+               for r in rh_neardup_pairs(emb, "vec_id", "embedding", tau, 64,
+                                         on_subnoise="warn").collect()}
     assert set(lsh) <= set(exact)
     assert all(lsh[k] == exact[k] for k in lsh)  # same verified sims
     if exact:

@@ -648,67 +648,73 @@ def test_g2_final_plan_scans_once(spark):
 #: the scan-once assertion g2 got, generalized catalog-wide). Keys
 #: absent default to 1 scan per source table. Every exception below
 #: was read in the round-10 audit and is a DELIBERATE multi-role or
-#: multi-pass shape, not AQE non-reuse:
-#: - bounded side-inputs re-scanned with pushdown (cheaper than
-#:   caching at scale): PQ codebooks/centroids/queries (td6-td22,
-#:   td13/td16, ts17, x10, tv5), decontam eval slices (td9/td18/
-#:   td24/td25), BPE train+encode passes (tk1-tk3), sample-vs-rest
-#:   splits (ta8/ta15, ts6/ts8/ts11/ts12, tv2/tv3/tv7, ev2);
-#: - two-snapshot / two-half compares scanning one table under two
-#:   DIFFERENT pushed filters (u1, j10, j8, a1/a4/a5/a17/a22, d2,
-#:   ev7, h2, td11/td14/td17, ts17, ev2);
-#: - g1 pagerank: deliberately LAZY loop-static subtrees — caching
-#:   measured 1.5x slower (round 7); ReuseExchange dedupes rounds.
+#: multi-pass shape, not AQE non-reuse. CONTRACT (round-10 verdict
+#: #6): every entry carries an inline tag naming its category from
+#: the four SCALING.md round-10 established — any NEW >1-per-table
+#: entry must carry one too (the verify skill checklist enforces it
+#: in review):
+#: - [side-input]  bounded side-inputs re-scanned with pushdown
+#:   (cheaper than caching at scale): PQ codebooks/centroids/query
+#:   slices, decontam eval shingles, sample-vs-rest splits;
+#: - [two-snapshot]  one table scanned under two DIFFERENT pushed
+#:   filters (snapshot/half/window compares) — distinct data, not
+#:   duplicated work;
+#: - [multi-pass]  an algorithm whose semantics require k ordered
+#:   passes over one table (funnel stages, BPE train+encode,
+#:   orig+twin decode);
+#: - [loop-static]  deliberately LAZY loop-static subtrees where
+#:   caching measured slower (g1: 1.5x, round 7); ReuseExchange
+#:   dedupes rounds.
 #: A query gaining a scan beyond its budget fails here and must
 #: either restore reuse (persist_replannable — the td28 discipline)
 #: or justify a bigger budget in this table.
 SCAN_BUDGETS = {
-    "a17_incremental_rollup": {"orders": 3},
-    "a1_status_counters": {"orders": 2},
-    "a22_hll_distinct": {"lineitem": 2, "events": 2},
-    "a4_price_stats": {"orders": 2},
-    "a5_promo_analysis": {"orders": 2},
-    "d2_quantity_standardize": {"part": 2},
-    "ev1_funnel": {"events": 3},  # one filtered scan per funnel stage
-    "ev2_retention": {"events": 2},
-    "ev7_rfm_segments": {"events": 2},
-    "g1_pagerank": {"orders": 2, "lineitem": 4},
-    "h2_gapfill": {"events": 3},
-    "j10_full_outer_reconcile": {"customer": 2},
-    "j8_range_join": {"events": 2},
-    "mm7_phash_neardup": {"documents": 2},  # orig+twin in one decode
-    "mm8_audio_fp_neardup": {"documents": 2},
-    "ta15_ngram_novelty": {"documents": 2},
-    "ta8_bigram_fluency": {"documents": 4},
-    "td11_line_dedup": {"documents": 2},
-    "td13_semantic_dedup": {"embeddings": 3},
-    "td14_substring_dedup": {"documents": 4},
-    "td16_rh_lsh_pairs": {"embeddings": 3},
-    "td17_incremental_dedup": {"documents": 2},
-    "td18_bloom_decontam": {"documents": 3},
-    "td20_pq_adc_topk": {"embeddings": 3},
-    "td21_ivfpq_topk": {"embeddings": 7},
-    "td22_pq_rerank": {"embeddings": 5},
-    "td24_allpairs_cosine": {"documents": 4},
-    "td25_fuzzy_decontam": {"documents": 4},
-    "td6_ann_topk": {"embeddings": 2},
-    "td7_ivf_ann": {"embeddings": 4},
-    "td8_kmeans_assign": {"embeddings": 2},
-    "td9_contamination": {"documents": 3},
-    "tk1_bpe_encode": {"documents": 2},
-    "tk2_bpe_roundtrip": {"documents": 3},
-    "tk3_vocab_coverage": {"documents": 2},
-    "ts11_unimax_realized": {"documents": 2},
-    "ts12_token_unimax_realized": {"documents": 2},
-    "ts17_cluster_prototypes": {"embeddings": 2},
-    "ts6_tokenize": {"documents": 2},
-    "ts8_temperature_rebalance": {"documents": 2},
-    "tv2_tfidf_terms": {"documents": 2},
-    "tv3_cms_heavy_hitters": {"documents": 2},
-    "tv5_rrf_fusion": {"embeddings": 2},
-    "tv7_retrieval_eval": {"documents": 3},
-    "u1_union_distinct": {"customer": 2},
-    "x10_knn_label_eval": {"embeddings": 4},
+    "a17_incremental_rollup": {"orders": 3},  # [two-snapshot] one filtered scan per mod-3 batch fold
+    "a1_status_counters": {"orders": 2},  # [two-snapshot] group agg + one-row grand-total re-agg
+    "a22_hll_distinct": {"lineitem": 2, "events": 2},  # [two-snapshot] sketch + exact self-certification pass
+    "a4_price_stats": {"orders": 2},  # [two-snapshot] stats agg + exact-median rank pass
+    "a5_promo_analysis": {"orders": 2},  # [two-snapshot] per-type + per-shop aggregation levels
+    "d2_quantity_standardize": {"part": 2},  # [side-input] distinct-unit lookup branch, single pruned column
+    "ev1_funnel": {"events": 3},  # [multi-pass] one filtered scan per funnel stage
+    "ev2_retention": {"events": 2},  # [two-snapshot] signup-cohort agg + activity side of one scan
+    "ev7_rfm_segments": {"events": 2},  # [two-snapshot] per-user agg + distributed-rank pass
+    "g1_pagerank": {"orders": 2, "lineitem": 4},  # [loop-static] lazy loop statics, cache measured 1.5x slower (r7)
+    "h2_gapfill": {"events": 3},  # [side-input] bounds agg + type-dim distinct (both broadcast) + hourly agg
+    "j10_full_outer_reconcile": {"customer": 2},  # [two-snapshot] left/right snapshot halves
+    "j8_range_join": {"events": 2},  # [side-input] time-span bounds agg (two longs) + fact join side
+    "mm7_phash_neardup": {"documents": 2},  # [multi-pass] orig+twin hash build, decode once (cached)
+    "mm8_audio_fp_neardup": {"documents": 2},  # [multi-pass] orig+twin hash build, decode once (cached)
+    "ta15_ngram_novelty": {"documents": 2},  # [side-input] shingle df-agg side + join-back side of one shingle frame
+    "ta8_bigram_fluency": {"documents": 4},  # [side-input] corpus bigram/unigram model sides + scoring pass
+    "td11_line_dedup": {"documents": 2},  # [multi-pass] line-frequency pass + reassembly pass
+    "td13_semantic_dedup": {"embeddings": 3},  # [side-input] codebook + within-cluster pair sides
+    "td14_substring_dedup": {"documents": 4},  # [multi-pass] streaming k-gram passes + island stitch (zero corpus shuffle cached)
+    "td16_rh_lsh_pairs": {"embeddings": 3},  # [side-input] signature pass + two exact-verify join sides
+    "td17_incremental_dedup": {"documents": 2},  # [two-snapshot] new-batch vs stored-state mod-split filters
+    "td18_bloom_decontam": {"documents": 3},  # [side-input] eval-shingle side rescans
+    "td20_pq_adc_topk": {"embeddings": 3},  # [side-input] codebook + query slice rescans
+    "td21_ivfpq_topk": {"embeddings": 7},  # [side-input] IVF centroids + PQ codebook + query slices
+    "td22_pq_rerank": {"embeddings": 5},  # [side-input] codebook/query rescans + exact re-rank slice
+    "td24_allpairs_cosine": {"documents": 4},  # [side-input] prefix-filter stats + eval slices
+    "td25_fuzzy_decontam": {"documents": 4},  # [multi-pass] two map-side explodes + eval-shingle sides
+    "td6_ann_topk": {"embeddings": 2},  # [side-input] bounded query slice vs corpus
+    "td7_ivf_ann": {"embeddings": 4},  # [side-input] centroids + query slice rescans
+    "td8_kmeans_assign": {"embeddings": 2},  # [side-input] centroid side vs corpus
+    "td9_contamination": {"documents": 3},  # [side-input] eval-shingle side rescans
+    "tk1_bpe_encode": {"documents": 2},  # [multi-pass] BPE train pass + encode pass
+    "tk2_bpe_roundtrip": {"documents": 3},  # [multi-pass] train + encode + decode-check passes
+    "tk3_vocab_coverage": {"documents": 2},  # [multi-pass] train pass + coverage pass
+    "ts11_unimax_realized": {"documents": 2},  # [side-input] k-row allocation side + realization pass
+    "ts12_token_unimax_realized": {"documents": 2},  # [side-input] k-row token allocation side + realization pass
+    "ts17_cluster_prototypes": {"embeddings": 2},  # [side-input] centroid side vs corpus
+    "ts6_tokenize": {"documents": 2},  # [side-input] tv1 vocab side (bounded) + encode pass
+    "ts8_temperature_rebalance": {"documents": 2},  # [side-input] per-language rate side (k rows) + realization pass
+    "tv2_tfidf_terms": {"documents": 2},  # [side-input] global DF-stats side + scoring pass
+    "tv3_cms_heavy_hitters": {"documents": 2},  # [side-input] sketch pass + exact top-20 side
+    "tv5_rrf_fusion": {"embeddings": 2},  # [side-input] per-ranker query slices
+    "tv7_retrieval_eval": {"documents": 3},  # [side-input] query slice + two retriever passes
+    "u1_union_distinct": {"customer": 2},  # [two-snapshot] two pushed-filter halves unioned
+    "x10_knn_label_eval": {"embeddings": 4},  # [side-input] held-out query slice + broadcast kNN rescans
 }
 
 

@@ -338,3 +338,84 @@ def test_coverage_ledger_in_sync_with_artifacts():
             "first command of every round) and commit"
         )
     assert got == want, f"ledger inconsistent beyond freshness: {sorted(diverging)}"
+
+
+def _load_bounded_sf1():
+    spec = importlib.util.spec_from_file_location(
+        "bounded_sf1", os.path.join(ROOT, "tools", "bounded_sf1.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bounded_staged_graph_sql_equals_gate_oracle():
+    """The staged-replay bounded checks (tools/bounded_sf1.py, round-11
+    verdict ask #3) must be SEMANTICALLY IDENTICAL to the gate oracles
+    — they exist to make the 10x replay affordable (materialize the
+    shared edge table once), never to weaken it. Pure DuckDB: run the
+    gate oracle and the staged variant on the same sf0.01 views and
+    assert frame equality for all five graph queries."""
+    from omfietser_etl_spark.catalog import all_specs
+    from omfietser_etl_spark.parity import duck_connect
+
+    from .conftest import SF_CORRECT
+
+    mod = _load_bounded_sf1()
+    specs = {s.name: s for s in all_specs()}
+    staged_names = [n for n, (kind, _) in mod.CHECKS.items() if kind == "staged"]
+    assert sorted(staged_names) == [
+        "g2_triangle_count", "g4_kcore", "g5_label_propagation",
+        "g6_hits", "g7_modularity",
+    ]
+    con = duck_connect(SF_CORRECT)
+    try:
+        for name in staged_names:
+            gate = con.execute(specs[name].oracle).df()
+            staged = con.execute(mod.staged_sql(con, name)).df()
+            cols = sorted(gate.columns)
+            assert cols == sorted(staged.columns), name
+            a = gate[cols].sort_values(cols).reset_index(drop=True)
+            b = staged[cols].sort_values(cols).reset_index(drop=True)
+            assert a.equals(b), f"{name}: staged replay diverges from gate oracle"
+            assert len(a) > 0 or name == "g4_kcore", name  # g4's 0 rows is correct
+    finally:
+        con.close()
+
+
+def test_bounded_slice_checks_pass_at_gate_scale(spark):
+    """Endpoint-slice and df-guard-hybrid bounded checks must agree
+    with the engine at gate scale. k=MOD makes the slice the identity
+    (engine unfiltered vs unchanged gate oracle — non-vacuous by
+    construction); a partial k exercises the real sliced path both
+    sides. td12 covers the hybrid (full-corpus DF guard + in-slice
+    candidate join); td2 covers the sliced-view path."""
+    from .conftest import SF_CORRECT
+
+    mod = _load_bounded_sf1()
+    for name, k in [
+        ("td2_ngram_jaccard", mod.MOD),
+        ("td2_ngram_jaccard", 48),
+        ("td12_jaccard_guarded", mod.MOD),
+        ("td12_jaccard_guarded", 48),
+    ]:
+        r, label, _secs = mod.run_check(spark, SF_CORRECT, name, k_override=k)
+        assert r.ok, f"{name} [{label}]: {r.detail}"
+        if k == mod.MOD:
+            assert r.rows_spark > 0, f"{name}: identity slice must be non-vacuous"
+
+
+def test_bounded_slice_media_id_mapping(spark):
+    """mm7's slice filter maps media ids back to parent docs (twin =
+    -doc_id - 1) — a partial slice must keep exactly the pairs whose
+    parents are in-slice, and every in-slice doc contributes at least
+    its orig-twin pair (<= 3 flipped dHash bits by construction), so
+    the check is non-vacuous at smoke scale."""
+    from .conftest import SF_SMOKE
+
+    mod = _load_bounded_sf1()
+    r, label, _secs = mod.run_check(
+        spark, SF_SMOKE, "mm7_phash_neardup", k_override=48
+    )
+    assert r.ok, f"mm7 [{label}]: {r.detail}"
+    assert r.rows_spark > 0

@@ -222,7 +222,32 @@ def main() -> int:
         finally:
             if timer is not None:
                 timer.cancel()
-        if timed_out:
+            # The query is fully consumed (or dead) by here — free
+            # every cacheutil scope so one-shot operator caches can't
+            # accumulate across the 181-query run (the sf0.1 sweep
+            # OOM'd the vanilla 1g heap from exactly that buildup; see
+            # cacheutil.release_all), and nudge the driver GC: Spark's
+            # ContextCleaner reclaims stale broadcast/shuffle state
+            # only when the JVM collects the corresponding driver
+            # references, so 140+ queries of lag exhausts a 1g heap
+            # before any single query would. Lives in `finally` so the
+            # TIMEOUT path releases too — timed-out queries are the
+            # HEAVIEST ones in a scale sweep, and skipping their
+            # release reintroduced the exact accumulation mode this
+            # block exists to prevent (round-10 ADVICE).
+            from omfietser_etl_spark import cacheutil
+
+            cacheutil.release_all()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — diagnostics only
+                pass
+        # Honor the watchdog only when the query actually raised: the
+        # timer can fire in the race window between query completion
+        # and timer.cancel(), and recording a completed query (pass OR
+        # genuine fail) as TIMEOUT would silently downgrade a real
+        # failure to a skip (round-10 ADVICE).
+        if timed_out and not ok:
             print(f"{name}: TIMEOUT after {timeout_s:.0f}s (oracle "
                   "skipped at this scale)", flush=True)
             timeouts.append(name)
@@ -231,22 +256,6 @@ def main() -> int:
         print(f"{name}: {status} ({n} rows, {time.time() - t0:.1f}s)")
         if not ok:
             failures.append(name)
-        # The query's result is fully consumed (compare/count above) —
-        # free every cacheutil scope so one-shot operator caches can't
-        # accumulate across the 173-query run (the sf0.1 sweep OOM'd
-        # the vanilla 1g heap from exactly that buildup; see
-        # cacheutil.release_all), and nudge the driver GC: Spark's
-        # ContextCleaner reclaims stale broadcast/shuffle state only
-        # when the JVM collects the corresponding driver references,
-        # so 140+ queries of lag exhausts a 1g heap before any single
-        # query would (g2 alone runs in 28 s under the same session).
-        from omfietser_etl_spark import cacheutil
-
-        cacheutil.release_all()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — diagnostics only
-            pass
     if timeouts:
         print(f"oracle timeouts (NOT passes): {timeouts}")
     print(f"done: {len(failures)} failures")
