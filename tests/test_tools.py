@@ -368,11 +368,19 @@ def test_bounded_staged_graph_sql_equals_gate_oracle():
         "g2_triangle_count", "g4_kcore", "g5_label_propagation",
         "g6_hits", "g7_modularity",
     ]
+    import re
+
     con = duck_connect(SF_CORRECT)
     try:
         for name in staged_names:
             gate = con.execute(specs[name].oracle).df()
-            staged = con.execute(mod.staged_sql(con, name)).df()
+            sql = mod.staged_sql(con, name)
+            # the _materialize_ctes rewrite is safe only while every
+            # `<word> AS (` in the builders' output is a CTE head —
+            # pin that invariant here (see its docstring)
+            assert not re.search(r"\bAS \((?!SELECT)", sql.replace(
+                "AS MATERIALIZED (", "AS (")), name
+            staged = con.execute(sql).df()
             cols = sorted(gate.columns)
             assert cols == sorted(staged.columns), name
             a = gate[cols].sort_values(cols).reset_index(drop=True)

@@ -12,14 +12,15 @@ bounded check that verifies the full rows+schema+value-hash contract
 at 10x at bounded oracle cost:
 
 **staged-replay** (g2/g4/g5/g6/g7): the gate oracles are single WITH
-chains whose shared prefix re-derives the co-occurrence edge set (a
-lineitem self-join) once per reference — at 10x DuckDB's inlining
-re-executed it enough times to spill 70 GB (g5, round 10). The
-bounded check materializes the edge set ONCE as a temp table and
-rebuilds the oracle with the SAME `*_oracle_sql` builders
-(operators/graph.py) against it — zero duplicated oracle logic, the
-identical round-unrolled SQL, linear cost in rounds. FULL-corpus
-value hash, not a sample.
+chains whose stages re-derive their whole upstream chain once per
+reference under DuckDB's CTE inlining — at 10x that re-execution
+spilled 70 GB (g5, round 10; 41 GB still on g2 with only the raw
+edges staged). The bounded check materializes the edge set ONCE as a
+temp table AND forces every intermediate CTE to single
+materialization (`AS MATERIALIZED`, `_materialize_ctes`), rebuilding
+the oracle with the SAME `*_oracle_sql` builders (operators/graph.py)
+— zero duplicated oracle logic, the identical round-unrolled SQL,
+linear cost in rounds. FULL-corpus value hash, not a sample.
 
 **endpoint-slice** (td2/td2h/td5/td16, mm7/mm8): pair outputs are
 intrinsic to their two endpoints (Jaccard/cosine/hamming of the two
@@ -85,9 +86,25 @@ def slice_col(col, k: int):
 # ---------------------------------------------------------------- #
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Force every CTE in a builder-generated oracle to materialize
+    exactly once (DuckDB ``AS MATERIALIZED``). Without it DuckDB
+    inlines multi-referenced CTEs — each round of an unrolled graph
+    replay re-derives its whole upstream chain per reference, which
+    is the 70 GB-spill blowup the staged check exists to avoid (the
+    first staging attempt materialized only the raw edge table and
+    still spilled 41 GB on g2's und->both_->deg->o chain). Safe by
+    construction for the graph builders: every ``<word> AS (`` in
+    their output is a CTE head (asserted in tests)."""
+    import re
+
+    return re.sub(r"\b(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+
+
 def staged_sql(con, name: str) -> str:
     """Materialize the shared edge set once on ``con``; rebuild the
-    gate oracle with the same operators/graph.py builders against it.
+    gate oracle with the same operators/graph.py builders against it,
+    with every intermediate CTE forced to single materialization.
     Pure DuckDB — testable against the gate oracle without Spark."""
     from omfietser_etl_spark.catalog import opsspec as ops
     from omfietser_etl_spark.operators import graph as G
@@ -98,25 +115,27 @@ def staged_sql(con, name: str) -> str:
             "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
             "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
         )
-        return G.hits_oracle_sql("SELECT src, dst FROM bnd_edges")
+        return _materialize_ctes(G.hits_oracle_sql("SELECT src, dst FROM bnd_edges"))
     cte = ops._COOC_CTE if name == "g2_triangle_count" else ops._COOC_SUPP2_CTE
     con.execute(f"CREATE OR REPLACE TEMP TABLE bnd_edges AS {cte}")
     edges = "SELECT u, v FROM bnd_edges"
     if name == "g2_triangle_count":
-        return G.triangle_counts_oracle_sql(edges)
+        return _materialize_ctes(G.triangle_counts_oracle_sql(edges))
     if name == "g4_kcore":
-        return G.kcore_oracle_sql(edges)
+        return _materialize_ctes(G.kcore_oracle_sql(edges))
     if name == "g5_label_propagation":
-        return G.label_propagation_oracle_sql(edges)
+        return _materialize_ctes(G.label_propagation_oracle_sql(edges))
     if name == "g7_modularity":
         # stage the LPA labels too: modularity references the label
         # frame multiple times (per-community degree mass), and the
         # labels themselves are the full 3-round replay.
         con.execute(
             "CREATE OR REPLACE TEMP TABLE bnd_labels AS "
-            + G.label_propagation_oracle_sql(edges)
+            + _materialize_ctes(G.label_propagation_oracle_sql(edges))
         )
-        return G.modularity_oracle_sql(edges, "SELECT node, label FROM bnd_labels")
+        return _materialize_ctes(
+            G.modularity_oracle_sql(edges, "SELECT node, label FROM bnd_labels")
+        )
     raise KeyError(name)
 
 
@@ -198,7 +217,7 @@ CHECKS = {
     "g6_hits": ("staged", None),
     "g7_modularity": ("staged", None),
     "td2_ngram_jaccard": ("slice", 5),
-    "td2h_ngram_jaccard_hashed": ("slice", 5),
+    "td2h_jaccard_hashed": ("slice", 5),
     "td5_embed_neardup": ("slice", 5),
     "td16_rh_lsh_pairs": ("slice", 5),
     "mm7_phash_neardup": ("slice", 2),
