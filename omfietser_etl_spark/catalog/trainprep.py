@@ -513,6 +513,77 @@ FROM r
 
 
 # ---------------------------------------------------------------- #
+# ts20 — per-domain frequency cap (C4/Dolma source-cardinality cap)
+# ---------------------------------------------------------------- #
+
+#: cap multiple of the fair share, basis points: 10000 = cap every
+#: domain at exactly N/D docs (binds on every above-average domain —
+#: non-vacuous at any non-degenerate source distribution).
+TS20_CAP_X_FAIR_BP = 10_000
+
+
+def ts20_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain frequency cap realized as corpus membership
+    (textops/sampling.domain_cap_allocation + allocated_sample): the
+    C4/Dolma-style source-cardinality cap — no domain contributes
+    more than the fair share (TS20_CAP_X_FAIR_BP bp of N/D), head
+    domains truncated by deterministic hash-rank, tail domains kept
+    whole. Generalizes ts7's rate shape to an EXACT per-group count
+    bound; the cap-only complement of ts11's UNIMAX (no budget
+    redistribution — freed docs are simply dropped).
+
+    One row per domain: n_docs, the derived cap, n_kept, and the
+    kept-id checksum (sum of kept doc ids) so the oracle gates the
+    realized MEMBERSHIP, not just counts. The D-row allocation is
+    persisted (it feeds both the membership filter and the report
+    join; re-deriving it would re-scan the corpus — k-row persist,
+    no corpus barrier); the corpus pays one window shuffle on the
+    domain key."""
+    from ..cacheutil import persist_replannable
+
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("doc"), "source"
+    )
+    alloc = persist_replannable(
+        "catalog.ts20",
+        sp.domain_cap_allocation(docs, "source", TS20_CAP_X_FAIR_BP),
+    )
+    kept = sp.allocated_sample(docs, "doc", "source", alloc, salt="ts20")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc").cast("long").alias("kept_id_sum"),
+        )
+        .join(F.broadcast(alloc.select("source", "n_docs", "cap_docs")), "source")
+        .select("source", "n_docs", "cap_docs", "n_kept", "kept_id_sum")
+    )
+
+
+TS20_ORACLE = f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d FROM c),
+a AS (SELECT source, n_docs,
+             (n * {TS20_CAP_X_FAIR_BP}) // (10000 * d) AS cap_docs,
+             least(n_docs, (n * {TS20_CAP_X_FAIR_BP}) // (10000 * d)) AS alloc
+      FROM c, t),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {{bucket}}, doc_id) AS rk
+      FROM documents),
+k AS (SELECT r.source, r.doc_id FROM r JOIN a USING (source)
+      WHERE r.rk <= a.alloc)
+SELECT a.source, a.n_docs, CAST(a.cap_docs AS BIGINT) AS cap_docs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.doc_id) AS BIGINT) AS kept_id_sum
+FROM k JOIN a USING (source)
+GROUP BY 1, 2, 3
+""".replace("{bucket}", _dk_bucket("ts20", "doc_id"))
+
+
+# ---------------------------------------------------------------- #
 # ts14 — leakage-free split: near-dup components never straddle
 #        train/eval
 # ---------------------------------------------------------------- #
@@ -894,6 +965,9 @@ SPECS = [
               "token-balanced shard assignment (snake over tokens-desc rank)"),
     QuerySpec("ts14_leakage_free_split", ts14_leakage_free_split, _ts14_oracle(),
               "dedup-aware split: near-dup components assigned atomically"),
+    QuerySpec("ts20_domain_cap", ts20_domain_cap, TS20_ORACLE,
+              "C4/Dolma per-domain frequency cap realized as hash-rank "
+              "membership (fair-share bound, kept-id checksum gated)"),
     QuerySpec("tk1_bpe_encode", tk1_bpe_encode, _tk1_oracle(),
               "distributed BPE encode (fixed merge artifact, broadcast "
               "distinct-word segmentation)"),

@@ -235,6 +235,46 @@ def allocated_sample(
     )
 
 
+def domain_cap_allocation(
+    df: DataFrame,
+    group_col: str,
+    cap_x_fair_bp: int = 10_000,
+) -> DataFrame:
+    """Per-domain frequency-cap allocation — the C4/Dolma-style
+    source-cardinality cap (Raffel et al. 2020 §2.2's per-source
+    limits; Dolma's per-domain document caps): no single domain may
+    contribute more than ``cap_x_fair_bp``/10000 × the FAIR SHARE
+    (N/D docs for N documents over D domains). Head domains are
+    truncated to the cap, tail domains keep everything — the standard
+    guard against one crawl source dominating a training mix, and the
+    cap-only complement of :func:`unimax_allocation` (which also
+    redistributes the freed budget; a cap deliberately does not).
+
+    All exact BIGINT: cap = (N · cap_x_fair_bp) div (10000 · D), so
+    both engines derive the identical allocation. All work happens on
+    the D-row group-count frame (one tiny agg + a broadcast one-row
+    totals join — no partition-less window); realize the allocation
+    with :func:`allocated_sample` (hash-rank membership, monotone in
+    the cap: raising it only ADDS documents).
+
+    Returns (``group_col``, n_docs, cap_docs, alloc_docs).
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_d"),
+    )
+    cap = F.expr(f"(_n * {cap_x_fair_bp}) div (10000 * _d)").cast("long")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        cap.alias("cap_docs"),
+        F.least(F.col("n_docs"), cap).cast("long").alias("alloc_docs"),
+    )
+
+
 def budget_weighted_sample(
     df: DataFrame,
     id_col: str,

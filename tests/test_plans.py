@@ -707,6 +707,7 @@ SCAN_BUDGETS = {
     "ts11_unimax_realized": {"documents": 2},  # [side-input] k-row allocation side + realization pass
     "ts12_token_unimax_realized": {"documents": 2},  # [side-input] k-row token allocation side + realization pass
     "ts17_cluster_prototypes": {"embeddings": 2},  # [side-input] centroid side vs corpus
+    "ts20_domain_cap": {"documents": 2},  # [side-input] D-row cap-allocation side (persisted) + realization pass
     "ts6_tokenize": {"documents": 2},  # [side-input] tv1 vocab side (bounded) + encode pass
     "ts8_temperature_rebalance": {"documents": 2},  # [side-input] per-language rate side (k rows) + realization pass
     "tv2_tfidf_terms": {"documents": 2},  # [side-input] global DF-stats side + scoring pass

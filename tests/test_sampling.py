@@ -432,3 +432,47 @@ def test_activity_gini_hand_checked(spark):
     six = sum((i + 1) * x for i, x in enumerate(xs))
     expect = (1_000_000 * (2 * six - (n + 1) * t)) // (n * t)
     assert gini(counts) == expect
+
+
+def test_domain_cap_allocation_fair_share_semantics(spark):
+    """domain_cap_allocation (C4/Dolma source-cardinality cap): the
+    cap is the exact integer fair share (N·bp) div (10000·D); every
+    above-cap domain is allocated exactly the cap, every below-cap
+    domain keeps everything; the realized sample (allocated_sample)
+    never exceeds the cap and is monotone in the cap multiple."""
+    from omfietser_etl_spark.textops.sampling import (
+        allocated_sample,
+        domain_cap_allocation,
+    )
+
+    docs = _docs(spark).select("doc", "source")
+    sizes = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n, d = sum(sizes.values()), len(sizes)
+
+    alloc = {r.source: r for r in
+             domain_cap_allocation(docs, "source").collect()}
+    cap = n // d
+    assert set(alloc) == set(sizes)
+    for s, row in alloc.items():
+        assert row.n_docs == sizes[s]
+        assert row.cap_docs == cap
+        assert row.alloc_docs == min(sizes[s], cap)
+
+    kept = allocated_sample(
+        docs, "doc", "source",
+        domain_cap_allocation(docs, "source"), salt="ts20",
+    )
+    got = {r.source: r.n for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s in sizes:
+        assert got.get(s, 0) == min(sizes[s], cap)
+
+    # monotone in the cap multiple: 1.0x fair-share members ⊂ 1.5x
+    small = {r.doc for r in allocated_sample(
+        docs, "doc", "source",
+        domain_cap_allocation(docs, "source", 10_000), salt="ts20").collect()}
+    big = {r.doc for r in allocated_sample(
+        docs, "doc", "source",
+        domain_cap_allocation(docs, "source", 15_000), salt="ts20").collect()}
+    assert small <= big

@@ -206,23 +206,23 @@ def _td12_hybrid(spark, sf, con, k):
 
 
 #: name -> (kind, default slice K). K is tuned so the oracle-side
-#: quadratic volume at 10x lands at-or-below what the SAME oracle
-#: already runs green at sf0.1 (5/97 ~ 5.2%: pair volume scales by
-#: (10 * 5.2%)^2 ~ 0.27x of sf0.1; mm7/mm8's literal all-pairs uses
-#: 2/97 ~ 2.1%).
+#: quadratic volume at 10x lands near what the SAME oracle already
+#: runs green at sf0.1 (10/97 ~ 10.3%: pair volume scales by
+#: (10 * 10.3%)^2 ~ 1.06x of sf0.1; mm7/mm8's literal all-pairs uses
+#: 4/97 ~ 4.1% — k=2 measured 5 s at 10x, k=4 is ~8x that volume).
 CHECKS = {
     "g2_triangle_count": ("staged", None),
     "g4_kcore": ("staged", None),
     "g5_label_propagation": ("staged", None),
     "g6_hits": ("staged", None),
     "g7_modularity": ("staged", None),
-    "td2_ngram_jaccard": ("slice", 5),
-    "td2h_jaccard_hashed": ("slice", 5),
-    "td5_embed_neardup": ("slice", 5),
-    "td16_rh_lsh_pairs": ("slice", 5),
-    "mm7_phash_neardup": ("slice", 2),
-    "mm8_audio_fp_neardup": ("slice", 2),
-    "td12_jaccard_guarded": ("hybrid", 5),
+    "td2_ngram_jaccard": ("slice", 10),
+    "td2h_jaccard_hashed": ("slice", 10),
+    "td5_embed_neardup": ("slice", 10),
+    "td16_rh_lsh_pairs": ("slice", 10),
+    "mm7_phash_neardup": ("slice", 4),
+    "mm8_audio_fp_neardup": ("slice", 4),
+    "td12_jaccard_guarded": ("hybrid", 10),
 }
 
 
