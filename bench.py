@@ -58,23 +58,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
 #: Refs: per-axis MEDIAN of the END batteries of FIVE back-to-back
-#: full-catalog runs at the 181-query catalog (2026-08-16, round 10;
-#: totals 264.4/276.2/272.1/246.5/267.0 s — post-sweep host state,
-#: which the normalization exists to absorb). FIRST PIN UNDER THE
-#: PRE-TOUCH PROTOCOL (_pretouch_sentinel_inputs runs before every
-#: battery): the io axis, which wobbled 1.89–3.88 s (2.6x) across
-#: idle round-9 windows and was the dominant comparable=false
-#: flagger, measured 1.17–1.68 s (1.44x) across these five — never
-#: compare a battery measured WITHOUT the pre-touch against these
-#: refs. END-position still matters for arrow (~1.9 s fresh vs
-#: ~4.8–6.6 s after the full catalog — Python-worker daemon state),
-#: so refs stay anchored at the measurement battery's position.
+#: IDLE-HOST full-catalog runs at the 182-query catalog (2026-08-16,
+#: round 11, after ts20 landed; totals 257.0/244.2/225.8/229.3/
+#: 234.0 s — the host era RECOVERED mid-round from the ~20% slow
+#: phase the round-10 refs were pinned in, see SCALING.md round 11).
+#: Pre-touch protocol as round 10 (_pretouch_sentinel_inputs before
+#: every battery): io measured 1.17–1.41 s (1.21x) across these
+#: five — never compare a battery measured WITHOUT the pre-touch
+#: against these refs. END-position still matters for arrow (~1.9 s
+#: fresh vs ~4.7–5.8 s after the full catalog — Python-worker daemon
+#: state), so refs stay anchored at the measurement battery's
+#: position. HOST-ERA CAVEAT (round-11 lesson): refs absorb slow
+#: drift via host_factor only imperfectly — a cross-round total
+#: that moves >10% with untouched code should be adjudicated with
+#: the /tmp old-tree probe (SCALING.md round 11), not argued from
+#: sentinel ratios alone.
 SENTINEL_REFS = {
-    "io_scan": 1.364,
-    "shuffle_agg": 1.945,
-    "cpu_codegen": 2.061,
-    "sort_window": 4.100,
-    "arrow_python": 5.585,
+    "io_scan": 1.273,
+    "shuffle_agg": 2.069,
+    "cpu_codegen": 1.912,
+    "sort_window": 3.186,
+    "arrow_python": 4.923,
 }
 SENTINEL_REPS = 5
 #: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
@@ -88,7 +92,7 @@ SENTINEL_REPS = 5
 #: (tests/test_tools.py::test_bench_refs_pinned_to_current_catalog
 #: enforces the pairing). Until re-pinned, bench.py self-reports
 #: refs_stale=true and comparable=false in the artifact.
-SENTINEL_REF_CATALOG = "dd329d041db65ada"  # 181 queries, pinned 2026-08-16 (r10)
+SENTINEL_REF_CATALOG = "959322b0ab1b3658"  # 182 queries, pinned 2026-08-16 (r11)
 #: host_spread above this means the window was unevenly loaded and
 #: cross-round normalized deltas must not be read (the r06 1.47-spread
 #: window is the motivating example). DELIBERATELY CONSERVATIVE: the

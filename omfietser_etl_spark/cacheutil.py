@@ -107,8 +107,38 @@ def release_all() -> None:
 
 def release_then_register(scope: str, df: DataFrame) -> DataFrame:
     """Release the scope's PREVIOUS frames, then register ``df`` —
-    the self-cleaning pattern for once-per-invocation persists."""
-    release(scope)
+    the self-cleaning pattern for once-per-invocation persists.
+
+    SAME-PLAN GUARD (round 11): callers evaluate ``df.persist()`` /
+    ``.cache()`` BEFORE this function runs (argument evaluation), and
+    Spark's cache manager treats persisting a plan identical to an
+    already-cached one as a no-op that SHARES the existing entry — so
+    when the same operator is built twice in one session (bench reps,
+    the plan-audit tests, any interactive re-run), unpersisting the
+    scope's previous frame here would destroy the shared entry out
+    from under the frame we are about to register. Measured: ts20's
+    "persisted" D-row allocation silently lost its cache and inlined
+    its corpus-agg subtree into BOTH consumers (documents scanned 3x
+    instead of 2x) whenever an earlier plan-build of the same query
+    existed. Previous frames whose analyzed plan is the same as
+    ``df``'s are therefore dropped from tracking WITHOUT unpersist —
+    the cache entry lives on, now owned by ``df``."""
+    new_plan = None
+    for old in _SCOPES.pop(scope, []):
+        try:
+            if new_plan is None:
+                new_plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+            same = old._jdf.queryExecution().analyzed().sameResult(new_plan)  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — plan compare is best-effort
+            same = False
+        if same:
+            continue  # shared cache entry — now owned by df
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    for sc, ids in _RDD_SCOPES.pop(scope, []):
+        unpersist_rdd_ids(sc, ids)
     return register(scope, df)
 
 

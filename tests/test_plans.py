@@ -755,3 +755,30 @@ def test_catalog_final_plan_scan_budgets(spark):
         "queries exceeding their final-plan scan budget "
         f"(table: scans, budget): {offenders}"
     )
+
+
+def test_release_then_register_same_plan_rebuild_keeps_cache(spark):
+    """Rebuilding the same operator twice in one session must not
+    self-destroy its persisted side. Round-11 bug: callers evaluate
+    `.persist()` before release_then_register runs, Spark's cache
+    manager no-ops a persist of an already-cached identical plan
+    (sharing the entry), and the subsequent release unpersisted that
+    shared entry out from under the new frame — ts20's allocation
+    silently lost its cache and the corpus-agg subtree inlined into
+    both consumers (documents 3x) whenever an earlier plan-build of
+    the same query existed (bench reps 2+, this file's own audit
+    tests). Pinned via the original repro: build (plan only, never
+    executed), rebuild, execute — the persisted side must stay cached
+    and the scan budget must hold."""
+    from omfietser_etl_spark import cacheutil
+    from omfietser_etl_spark.catalog.trainprep import ts20_domain_cap
+    from omfietser_etl_spark.planwalk import executed_scan_profile
+
+    try:
+        _plan(ts20_domain_cap(spark, SF_SMOKE))  # build #1: plan only
+        df = ts20_domain_cap(spark, SF_SMOKE)    # build #2 re-registers
+        df.collect()
+        main = executed_scan_profile(df)["main"]
+        assert main.get("documents", 0) <= 2, main
+    finally:
+        cacheutil.release_all()
