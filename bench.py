@@ -128,6 +128,30 @@ def comparable(host_spread: float, refs_stale: bool) -> bool:
     return (not refs_stale) and host_spread <= COMPARABLE_SPREAD_MAX
 
 
+#: One bounded in-process retry when the WINDOW (not the code) is the
+#: problem: round 11's official artifact landed on a host_factor-1.247
+#: era (x3 read 14.4 s vs 1.4 s on clean windows, untouched code) and
+#: poisoned the round's per-query record. Retry only on a high
+#: host_factor — a stale-refs flag is a code-state fact a re-run can't
+#: fix, and a spread-only flag (single-axis arrow/io draw on an
+#: otherwise-idle window) is the documented false-positive direction.
+RETRY_HOST_FACTOR = 1.2
+#: Don't retry when the first window already burned a big budget (the
+#: driver's round window is finite); 900 s covers sf0.1 with margin.
+RETRY_BUDGET_SEC = 900.0
+
+
+def should_retry(host_factor: float, attempt: int, total_sec: float) -> bool:
+    """Bounded retry decision: one extra window, only when the first
+    self-flagged via host_factor (the era-pollution signature) and the
+    time budget allows. Pure so tests pin every branch."""
+    return (
+        attempt == 0
+        and host_factor > RETRY_HOST_FACTOR
+        and total_sec <= RETRY_BUDGET_SEC
+    )
+
+
 def _sentinel_shapes():
     """name -> build(spark, sf_dir) -> DataFrame. Frozen: changing any
     shape (or data size) invalidates SENTINEL_REFS — re-measure and
@@ -289,72 +313,98 @@ def main() -> None:
     shapes = _sentinel_shapes()
     for build in shapes.values():  # one warm lap (JIT/codegen)
         _time_query(build, spark, sf_dir)
-    _pretouch_sentinel_inputs(spark, sf_dir)
-    sentinel_start = {
-        name: _sentinel_median(build, spark, sf_dir)
-        for name, build in shapes.items()
-    }
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
-    timings: dict[str, float] = {}
-    for name, build in qs.items():
-        runs = [_time_query(build, spark, sf_dir) for _ in range(reps)]
-        timings[name] = round(statistics.median(runs), 3)
 
-    _pretouch_sentinel_inputs(spark, sf_dir)
-    sentinel_end = {
-        name: _sentinel_median(build, spark, sf_dir)
-        for name, build in shapes.items()
-    }
-    ratios = {
-        n: round(sentinel_end[n] / ref, 3) for n, ref in SENTINEL_REFS.items()
-    }
-    host_factor = round(max(0.25, statistics.median(ratios.values())), 3)
-    host_spread = round(max(ratios.values()) / max(min(ratios.values()), 1e-9), 3)
-    refs_stale = catalog_fingerprint(qs) != SENTINEL_REF_CATALOG
+    def _measure_window() -> dict:
+        """One full measured window: START sentinels, catalog at
+        `reps` medians, END sentinels, calibration + rollups."""
+        _pretouch_sentinel_inputs(spark, sf_dir)
+        sentinel_start = {
+            name: _sentinel_median(build, spark, sf_dir)
+            for name, build in shapes.items()
+        }
 
-    # family rollups (prefix-keyed) so cross-round artifact diffs read
-    # at a glance; "other" catches anything unprefixed.
-    fams = ("p", "d", "td", "ta", "ts", "tv", "tc", "tp", "mm", "st", "ev",
-            "h", "a", "j", "o", "u", "s", "x", "q", "dd", "ca", "f")
-    families: dict[str, float] = {}
-    for name, sec in timings.items():
-        pref = next(
-            (f for f in sorted(fams, key=len, reverse=True)
-             if name.startswith(f) and name[len(f):][:1].isdigit()),
-            "other",
+        timings: dict[str, float] = {}
+        for name, build in qs.items():
+            runs = [_time_query(build, spark, sf_dir) for _ in range(reps)]
+            timings[name] = round(statistics.median(runs), 3)
+
+        _pretouch_sentinel_inputs(spark, sf_dir)
+        sentinel_end = {
+            name: _sentinel_median(build, spark, sf_dir)
+            for name, build in shapes.items()
+        }
+        ratios = {
+            n: round(sentinel_end[n] / ref, 3) for n, ref in SENTINEL_REFS.items()
+        }
+        host_factor = round(max(0.25, statistics.median(ratios.values())), 3)
+        host_spread = round(
+            max(ratios.values()) / max(min(ratios.values()), 1e-9), 3
         )
-        families[pref] = round(families.get(pref, 0.0) + sec, 3)
+        refs_stale = catalog_fingerprint(qs) != SENTINEL_REF_CATALOG
 
-    total = round(sum(timings.values()), 3)
-    line = {
-        "metric": "catalog_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "reps": reps,
-        "sentinel": {
-            "refs": SENTINEL_REFS,
-            "start": sentinel_start,
-            "end": sentinel_end,
-            "ratios": ratios,
-        },
-        "host_factor": host_factor,
-        "host_spread": host_spread,
-        "refs_stale": refs_stale,
-        "comparable": comparable(host_spread, refs_stale),
-        "value_normalized": round(total / host_factor, 3),
-        "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
-    }
-    # Round-over-round history (BENCH_HISTORY.jsonl is committed) keeps
-    # the FULL per-query detail so regressions stay diffable.
-    try:
-        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
-        with open(hist, "a") as f:
-            f.write(json.dumps({"ts": int(time.time()), **line}) + "\n")
-    except OSError:
-        pass
+        # family rollups (prefix-keyed) so cross-round artifact diffs
+        # read at a glance; "other" catches anything unprefixed.
+        fams = ("p", "d", "td", "ta", "ts", "tv", "tc", "tp", "mm", "st",
+                "ev", "h", "a", "j", "o", "u", "s", "x", "q", "dd", "ca", "f")
+        families: dict[str, float] = {}
+        for name, sec in timings.items():
+            pref = next(
+                (f for f in sorted(fams, key=len, reverse=True)
+                 if name.startswith(f) and name[len(f):][:1].isdigit()),
+                "other",
+            )
+            families[pref] = round(families.get(pref, 0.0) + sec, 3)
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "catalog_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "reps": reps,
+            "sentinel": {
+                "refs": SENTINEL_REFS,
+                "start": sentinel_start,
+                "end": sentinel_end,
+                "ratios": ratios,
+            },
+            "host_factor": host_factor,
+            "host_spread": host_spread,
+            "refs_stale": refs_stale,
+            "comparable": comparable(host_spread, refs_stale),
+            "value_normalized": round(total / host_factor, 3),
+            "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
+        }
+
+    def _append_history(line: dict) -> None:
+        # Round-over-round history (BENCH_HISTORY.jsonl is committed)
+        # keeps the FULL per-query detail so regressions stay diffable.
+        try:
+            hist = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+            )
+            with open(hist, "a") as f:
+                f.write(json.dumps({"ts": int(time.time()), **line}) + "\n")
+        except OSError:
+            pass
+
+    windows = [_measure_window()]
+    _append_history(windows[0])
+    retry_on = os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    if retry_on and should_retry(
+        windows[0]["host_factor"], 0, windows[0]["value"]
+    ):
+        windows.append(_measure_window())
+        _append_history(windows[-1])
+    # Report the cleaner window (lower host_factor = closer to the
+    # pinned era); both windows land in history either way.
+    line = min(windows, key=lambda w: w["host_factor"])
+    line["windows_run"] = len(windows)
+    if not line["comparable"]:
+        line["note"] = "comparable=false — read value_normalized, not value"
     # The driver records only the LAST ~2000 chars of stdout, so the
     # official BENCH_rN.json must be compact to parse (r03/r04 were
     # truncated mid-JSON). Print a summary line: totals, calibration,

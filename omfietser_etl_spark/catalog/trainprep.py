@@ -621,6 +621,439 @@ FROM g
 
 
 # ---------------------------------------------------------------- #
+# tp3 — the FULL corpus-preparation capstone: every training-data
+#        stage the catalog gates individually, composed into one
+#        per-document disposition pipeline
+# ---------------------------------------------------------------- #
+
+TP3_SHARDS = 8
+#: tp3 contamination threshold (bp of shingles Bloom-hitting the
+#: benchmark set). Stricter than td18's 2000: a corpus-prep run
+#: rejects partial eval overlap too, and the stage must BIND in the
+#: composition (td18's own threshold flags only the one full
+#: near-copy, which the screens/dedup stages already drop).
+TP3_CONTAM_BP = 1200
+
+
+def _tp3_ckpt(scope: str, df: DataFrame) -> DataFrame:
+    """Tracked localCheckpoint at a tp3 stage boundary. The 7-stage
+    chain otherwise nests every upstream expression tree (Gopher
+    battery, entropy fold, shingle/Bloom hashes) into each later
+    persist's ANALYZED plan — the plan machinery alone OOMs the
+    vanilla 1g driver heap (measured round 12; the SKILL's giant-
+    expression-tree class, compounding across stages). Checkpointing
+    truncates lineage so every later stage plans against a leaf. The
+    blocks are scope-registered: the next invocation (or the
+    harness's release_all) frees them — same discipline as the CC
+    loop's round frames."""
+    from omfietser_etl_spark import cacheutil
+
+    cacheutil.release(scope)
+    ck, ids = cacheutil.tracked_local_checkpoint(df)
+    cacheutil.register_rdd_ids(scope, df.sparkSession.sparkContext, ids)
+    return ck
+
+
+def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The realistic end-to-end training-corpus preparation chain —
+    quality screens → fuzzy dedup → benchmark decontamination →
+    per-domain frequency cap → UNIMAX mixture realization →
+    leakage-free split → token-balanced shards — emitted as ONE row
+    per input document carrying its full disposition. Every stage is
+    an individually-gated catalog operator (ta9/ta10, td15-logic,
+    td18, ts20, ts11, ts14, ts13); this query gates their
+    INTERACTIONS: screens change the dedup blocking input, dedup
+    changes the decontam population, the cap changes the mixture
+    budgets, and the split must ride the dedup components — none of
+    which a single-stage oracle can see.
+
+    Stage semantics (all deterministic, engine-portable):
+      1. screens  — Gopher rule battery (ta9) AND char-entropy band
+         (ta10), map-side over the non-benchmark corpus.
+      2. dedup    — MinHash-LSH pairs → connected components over the
+         screen SURVIVORS; min-id doc per component kept (td15).
+      3. decontam — td18's Bloom-bounded shingle decontamination vs
+         the held-out src9 benchmark slice, evaluated on dedup-kept
+         docs only (a per-doc property, so the oracle may reuse the
+         full td18 oracle and join).
+      4. cap      — ts20's C4/Dolma per-domain fair-share cap,
+         hash-rank realized (salt tp3cap).
+      5. mix      — ts11's UNIMAX water-filling by language over the
+         cap survivors, hash-rank realized (salt tp3mix).
+      6. split    — ts14's component-atomic train/val/test (near-dups
+         never straddle train/eval; components from stage 2).
+      7. shards   — ts13's token-balanced snake over the TRAIN split.
+
+    Scale shape: screens are map-side and run FIRST so dedup's
+    shuffles see only survivors (FineWeb ordering, tp2); every
+    fan-out frame persists via the conf-scoped registry (flags feeds
+    dedup + final join; dec feeds decontam population, split keys,
+    and final join; s3/s4 each feed an allocation agg + a realization
+    window); the allocation frames are group-cardinality-sized and
+    broadcast; the only corpus-sized shuffles are the LSH band
+    buckets, one window per sampling stage on its group key, and the
+    train-only distributed rank (never a SinglePartition window).
+    Reference composition: the per-shop pipeline chain
+    `projects/processor/src/core/pipeline.ts` generalized to the
+    training-data surface."""
+    from pyspark.sql import Window
+
+    from omfietser_etl_spark.cacheutil import persist_replannable
+    from omfietser_etl_spark.textops import dedup as dd
+    from omfietser_etl_spark.textops.analysis import (
+        char_entropy_stats,
+        gopher_rules,
+        ws_token_count,
+    )
+    from omfietser_etl_spark.textops.selection import DSIR_Q
+    from omfietser_etl_spark.textops.sketch import bloom_build, bloom_hits
+
+    from .textops import (
+        EVAL_SOURCE,
+        TP2_ENT_MAX_BITS,
+        TP2_ENT_MIN_BITS,
+    )
+
+    scale = 1 << DSIR_Q
+    docs = load(spark, sf, "documents")
+    corpus = docs.filter(F.col("source") != EVAL_SOURCE)
+
+    # 1. screens (ta9 + ta10), joined map-side onto the slim corpus
+    #    projection; persisted — feeds the dedup input AND the final
+    #    per-doc assembly (the tp2 fan-out discipline).
+    base = corpus.select(
+        F.col("doc_id").alias("doc"), "source", "lang", "text",
+        ws_token_count("text").alias("n_tok"),
+    )
+    # Multilingual Gopher battery: all rules EXCEPT the (deliberately
+    # English-centric) stopword rule — the standard adaptation for a
+    # mixed-language corpus (the rule would reject every non-English
+    # doc; ta9 still gates the full battery separately).
+    g = gopher_rules(corpus).select(
+        "doc",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_bullet_ellipsis")
+            & F.col("ok_alpha_words")
+        ).alias("pass_gopher"),
+    )
+    ent = char_entropy_stats(corpus).select(
+        "doc",
+        (
+            (F.col("ent_q") >= TP2_ENT_MIN_BITS * F.col("n_chars") * scale)
+            & (F.col("ent_q") <= TP2_ENT_MAX_BITS * F.col("n_chars") * scale)
+        ).alias("pass_entropy"),
+    )
+    flags = _tp3_ckpt("catalog.tp3.flags", base.join(g, "doc").join(ent, "doc"))
+    surv1 = flags.filter("pass_gopher AND pass_entropy").select("doc", "text")
+
+    # 2. fuzzy dedup over survivors: LSH pairs → components → min-id
+    #    election. dec persists: it feeds the decontam population, the
+    #    split group keys, and the final join.
+    pairs = dd.minhash_lsh_pairs(surv1, "doc", "text")
+    comp = dd.connected_components(pairs)
+    labeled = (
+        surv1.select("doc")
+        .join(comp, F.col("doc") == F.col("node"), "left")
+        .select(
+            "doc", F.coalesce("component", "doc").cast("long").alias("component")
+        )
+    )
+    wc = Window.partitionBy("component")
+    dec = _tp3_ckpt(
+        "catalog.tp3.dec",
+        labeled.withColumn(
+            "is_dedup_kept", F.col("doc") == F.min("doc").over(wc)
+        ),
+    )
+
+    # 3. Bloom decontamination vs the src9 benchmark slice, evaluated
+    #    on dedup-kept docs only (per-doc property — the oracle reuses
+    #    td18's full oracle and joins). Persisted: feeds the s3 filter
+    #    AND the final is_contaminated column.
+    ev_sh = (
+        dd.doc_shingles(
+            docs.filter(F.col("source") == EVAL_SOURCE), "doc_id", "text"
+        )
+        .select("s")
+        .distinct()
+    )
+    bloom = bloom_build(ev_sh, "s")
+    kept_text = (
+        dec.filter("is_dedup_kept").select("doc").join(
+            flags.select("doc", "text"), "doc"
+        )
+    )
+    tr_sh = dd.doc_shingles(kept_text, "doc", "text")
+    contam = persist_replannable(
+        "catalog.tp3.contam",
+        bloom_hits(tr_sh, "s", bloom)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            "doc",
+            (F.expr("(10000 * n_hit) div n_sh") >= TP3_CONTAM_BP).alias("contam_flag"),
+        ),
+    )
+    s3 = _tp3_ckpt(
+        "catalog.tp3.s3",
+        dec.filter("is_dedup_kept")
+        .join(contam, "doc", "left")
+        .filter(~F.coalesce(F.col("contam_flag"), F.lit(False)))
+        .select("doc")
+        .join(flags.select("doc", "source", "lang", "n_tok"), "doc"),
+    )
+
+    # 4. per-domain frequency cap (ts20 machinery, salt tp3cap). s3/s4
+    #    persist: each feeds an allocation agg AND a realization window.
+    cap_alloc = sp.domain_cap_allocation(s3, "source", TS20_CAP_X_FAIR_BP)
+    s4 = persist_replannable(
+        "catalog.tp3.s4",
+        sp.allocated_sample(s3, "doc", "source", cap_alloc, salt="tp3cap").drop(
+            "pick_rank"
+        ),
+    )
+
+    # 5. UNIMAX mixture by language over cap survivors (salt tp3mix).
+    mix_alloc = sp.unimax_allocation(s4, "lang", TS10_BUDGET_BP).select(
+        "lang", "alloc_docs"
+    )
+    s5 = sp.allocated_sample(s4, "doc", "lang", mix_alloc, salt="tp3mix").drop(
+        "pick_rank"
+    )
+
+    # 6. component-atomic split (ts14): group key = dedup component.
+    spl = persist_replannable(
+        "catalog.tp3.spl",
+        sp.component_split(
+            s5.select("doc", "n_tok"),
+            "doc",
+            dec.select(F.col("doc").alias("node"), "component"),
+        ),
+    )
+
+    # 7. token-balanced snake shards over the train split only.
+    shards = sp.token_balanced_shards(
+        spl.filter(F.col("split") == "train").select("doc", "n_tok"),
+        "doc",
+        "n_tok",
+        TP3_SHARDS,
+    ).select("doc", "shard")
+
+    out = (
+        flags.select(
+            "doc", "source", "lang", "n_tok", "pass_gopher", "pass_entropy"
+        )
+        .join(dec.select("doc", "component", "is_dedup_kept"), "doc", "left")
+        .join(contam, "doc", "left")
+        .join(s4.select("doc", F.lit(True).alias("_cap")), "doc", "left")
+        .join(
+            spl.select("doc", F.lit(True).alias("_mix"), "split"), "doc", "left"
+        )
+        .join(shards, "doc", "left")
+        .select(
+            "doc",
+            "source",
+            "lang",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "pass_gopher",
+            "pass_entropy",
+            F.coalesce("component", "doc").cast("long").alias("component"),
+            F.coalesce("is_dedup_kept", F.lit(False)).alias("is_dedup_kept"),
+            F.coalesce("contam_flag", F.lit(False)).alias("is_contaminated"),
+            F.coalesce("_cap", F.lit(False)).alias("pass_domain_cap"),
+            F.coalesce("_mix", F.lit(False)).alias("pass_mix"),
+            F.coalesce("split", F.lit("none")).alias("split"),
+            F.coalesce("shard", F.lit(-1)).cast("long").alias("shard"),
+        )
+    )
+    return out.withColumn(
+        "disposition",
+        F.when(~(F.col("pass_gopher") & F.col("pass_entropy")), "screened")
+        .when(~F.col("is_dedup_kept"), "duplicate")
+        .when(F.col("is_contaminated"), "contaminated")
+        .when(~F.col("pass_domain_cap"), "domain_capped")
+        .when(~F.col("pass_mix"), "mix_unsampled")
+        .otherwise("kept"),
+    )
+
+
+def _tp3_oracle() -> str:
+    """Staged composition of the existing stage oracles (the tp2/td15
+    pattern): every CTE is MATERIALIZED (DuckDB CTE inlining otherwise
+    re-derives multi-referenced chains per reference — the round-11
+    g5 70 GB lesson)."""
+    from omfietser_etl_spark.textops.selection import DSIR_Q
+
+    from .textops import (
+        EVAL_SOURCE,
+        TP2_ENT_MAX_BITS,
+        TP2_ENT_MIN_BITS,
+        _ta9_oracle,
+        _ta10_oracle,
+        _td3_oracle,
+        _td18_oracle,
+    )
+
+    scale = 1 << DSIR_Q
+    ntok = _DK_NTOK.format(c="d.text")
+    s = TP3_SHARDS
+    return f"""
+WITH RECURSIVE
+g AS MATERIALIZED (SELECT * FROM ({_ta9_oracle()}) AS _g),
+ent AS MATERIALIZED (SELECT * FROM ({_ta10_oracle()}) AS _e),
+corpus AS MATERIALIZED (
+  SELECT d.doc_id AS doc, d.source, d.lang, {ntok} AS n_tok,
+         (g.ok_word_count AND g.ok_word_len AND g.ok_symbol_ratio
+          AND g.ok_bullet_ellipsis AND g.ok_alpha_words) AS pass_gopher,
+         (ent.ent_q >= {TP2_ENT_MIN_BITS} * ent.n_chars * {scale}
+          AND ent.ent_q <= {TP2_ENT_MAX_BITS} * ent.n_chars * {scale})
+           AS pass_entropy
+  FROM documents d
+  JOIN g ON g.doc = d.doc_id
+  JOIN ent ON ent.doc = d.doc_id
+  WHERE d.source <> '{EVAL_SOURCE}'),
+sdocs AS MATERIALIZED (
+  SELECT doc FROM corpus WHERE pass_gopher AND pass_entropy),
+p0 AS MATERIALIZED (
+  SELECT doc_lo, doc_hi FROM ({_td3_oracle()}) AS _p
+  WHERE doc_lo IN (SELECT doc FROM sdocs)
+    AND doc_hi IN (SELECT doc FROM sdocs)),
+edges AS (SELECT doc_lo AS a, doc_hi AS b FROM p0
+          UNION
+          SELECT doc_hi AS a, doc_lo AS b FROM p0),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+comp AS MATERIALIZED (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+dec0 AS MATERIALIZED (
+  SELECT s.doc, CAST(coalesce(c.component, s.doc) AS BIGINT) AS component
+  FROM sdocs s LEFT JOIN comp c ON c.node = s.doc),
+dec AS MATERIALIZED (
+  SELECT doc, component,
+         doc = min(doc) OVER (PARTITION BY component) AS is_kept
+  FROM dec0),
+ct AS MATERIALIZED (
+  SELECT doc, contam_bp >= {TP3_CONTAM_BP} AS flagged
+  FROM ({_td18_oracle()}) AS _t),
+s3 AS MATERIALIZED (
+  SELECT d.doc, c.source, c.lang, c.n_tok
+  FROM dec d
+  JOIN corpus c ON c.doc = d.doc
+  LEFT JOIN ct ON ct.doc = d.doc
+  WHERE d.is_kept AND NOT coalesce(ct.flagged, FALSE)),
+capc AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM s3 GROUP BY source),
+capt AS MATERIALIZED (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+  FROM capc),
+capa AS MATERIALIZED (
+  SELECT source,
+         least(n_docs, (n * {TS20_CAP_X_FAIR_BP}) // (10000 * d)) AS alloc
+  FROM capc, capt),
+capr AS MATERIALIZED (
+  SELECT doc, source, lang, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_dk_bucket('tp3cap', 'doc')}, doc) AS rk
+  FROM s3),
+s4 AS MATERIALIZED (
+  SELECT capr.doc, capr.source, capr.lang, capr.n_tok
+  FROM capr JOIN capa ON capr.source = capa.source
+  WHERE capr.rk <= capa.alloc),
+uc AS MATERIALIZED (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM s4 GROUP BY lang),
+ur AS MATERIALIZED (
+  SELECT lang, n_docs,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS n,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST(coalesce(sum(n_docs) OVER (ORDER BY n_docs, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pfx,
+         CAST(row_number() OVER (ORDER BY n_docs, lang) - 1 AS BIGINT) AS i
+  FROM uc),
+uf AS MATERIALIZED (
+  SELECT *, (n * {TS10_BUDGET_BP}) // 10000 AS b,
+         (pfx + n_docs * (k - i) <= (n * {TS10_BUDGET_BP}) // 10000)
+           AS is_capped
+  FROM ur),
+ul AS MATERIALIZED (
+  SELECT *,
+         CAST(sum(CASE WHEN is_capped THEN n_docs ELSE 0 END) OVER ()
+              AS BIGINT) AS taken,
+         CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+           AS m
+  FROM uf),
+ua AS MATERIALIZED (
+  SELECT lang,
+         CASE WHEN is_capped THEN n_docs
+              ELSE least(n_docs,
+                         CASE WHEN m < k THEN (b - taken) // (k - m)
+                              ELSE 0 END)
+         END AS alloc
+  FROM ul),
+mixr AS MATERIALIZED (
+  SELECT doc, lang, n_tok,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_dk_bucket('tp3mix', 'doc')}, doc) AS rk
+  FROM s4),
+s5 AS MATERIALIZED (
+  SELECT mixr.doc, mixr.lang, mixr.n_tok
+  FROM mixr JOIN ua ON mixr.lang = ua.lang
+  WHERE mixr.rk <= ua.alloc),
+spl AS MATERIALIZED (
+  SELECT doc, n_tok, group_key,
+         CASE WHEN {_dk_bucket('split', 'group_key')} < 9000 THEN 'train'
+              WHEN {_dk_bucket('split', 'group_key')} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT s5.doc, s5.n_tok,
+               CAST(d.component AS VARCHAR) AS group_key
+        FROM s5 JOIN dec d ON d.doc = s5.doc) AS _k),
+tr AS MATERIALIZED (
+  SELECT doc, n_tok,
+         CAST(row_number() OVER (ORDER BY n_tok DESC, doc) AS BIGINT) AS rank
+  FROM spl WHERE split = 'train'),
+shr AS MATERIALIZED (
+  SELECT doc,
+         CAST(CASE WHEN ((rank - 1) // {s}) % 2 = 0
+                   THEN (rank - 1) % {s}
+                   ELSE {s - 1} - ((rank - 1) % {s}) END AS BIGINT) AS shard
+  FROM tr)
+SELECT c.doc, c.source, c.lang, CAST(c.n_tok AS BIGINT) AS n_tok,
+       c.pass_gopher, c.pass_entropy,
+       CAST(coalesce(d.component, c.doc) AS BIGINT) AS component,
+       coalesce(d.is_kept, FALSE) AS is_dedup_kept,
+       (coalesce(d.is_kept, FALSE) AND coalesce(ct.flagged, FALSE))
+         AS is_contaminated,
+       (s4.doc IS NOT NULL) AS pass_domain_cap,
+       (s5.doc IS NOT NULL) AS pass_mix,
+       coalesce(spl.split, 'none') AS split,
+       CAST(coalesce(shr.shard, -1) AS BIGINT) AS shard,
+       CASE WHEN NOT (c.pass_gopher AND c.pass_entropy) THEN 'screened'
+            WHEN NOT coalesce(d.is_kept, FALSE) THEN 'duplicate'
+            WHEN coalesce(ct.flagged, FALSE) THEN 'contaminated'
+            WHEN s4.doc IS NULL THEN 'domain_capped'
+            WHEN s5.doc IS NULL THEN 'mix_unsampled'
+            ELSE 'kept' END AS disposition
+FROM corpus c
+LEFT JOIN dec d USING (doc)
+LEFT JOIN ct ON ct.doc = c.doc
+LEFT JOIN s4 ON s4.doc = c.doc
+LEFT JOIN s5 ON s5.doc = c.doc
+LEFT JOIN spl ON spl.doc = c.doc
+LEFT JOIN shr ON shr.doc = c.doc
+"""
+
+
+# ---------------------------------------------------------------- #
 # ts6 — tokenization to ids through the induced vocabulary
 # ---------------------------------------------------------------- #
 
@@ -945,6 +1378,10 @@ SPECS = [
               "deterministic global shuffle (shard + position)"),
     QuerySpec("tp1_prepare_corpus", tp1_prepare_corpus, TP1_ORACLE,
               "composed corpus-preparation pipeline"),
+    QuerySpec("tp3_full_corpus_prep", tp3_full_corpus_prep, _tp3_oracle(),
+              "capstone per-document disposition: screens -> fuzzy dedup -> "
+              "Bloom decontam -> domain cap -> UNIMAX mix -> leakage-free "
+              "split -> token-balanced shards"),
     QuerySpec("ts6_tokenize", ts6_tokenize, _ts6_oracle(),
               "tokenization to ids via induced vocabulary"),
     QuerySpec("ts7_weighted_sample", ts7_weighted_sample, _ts7_oracle(),

@@ -594,6 +594,9 @@ _GROUP_FRAME_FUNNEL_OK = {
     "ts10_unimax_budget",
     "ts11_unimax_realized",
     "ts12_token_unimax_realized",
+    # capstone: embeds ts11's UNIMAX water-filling over the per-LANG
+    # count frame of the cap survivors (k = #languages rows)
+    "tp3_full_corpus_prep",
 }
 
 

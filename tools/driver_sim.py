@@ -210,6 +210,7 @@ def main() -> int:
 
             timer = threading.Timer(timeout_s, _kill)
             timer.start()
+        raised = False
         try:
             if name in oracles and not rows_only:
                 r = compare(name, build(spark, sf), oracles[name], con)
@@ -218,6 +219,7 @@ def main() -> int:
                 n = build(spark, sf).count()
                 ok, detail = n >= 0, "rows-only"
         except Exception as ex:  # noqa: BLE001 — gate must report, not die
+            raised = True
             ok, detail, n = False, str(ex)[:200], -1
         finally:
             if timer is not None:
@@ -242,12 +244,15 @@ def main() -> int:
                 spark.sparkContext._jvm.System.gc()
             except Exception:  # noqa: BLE001 — diagnostics only
                 pass
-        # Honor the watchdog only when the query actually raised: the
+        # Honor the watchdog only when the query actually RAISED: the
         # timer can fire in the race window between query completion
         # and timer.cancel(), and recording a completed query (pass OR
         # genuine fail) as TIMEOUT would silently downgrade a real
-        # failure to a skip (round-10 ADVICE).
-        if timed_out and not ok:
+        # result to a skip. `raised` (not `ok`) is the discriminator —
+        # compare() can return ok=False WITHOUT raising (a genuine
+        # value mismatch that completed just as the timer fired), and
+        # that must stay a FAIL (round-11 ADVICE).
+        if timed_out and raised:
             print(f"{name}: TIMEOUT after {timeout_s:.0f}s (oracle "
                   "skipped at this scale)", flush=True)
             timeouts.append(name)
