@@ -2983,6 +2983,126 @@ FROM alldocs
 
 
 # ---------------------------------------------------------------- #
+# td29 — SOFT dedup: down-weight near-duplicates instead of
+#        dropping them (the alternative when repeats carry signal)
+# ---------------------------------------------------------------- #
+
+
+def td29_soft_dedup_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft dedup over td15's near-dup components: every document
+    keeps a sampling weight of 1/comp_size in exact basis points, so
+    a component's total mass ≈ one document regardless of its
+    multiplicity — the down-weighting alternative to hard keep/drop
+    used when duplicated data still carries signal (repeated-data
+    scaling, Muennighoff et al. 2023). Identical scale shape to td15
+    (one docs→labels join, one window on component); the weight and
+    the component's exact residual mass are pure expressions over the
+    same window, so soft dedup costs nothing beyond the hard one."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    pairs = dd.minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text")
+    comp = dd.connected_components(pairs)
+    full = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    sized = full.select(
+        "doc",
+        "component",
+        F.count("*").over(w).alias("comp_size"),
+        (F.col("doc") == F.min("doc").over(w)).alias("is_canonical"),
+    )
+    return sized.select(
+        "doc",
+        "component",
+        "comp_size",
+        "is_canonical",
+        F.expr("10000 div comp_size").cast("long").alias("weight_bp"),
+        # exact undershoot of the integer division, per component:
+        # 10000 - comp_size * weight_bp (0 when comp_size divides)
+        F.expr("10000 - comp_size * (10000 div comp_size)")
+        .cast("long")
+        .alias("residual_bp"),
+    )
+
+
+def _td29_oracle() -> str:
+    return f"""
+WITH base AS ({_td15_oracle()})
+SELECT doc, component, comp_size,
+       is_kept AS is_canonical,
+       CAST(10000 // comp_size AS BIGINT) AS weight_bp,
+       CAST(10000 - comp_size * (10000 // comp_size) AS BIGINT)
+         AS residual_bp
+FROM base
+"""
+
+
+# ---------------------------------------------------------------- #
+# td30 — paragraph-level cross-document dedup (td11's C4 line rule
+#        at Dolma's paragraph granularity)
+# ---------------------------------------------------------------- #
+
+TD30_MAX_OCC = 2
+
+
+def td30_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document PARAGRAPH dedup: the C4 line rule (td11) at
+    paragraph granularity — any paragraph appearing in more than
+    TD30_MAX_OCC distinct documents is boilerplate and is removed
+    from every document; survivors reassemble in original order
+    (Dolma's paragraph-level dedup). Reuses td11's line machinery
+    with a blank-line separator — same one-hash-agg + one-join +
+    one-doc-agg scale shape. The fixture wraps every document in a
+    corpus-wide intro paragraph and a promo paragraph shared by each
+    doc_id%3 class, so the operator must drop exactly those and keep
+    each unique body."""
+    from omfietser_etl_spark.textops.decontam import line_dedup
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared intro paragraph about this corpus.\n\n"),
+            F.col("text"),
+            F.lit("\n\npromo paragraph variant "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("t"),
+    )
+    return line_dedup(wrapped, "doc_id", "t", TD30_MAX_OCC, sep="\n\n")
+
+
+TD30_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS doc,
+         'Shared intro paragraph about this corpus.' || chr(10) || chr(10)
+         || text || chr(10) || chr(10)
+         || 'promo paragraph variant ' || CAST(doc_id % 3 AS VARCHAR) AS t
+  FROM documents),
+sp AS (SELECT doc, string_split(t, chr(10) || chr(10)) AS ls FROM d),
+l AS (SELECT doc, unnest(list_transform(range(0, len(ls)),
+          i -> struct_pack(pos := i, line := ls[i + 1]))) AS s FROM sp),
+l2 AS (SELECT doc, s.pos AS pos, s.line AS line FROM l),
+c AS (SELECT line, count(DISTINCT doc) AS n_occ FROM l2 GROUP BY line),
+t2 AS (SELECT doc, pos, l2.line, (n_occ <= {TD30_MAX_OCC}) AS keep
+       FROM l2 JOIN c USING (line))
+SELECT doc,
+  coalesce(array_to_string(
+      list_transform(
+          list_sort(list(struct_pack(pos := pos, line := line))
+                    FILTER (WHERE keep)),
+          s -> s.line),
+      chr(10) || chr(10)), '') AS clean_text,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM t2 GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------- #
 # tc1/tc2 — chunking + PII scrub (training-data prep)
 # ---------------------------------------------------------------- #
 
@@ -3168,6 +3288,13 @@ SPECS = [
               "large-star/small-star CC == min-label CC (same oracle)"),
     QuerySpec("td15_fuzzy_dedup_e2e", td15_fuzzy_dedup_e2e, _td15_oracle(),
               "fuzzy dedup end-to-end (LSH → components → keep/drop)"),
+    QuerySpec("td29_soft_dedup_weights", td29_soft_dedup_weights,
+              _td29_oracle(),
+              "soft dedup: exact 1/comp_size down-weighting over the "
+              "near-dup components (drop-free alternative)"),
+    QuerySpec("td30_paragraph_dedup", td30_paragraph_dedup, TD30_ORACLE,
+              "paragraph-level cross-document dedup (C4 line rule at "
+              "Dolma paragraph granularity)"),
     QuerySpec("tc1_doc_chunking", tc1_doc_chunking, TC1_ORACLE,
               "token-window chunking with overlap"),
     QuerySpec("tc2_pii_scrub", tc2_pii_scrub, TC2_ORACLE, "PII scrubbing + counts"),

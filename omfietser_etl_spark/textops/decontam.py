@@ -161,6 +161,7 @@ def line_dedup(
     id_col: str,
     text_col: str,
     max_occurrences: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line-level dedup (the C4 rule: drop any line that
     appears in more than ``max_occurrences`` DISTINCT documents —
@@ -168,6 +169,11 @@ def line_dedup(
     inside a single document is NOT boilerplate under this rule and
     survives. Documents keep their remaining lines re-joined in
     original order.
+
+    ``sep`` picks the dedup granularity: the default newline is the
+    C4 line rule; a blank-line separator ("\\n\\n") gives Dolma-style
+    PARAGRAPH dedup with the identical one-agg/one-join scale shape
+    (td30). The separator is treated literally on both engines.
 
     Scale shape: ONE line-keyed hash agg builds the global occurrence
     counts (map-side partial agg collapses repeats early), then one
@@ -179,9 +185,11 @@ def line_dedup(
 
     Returns (doc, clean_text, n_kept, n_dropped).
     """
+    # F.split takes a regex; both supported separators ("\n", "\n\n")
+    # are regex-literal, so no quoting is needed.
     lines = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
     counts = lines.groupBy("line").agg(F.countDistinct("doc").alias("n_occ"))
     tagged = lines.join(counts, "line").withColumn(
@@ -195,7 +203,7 @@ def line_dedup(
                     "transform(array_sort(collect_list("
                     "CASE WHEN keep THEN struct(pos, line) END)), s -> s.line)"
                 ),
-                "\n",
+                sep,
             ).alias("clean_text"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
             F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),

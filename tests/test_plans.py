@@ -690,6 +690,7 @@ SCAN_BUDGETS = {
     "ta15_ngram_novelty": {"documents": 2},  # [side-input] shingle df-agg side + join-back side of one shingle frame
     "ta8_bigram_fluency": {"documents": 4},  # [side-input] corpus bigram/unigram model sides + scoring pass
     "td11_line_dedup": {"documents": 2},  # [multi-pass] line-frequency pass + reassembly pass
+    "td30_paragraph_dedup": {"documents": 2},  # [multi-pass] paragraph-frequency pass + reassembly pass (td11's shape at \n\n granularity)
     "td13_semantic_dedup": {"embeddings": 3},  # [side-input] codebook + within-cluster pair sides
     "td14_substring_dedup": {"documents": 4},  # [multi-pass] streaming k-gram passes + island stitch (zero corpus shuffle cached)
     "td16_rh_lsh_pairs": {"embeddings": 3},  # [side-input] signature pass + two exact-verify join sides
