@@ -57,11 +57,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: END-battery only, as before: every run reaches it through the
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
-#: Refs: per-axis MEDIAN of the END batteries of FIVE back-to-back
-#: IDLE-HOST full-catalog runs at the 182-query catalog (2026-08-16,
-#: round 11, after ts20 landed; totals 257.0/244.2/225.8/229.3/
-#: 234.0 s — the host era RECOVERED mid-round from the ~20% slow
-#: phase the round-10 refs were pinned in, see SCALING.md round 11).
+#: Refs: INTERIM round-12 pin at the 185-query catalog (td29/td30/
+#: tp3 landed mid-build, invalidating the r11 182-query pin): the END
+#: battery of the round-12 baseline window (BENCH_HISTORY ts
+#: 1786974732, total 246.2 s, per-axis ratios vs the r11 refs
+#: 0.96-1.47). A single-window pin, NOT the preferred five-window
+#: median — to be refined from the round-close idle windows (the r11
+#: protocol: per-axis MEDIAN of the END batteries of >=3 back-to-back
+#: idle full-catalog runs).
 #: Pre-touch protocol as round 10 (_pretouch_sentinel_inputs before
 #: every battery): io measured 1.17–1.41 s (1.21x) across these
 #: five — never compare a battery measured WITHOUT the pre-touch
@@ -74,11 +77,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: the /tmp old-tree probe (SCALING.md round 11), not argued from
 #: sentinel ratios alone.
 SENTINEL_REFS = {
-    "io_scan": 1.273,
-    "shuffle_agg": 2.069,
-    "cpu_codegen": 1.912,
-    "sort_window": 3.186,
-    "arrow_python": 4.923,
+    "io_scan": 1.38,
+    "shuffle_agg": 1.975,
+    "cpu_codegen": 2.37,
+    "sort_window": 4.687,
+    "arrow_python": 5.136,
 }
 SENTINEL_REPS = 5
 #: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
@@ -92,7 +95,7 @@ SENTINEL_REPS = 5
 #: (tests/test_tools.py::test_bench_refs_pinned_to_current_catalog
 #: enforces the pairing). Until re-pinned, bench.py self-reports
 #: refs_stale=true and comparable=false in the artifact.
-SENTINEL_REF_CATALOG = "959322b0ab1b3658"  # 182 queries, pinned 2026-08-16 (r11)
+SENTINEL_REF_CATALOG = "ed987735c8a0c818"  # 185 queries, pinned 2026-08-17 (r12)
 #: host_spread above this means the window was unevenly loaded and
 #: cross-round normalized deltas must not be read (the r06 1.47-spread
 #: window is the motivating example). DELIBERATELY CONSERVATIVE: the
@@ -410,9 +413,9 @@ def main() -> None:
     # truncated mid-JSON). Print a summary line: totals, calibration,
     # family rollups, and the 20 slowest queries; full detail lives in
     # BENCH_HISTORY.jsonl.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    slowest = dict(sorted(line["queries"].items(), key=lambda kv: -kv[1])[:20])
     compact = {k: v for k, v in line.items() if k != "queries"}
-    compact["n_queries"] = len(timings)
+    compact["n_queries"] = len(line["queries"])
     compact["slowest"] = slowest
     compact["detail"] = "BENCH_HISTORY.jsonl"
     print(json.dumps(compact))

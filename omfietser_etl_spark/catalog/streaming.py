@@ -785,10 +785,13 @@ def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: one user-keyed agg over the facts, then three
     distributed ranks over the user frame (two thin shuffles each,
-    distinct cache scopes so the three repartitioned frames coexist),
-    the user count riding a broadcast one-row frame."""
+    distinct cache scopes so the three repartitioned frames coexist).
+    Round 12 (guide §2.4): the user count now rides each rank's OWN
+    offset prefix-sum (distributed_rank_n) as a literal instead of a
+    broadcast one-row frame — drops three crossJoin broadcast
+    subtrees that each re-aggregated the user frame."""
     from omfietser_etl_spark.functions import exact
-    from omfietser_etl_spark.operators.rank import distributed_rank
+    from omfietser_etl_spark.operators.rank import distributed_rank_n
 
     ev = load(spark, sf, "events")
     # deliberately NOT persisted: the user frame feeds all three rank
@@ -802,21 +805,22 @@ def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("freq"),
         exact.sum_cents("value").cast("long").alias("cents"),
     )
-    n_users = users.agg(F.count(F.lit(1)).alias("_n"))
     out = users
     for metric, qcol, scope in (
         ("last_us", "r_q", "ev7.r"),
         ("freq", "f_q", "ev7.f"),
         ("cents", "m_q", "ev7.m"),
     ):
-        ranked = distributed_rank(
+        ranked, n_users = distributed_rank_n(
             out.select("user_id", metric),
             [F.col(metric), F.col("user_id")],
             rank_col="_rk",
             scope=scope,
-        ).crossJoin(F.broadcast(n_users)).select(
+        )
+        ranked = ranked.select(
             "user_id",
-            F.expr("CAST(((_rk - 1) * 5) div _n + 1 AS BIGINT)").alias(qcol),
+            F.expr(f"CAST(((_rk - 1) * 5) div {n_users} + 1 AS BIGINT)")
+            .alias(qcol),
         )
         out = out.join(ranked, "user_id")
     return out.select(

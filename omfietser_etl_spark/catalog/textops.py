@@ -1660,25 +1660,32 @@ def tv7_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     retrieval.py::ndcg_eval): graded relevance = #distinct tv4 query
     terms present in the doc (0–4, derivable by both engines), then
     exact fixed-point DCG/IDCG — the evaluation primitive a retrieval
-    pipeline runs before swapping rankers."""
+    pipeline runs before swapping rankers.
+
+    Round 12 (guide §1.2/§2.3): both retrievers score from ONE shared
+    _staged_terms substrate (persisted query-term tf frame + one
+    bounded stats collect) instead of each tokenizing the corpus for
+    stats, sentinel and tf subtrees (six corpus tokenize passes → one
+    + the sentinel), and the relevance frame is DERIVED from that tf
+    frame: rel = #distinct query terms present = tf rows per doc.
+    Equivalence: docs absent from tf have rel 0, contribute zero gain
+    to IDCG's top-k (rel·G div il = 0) and never appear in a ranked
+    list, so dropping them changes no output value."""
     from omfietser_etl_spark.textops.retrieval import (
+        _staged_terms,
         bm25_topk,
         ndcg_eval,
         query_likelihood_topk,
     )
 
     docs = load(spark, sf, "documents")
-    q_arr = ", ".join(f"'{t}'" for t in TV4_QUERY)
-    rel = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.size(
-            F.array_intersect(
-                F.array_distinct(tokens("text")), F.expr(f"array({q_arr})")
-            )
-        ).cast("long").alias("rel"),
+    staged = _staged_terms(docs, "doc_id", "text", TV4_QUERY, "retrieval.tv7")
+    tf = staged[0]
+    rel = tf.groupBy("doc").agg(F.count("*").cast("long").alias("rel"))
+    lex = bm25_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K, _staged=staged)
+    ql = query_likelihood_topk(
+        docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K, _staged=staged
     )
-    lex = bm25_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
-    ql = query_likelihood_topk(docs, "doc_id", "text", TV4_QUERY, TV4_TOP_K)
     return ndcg_eval({"bm25": lex, "ql": ql}, rel, TV4_TOP_K)
 
 
@@ -2849,28 +2856,53 @@ def tp2_screen_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the flags frame persists at the fan-out (it feeds
     the dedup input AND the final join — the tp1 materialize
-    discipline); dedup shuffles only survivor rows."""
+    discipline); dedup shuffles only survivor rows. Round 12: the
+    screens are INLINED as per-row columns (gopher_stat/flag_cols +
+    char_entropy_expr) instead of joining gopher_rules /
+    char_entropy_stats back on doc — the flags frame is now one
+    map-side projection chain over the scan with ZERO exchanges
+    (guide §2.4; before: two self-joins of the documents scan, plus
+    entropy's own two explode-shuffles). The empty-normalized-text
+    filter replicates the old inner join against char_entropy_stats,
+    which dropped those docs (no character rows → no group)."""
     from omfietser_etl_spark import cacheutil
     from omfietser_etl_spark.textops.analysis import (
-        char_entropy_stats,
-        gopher_rules,
+        char_entropy_expr,
+        gopher_flag_cols,
+        gopher_stat_cols,
+        norm_text,
     )
     from omfietser_etl_spark.textops.selection import DSIR_Q
 
     scale = 1 << DSIR_Q
     docs = load(spark, sf, "documents")
-    base = docs.select(F.col("doc_id").alias("doc"), "source", "text")
-    g = gopher_rules(docs).select("doc", F.col("pass_all").alias("pass_gopher"))
-    ent = char_entropy_stats(docs).select(
-        "doc",
+    staged = docs.select(
+        F.col("doc_id").alias("doc"), "source", "text",
+        norm_text("text").alias("_s"),
+    ).filter(F.length("_s") > 0)
+    stats = staged.select(
+        "doc", "source", "text",
+        *gopher_stat_cols("text"),
+        F.length("_s").cast("long").alias("_n_chars"),
+        F.expr(char_entropy_expr("_s")).cast("long").alias("_ent_q"),
+    )
+    flagged = stats.select(
+        "doc", "source", "text",
+        F.struct(*gopher_flag_cols()).alias("_g"),
         (
-            (F.col("ent_q") >= TP2_ENT_MIN_BITS * F.col("n_chars") * scale)
-            & (F.col("ent_q") <= TP2_ENT_MAX_BITS * F.col("n_chars") * scale)
+            (F.col("_ent_q") >= TP2_ENT_MIN_BITS * F.col("_n_chars") * scale)
+            & (F.col("_ent_q") <= TP2_ENT_MAX_BITS * F.col("_n_chars") * scale)
         ).alias("pass_entropy"),
+    ).select(
+        "doc", "source", "text",
+        (
+            F.col("_g.ok_word_count") & F.col("_g.ok_word_len")
+            & F.col("_g.ok_symbol_ratio") & F.col("_g.ok_bullet_ellipsis")
+            & F.col("_g.ok_alpha_words") & F.col("_g.ok_stopwords")
+        ).alias("pass_gopher"),
+        "pass_entropy",
     )
-    flags = cacheutil.release_then_register(
-        "tp2", base.join(g, "doc").join(ent, "doc").persist()
-    )
+    flags = cacheutil.release_then_register("tp2", flagged.persist())
     surv = flags.filter("pass_gopher AND pass_entropy").select("doc", "text")
     pairs = dd.minhash_lsh_pairs(surv, "doc", "text")
     comp = dd.connected_components(pairs)

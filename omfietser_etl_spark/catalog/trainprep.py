@@ -701,8 +701,10 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     from omfietser_etl_spark.cacheutil import persist_replannable
     from omfietser_etl_spark.textops import dedup as dd
     from omfietser_etl_spark.textops.analysis import (
-        char_entropy_stats,
-        gopher_rules,
+        char_entropy_expr,
+        gopher_flag_cols,
+        gopher_stat_cols,
+        norm_text,
         ws_token_count,
     )
     from omfietser_etl_spark.textops.selection import DSIR_Q
@@ -718,35 +720,46 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     corpus = docs.filter(F.col("source") != EVAL_SOURCE)
 
-    # 1. screens (ta9 + ta10), joined map-side onto the slim corpus
-    #    projection; persisted — feeds the dedup input AND the final
-    #    per-doc assembly (the tp2 fan-out discipline).
-    base = corpus.select(
+    # 1. screens (ta9 + ta10), INLINED as per-row columns on the slim
+    #    corpus projection (round 12, guide §2.4 — was two self-joins
+    #    of the scan plus entropy's two explode-shuffles; now one
+    #    map-side projection chain with zero exchanges). Persisted —
+    #    feeds the dedup input AND the final per-doc assembly (the
+    #    tp2 fan-out discipline). The empty-normalized-text filter
+    #    replicates the old inner join against char_entropy_stats.
+    #    Multilingual Gopher battery: all rules EXCEPT the
+    #    (deliberately English-centric) stopword rule — the standard
+    #    adaptation for a mixed-language corpus (the rule would
+    #    reject every non-English doc; ta9 still gates the full
+    #    battery separately).
+    staged = corpus.select(
         F.col("doc_id").alias("doc"), "source", "lang", "text",
         ws_token_count("text").alias("n_tok"),
+        norm_text("text").alias("_s"),
+    ).filter(F.length("_s") > 0)
+    stats = staged.select(
+        "doc", "source", "lang", "text", "n_tok",
+        *gopher_stat_cols("text"),
+        F.length("_s").cast("long").alias("_n_chars"),
+        F.expr(char_entropy_expr("_s")).cast("long").alias("_ent_q"),
     )
-    # Multilingual Gopher battery: all rules EXCEPT the (deliberately
-    # English-centric) stopword rule — the standard adaptation for a
-    # mixed-language corpus (the rule would reject every non-English
-    # doc; ta9 still gates the full battery separately).
-    g = gopher_rules(corpus).select(
-        "doc",
+    flagged = stats.select(
+        "doc", "source", "lang", "text", "n_tok",
+        F.struct(*gopher_flag_cols()).alias("_g"),
         (
-            F.col("ok_word_count")
-            & F.col("ok_word_len")
-            & F.col("ok_symbol_ratio")
-            & F.col("ok_bullet_ellipsis")
-            & F.col("ok_alpha_words")
-        ).alias("pass_gopher"),
-    )
-    ent = char_entropy_stats(corpus).select(
-        "doc",
-        (
-            (F.col("ent_q") >= TP2_ENT_MIN_BITS * F.col("n_chars") * scale)
-            & (F.col("ent_q") <= TP2_ENT_MAX_BITS * F.col("n_chars") * scale)
+            (F.col("_ent_q") >= TP2_ENT_MIN_BITS * F.col("_n_chars") * scale)
+            & (F.col("_ent_q") <= TP2_ENT_MAX_BITS * F.col("_n_chars") * scale)
         ).alias("pass_entropy"),
+    ).select(
+        "doc", "source", "lang", "text", "n_tok",
+        (
+            F.col("_g.ok_word_count") & F.col("_g.ok_word_len")
+            & F.col("_g.ok_symbol_ratio") & F.col("_g.ok_bullet_ellipsis")
+            & F.col("_g.ok_alpha_words")
+        ).alias("pass_gopher"),
+        "pass_entropy",
     )
-    flags = _tp3_ckpt("catalog.tp3.flags", base.join(g, "doc").join(ent, "doc"))
+    flags = _tp3_ckpt("catalog.tp3.flags", flagged)
     surv1 = flags.filter("pass_gopher AND pass_entropy").select("doc", "text")
 
     # 2. fuzzy dedup over survivors: LSH pairs → components → min-id

@@ -163,16 +163,20 @@ def bigram_fluency(df, id_col: str = "doc_id", text_col: str = "text"):
     score low. All integer arithmetic → bit-replayable by the oracle
     (a float log-prob LM never is).
 
-    Scale shape: one explode to the bigram stream, two term-keyed
-    hash aggs (model estimation — shuffle bounded by vocab², itself
-    corpus-bounded), two equi-joins back onto the stream keyed on the
-    same terms (the c2 join can reuse the c2 shuffle partitioning),
-    then a doc-keyed agg. No floats, no UDFs, no driver collect; at
-    100 TB the bigram model is a table, not a broadcast.
+    Scale shape (round 12, guide §2.3/§2.4): one explode to the
+    bigram stream, ONE (w1, w2) hash agg for the model counts; the
+    unigram-context count is DERIVED from the model table —
+    c1(w1) = Σ_{w2} c2(w1, w2), a window over the vocab²-bounded c2
+    frame — instead of a second full agg over the bigram stream, and
+    the stream is joined back once on (w1, w2) carrying the finished
+    p_bp (before: two corpus-sized aggs + two corpus-sized joins).
+    No floats, no UDFs, no driver collect; at 100 TB the bigram
+    model is a table, not a broadcast.
 
     Returns (doc, n_bigrams, fluency_bp); docs with < 2 tokens score
     (0, 0).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
@@ -185,12 +189,10 @@ def bigram_fluency(df, id_col: str = "doc_id", text_col: str = "text"):
         "doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
-    scored = (
-        bi.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
-        .withColumn("p_bp", F.expr("(10000 * c2) div c1"))
-    )
+    model = c2.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("w1"))
+    ).select("w1", "w2", F.expr("(10000 * c2) div c1").alias("p_bp"))
+    scored = bi.join(model, ["w1", "w2"])
     per_doc = scored.groupBy("doc").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.expr("sum(p_bp) div count(*)").cast("long").alias("fluency_bp"),
@@ -215,35 +217,20 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 
 
-def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
-    """Gopher document-level quality rule battery (Rae et al. 2021)
-    as one map-side codegen pass — per-doc booleans plus the overall
-    keep flag. Complements ta5's repetition signals (the other half
-    of the Gopher filter set).
-
-    Every ratio rule is an exact INTEGER cross-multiplication (e.g.
-    "mean word length in [3,10]" is ``3·W ≤ Σlen ≤ 10·W``), so the
-    DuckDB oracle replays each verdict bit-for-bit — no float
-    thresholds under the gate. Rules:
-
-    1. word count in [50, 100000];
-    2. mean word length in [3, 10] characters;
-    3. symbol-to-word ratio ('#' chars + '...' runs) < 10%;
-    4. ≤90% of lines start with a bullet AND ≤30% end with an
-       ellipsis;
-    5. ≥80% of words contain at least one alphabetic character;
-    6. ≥2 distinct required stopwords present.
-
-    Scale shape: no shuffle at all — pure per-row expressions; at
-    100 TB this is a free rider on whatever scan feeds it.
-    """
+def gopher_stat_cols(text_col: str = "text") -> list[Column]:
+    """The per-row integer counters the Gopher battery is decided
+    from, as named Columns (``n_words``, ``sum_word_len``,
+    ``n_symbols``, ``n_lines``, ``n_bullet``, ``n_ellipsis``,
+    ``n_alpha_words``, ``n_stopwords``) — pure map-side expressions,
+    composable onto any projection that carries ``text_col`` (round
+    12: lets tp2/tp3 inline the screens instead of joining
+    :func:`gopher_rules` back on doc id; guide §2.4)."""
     sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     exprs = {
         "w": f"filter(split({text_col}, '\\\\s+'), x -> x <> '')",
         "lines": f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l <> '')",
     }
-    stats = df.select(
-        F.col(id_col).alias("doc"),
+    return [
         F.expr(f"size({exprs['w']})").cast("long").alias("n_words"),
         F.expr(
             f"aggregate({exprs['w']}, 0L, (a, x) -> a + length(x))"
@@ -268,10 +255,14 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
             f"size(array_intersect(array_distinct(filter(split(lower({text_col}), "
             f"'\\\\s+'), x -> x <> '')), array({sw})))"
         ).cast("long").alias("n_stopwords"),
-    )
-    out = stats.select(
-        "doc",
-        "n_words",
+    ]
+
+
+def gopher_flag_cols() -> list[Column]:
+    """The Gopher verdict booleans (``ok_*``) computed from the
+    :func:`gopher_stat_cols` counter columns — exact integer
+    cross-multiplications, identical to :func:`gopher_rules`'s."""
+    return [
         (
             (F.col("n_words") >= GOPHER_MIN_WORDS)
             & (F.col("n_words") <= GOPHER_MAX_WORDS)
@@ -287,7 +278,33 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
         ).alias("ok_bullet_ellipsis"),
         (5 * F.col("n_alpha_words") >= 4 * F.col("n_words")).alias("ok_alpha_words"),
         (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
-    )
+    ]
+
+
+def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher document-level quality rule battery (Rae et al. 2021)
+    as one map-side codegen pass — per-doc booleans plus the overall
+    keep flag. Complements ta5's repetition signals (the other half
+    of the Gopher filter set).
+
+    Every ratio rule is an exact INTEGER cross-multiplication (e.g.
+    "mean word length in [3,10]" is ``3·W ≤ Σlen ≤ 10·W``), so the
+    DuckDB oracle replays each verdict bit-for-bit — no float
+    thresholds under the gate. Rules:
+
+    1. word count in [50, 100000];
+    2. mean word length in [3, 10] characters;
+    3. symbol-to-word ratio ('#' chars + '...' runs) < 10%;
+    4. ≤90% of lines start with a bullet AND ≤30% end with an
+       ellipsis;
+    5. ≥80% of words contain at least one alphabetic character;
+    6. ≥2 distinct required stopwords present.
+
+    Scale shape: no shuffle at all — pure per-row expressions; at
+    100 TB this is a free rider on whatever scan feeds it.
+    """
+    stats = df.select(F.col(id_col).alias("doc"), *gopher_stat_cols(text_col))
+    out = stats.select("doc", "n_words", *gopher_flag_cols())
     return out.withColumn(
         "pass_all",
         F.col("ok_word_count")
@@ -296,6 +313,49 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text"):
         & F.col("ok_bullet_ellipsis")
         & F.col("ok_alpha_words")
         & F.col("ok_stopwords"),
+    )
+
+
+def char_entropy_expr(s_col: str) -> str:
+    """``ent_q`` for one normalized-text string column, as ONE
+    self-contained per-row SQL expression: ``n·ilog2_q(n) −
+    Σ c·ilog2_q(c)`` over the character histogram of ``s_col``.
+
+    Shape (round 12, guide §2.4): sort the character array, find the
+    run BOUNDARY positions (one comparison per character), then fold
+    the per-run lengths through :func:`.selection.ilog2_q_expr` — the
+    expensive ilog2 runs once per DISTINCT character, not per
+    character, and the whole histogram lives inside the row. This
+    replaces the explode → (doc, ch) count → doc sum pipeline, i.e.
+    two full shuffles of one-row-per-CHARACTER data, with zero
+    shuffles; at 100 TB the old shape shuffled ~8× the corpus bytes
+    twice, the new one is a free rider on the scan.
+
+    ANSI-safety: every ``element_at`` sits under a CASE guard (Spark 4
+    ANSI mode errors on out-of-range indices; OR does not guarantee
+    short-circuit). Contract: the string is non-empty (callers filter
+    empty normalized text first — the explode shape dropped those
+    docs implicitly).
+    """
+    from .selection import ilog2_q_expr  # noqa: PLC0415 — avoid cycle at import
+
+    # run boundary i (1-based): last position, or char != next char
+    bounds = (
+        "filter(sequence(1, size(sa)), i -> CASE WHEN i = size(sa) THEN true "
+        "ELSE element_at(sa, i) <> element_at(sa, i + 1) END)"
+    )
+    run_len = (
+        "CAST(element_at(bs, j) - CASE WHEN j = 1 THEN 0 "
+        "ELSE element_at(bs, j - 1) END AS BIGINT)"
+    )
+    per_run = f"transform(array({run_len}), cc -> cc * ({ilog2_q_expr('cc')}))[0]"
+    return (
+        f"transform(array(array_sort(filter(split({s_col}, ''), c -> c <> ''))), sa -> "
+        f"transform(array({bounds}), bs -> "
+        f"CAST(size(sa) AS BIGINT) * ({ilog2_q_expr('size(sa)')}) "
+        f"- aggregate(sequence(1, size(bs)), CAST(0 AS BIGINT), "
+        f"(acc2, j) -> acc2 + {per_run})"
+        f")[0])[0]"
     )
 
 
@@ -311,31 +371,23 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     log2 as DSIR (textops/selection.py::ilog2_q), so the DuckDB
     oracle replays every value bit-for-bit; no float logs.
 
-    Scale shape: one explode over characters of the NORMALIZED text
-    + one (doc, ch) count + one doc-keyed sum — the per-row ilog2 is
-    the engine-side :func:`.selection.ilog2_q_expr` primitive, so the
-    whole operator is two shuffles with ZERO driver collects or
-    lookup joins (it previously collected the distinct count values
-    and broadcast a driver-computed log table — the workaround the
-    expression primitive retires). At 100 TB the (doc, ch) key space
-    is ≤ alphabet×docs and combines map-side.
+    Scale shape (round 12): fully map-side — the per-row histogram
+    fold of :func:`char_entropy_expr` replaces the old explode →
+    (doc, ch) count → doc-keyed sum (two shuffles of per-CHARACTER
+    rows; guide §2.3/§2.4). Docs whose normalized text is empty are
+    dropped, exactly as the explode shape dropped them (no character
+    rows → no group). ``n_chars`` is the normalized-text length (the
+    histogram counts every character, spaces included).
     """
-    from .selection import ilog2_q_expr  # noqa: PLC0415 — avoid cycle at import
-
-    chars = (
-        df.select(F.col(id_col).alias("doc"), norm_text(text_col).alias("_s"))
-        .select("doc", F.explode(F.expr("filter(split(_s, ''), c -> c <> '')")).alias("ch"))
+    nt = norm_text(text_col)
+    staged = (
+        df.select(F.col(id_col).alias("doc"), nt.alias("_s"))
+        .filter(F.length("_s") > 0)
     )
-    counts = chars.groupBy("doc", "ch").agg(F.count("*").alias("c"))
-    per_doc = counts.groupBy("doc").agg(
-        F.sum("c").cast("long").alias("n_chars"),
-        F.sum(F.col("c") * F.expr(ilog2_q_expr("c"))).cast("long").alias("sum_c_il"),
-    )
-    return per_doc.select(
+    return staged.select(
         "doc",
-        "n_chars",
-        (F.col("n_chars") * F.expr(ilog2_q_expr("n_chars")) - F.col("sum_c_il"))
-        .cast("long").alias("ent_q"),
+        F.length("_s").cast("long").alias("n_chars"),
+        F.expr(char_entropy_expr("_s")).cast("long").alias("ent_q"),
     )
 
 

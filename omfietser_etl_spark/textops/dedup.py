@@ -112,6 +112,12 @@ def jaccard_pairs(
     """
     sh = doc_shingles(df, id_col, text_col, n, hash_shingles=hash_shingles)
     if max_df_frac is not None:
+        # Round 12 (guide §1.2): cache the RAW shingle frame first —
+        # the guard's n_docs and hot-shingle subtrees plus the
+        # filtered-frame cache fill otherwise each re-run the
+        # tokenize+explode (three full passes before the old cache
+        # ever filled).
+        sh = release_then_register("dedup.jaccard_sh0", sh.cache())
         n_docs = sh.select(F.countDistinct("doc").alias("n_docs"))
         cap = F.greatest(
             F.lit(min_df_cap).cast("long"),

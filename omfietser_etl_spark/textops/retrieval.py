@@ -50,36 +50,69 @@ from .selection import ilog2_q
 BM25_S = 1024  # fixed-point scale of the per-term contribution
 
 
+def _staged_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    scope: str,
+):
+    """The shared scoring substrate of :func:`bm25_topk` and
+    :func:`query_likelihood_topk` (round 12, guide §1.2/§2.3): ONE
+    pass that tokenizes the corpus, prunes the token stream to the
+    query terms map-side, and persists the (doc, dl, term, tf) frame;
+    per-term document frequency (= tf rows per term, since dl is a
+    function of doc) and corpus frequency (= Σtf) then ride one
+    bounded collect with the corpus (N, T) sentinel row. Before, each
+    retriever tokenized the corpus once for its stats subtree, once
+    for the (N, T) sentinel subtree and once again for its tf pass;
+    tv7 ran both retrievers = six tokenize passes of the corpus.
+    Returns (tf, n_docs, t_tokens, df_by_term, cf_by_term)."""
+    from ..cacheutil import persist_replannable
+
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    base = toks.select("doc", F.size("t").cast("long").alias("dl"), "t")
+    hits = base.select(
+        "doc", "dl", F.explode("t").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = persist_replannable(
+        scope, hits.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("dfd"), F.sum("tf").alias("cf")
+    )
+    sentinel = base.agg(
+        F.count("*").alias("dfd"), F.sum("dl").alias("cf")
+    ).select(F.lit(None).cast("string").alias("term"), "dfd", "cf")
+    rows = stats.unionByName(sentinel).collect()
+    n_docs = t_tokens = 0
+    df_by_term: dict[str, int] = {}
+    cf_by_term: dict[str, int] = {}
+    for r in rows:
+        if r.term is None:
+            n_docs, t_tokens = int(r.dfd or 0), int(r.cf or 0)
+        else:
+            df_by_term[r.term] = int(r.dfd)
+            cf_by_term[r.term] = int(r.cf)
+    return tf, n_docs, t_tokens, df_by_term, cf_by_term
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
     text_col: str,
     query_terms: list[str],
     top_k: int = 20,
+    _staged=None,
 ) -> DataFrame:
     """(doc, score_q, rank): the ``top_k`` documents by exact
     fixed-point BM25 against ``query_terms`` (docs matching no query
-    term never rank). Deterministic tie-break by doc id."""
-    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
-    base = toks.select("doc", F.size("t").cast("long").alias("dl"), "t")
-    hits = base.select(
-        "doc", "dl", F.explode("t").alias("term")
-    ).filter(F.col("term").isin(list(query_terms)))
-
-    # one bounded collect: per-term doc frequency + corpus (N, T) as a
-    # sentinel row (the ts15 λ-fit pattern — no separate count job)
-    dfs = hits.groupBy("term").agg(F.countDistinct("doc").alias("dfd"))
-    sentinel = base.agg(
-        F.count("*").alias("dfd"), F.sum("dl").alias("tt")
-    ).select(F.lit(None).cast("string").alias("term"), "dfd", "tt")
-    rows = dfs.withColumn("tt", F.lit(0).cast("long")).unionByName(sentinel).collect()
-    n_docs = t_tokens = 0
-    df_by_term: dict[str, int] = {}
-    for r in rows:
-        if r.term is None:
-            n_docs, t_tokens = int(r.dfd), int(r.tt)
-        else:
-            df_by_term[r.term] = int(r.dfd)
+    term never rank). Deterministic tie-break by doc id.
+    ``_staged`` lets a caller that runs several retrievers over the
+    same corpus (tv7) share one :func:`_staged_terms` substrate."""
+    tf, n_docs, t_tokens, df_by_term, _cf = _staged or _staged_terms(
+        df, id_col, text_col, query_terms, "retrieval.bm25"
+    )
     if n_docs == 0 or t_tokens == 0 or not df_by_term:
         spark = df.sparkSession
         return spark.createDataFrame([], "doc long, score_q long, rank long")
@@ -90,7 +123,6 @@ def bm25_topk(
         df.sparkSession.createDataFrame(idf, "term string, idf_q long")
     )
 
-    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
     scored = (
         tf.join(idf_df, "term")
         .withColumn("r", F.expr(f"(1000 * dl * {n_docs}) div {t_tokens}"))
@@ -181,6 +213,7 @@ def query_likelihood_topk(
     query_terms: list[str],
     top_k: int = 20,
     mu: int = QL_MU,
+    _staged=None,
 ) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
     2001, "A Study of Smoothing Methods for Language Models Applied
@@ -204,7 +237,8 @@ def query_likelihood_topk(
 
     Scale shape (the bm25_topk discipline):
     - the token stream is pruned to query terms map-side BEFORE any
-      shuffle; one (doc, term) agg for tf;
+      shuffle; one (doc, term) agg for tf (shared with bm25 via
+      :func:`_staged_terms` when the caller passes ``_staged``);
     - cf + corpus (N, T) ride ONE bounded collect (|Q|+1 rows,
       sentinel row — no separate count job); the |Q| background logs
       il(μ·cf_t) are computed driver-side and broadcast;
@@ -216,24 +250,9 @@ def query_likelihood_topk(
     from .selection import ilog2_q, ilog2_q_expr
 
     spark = df.sparkSession
-    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
-    base = toks.select("doc", F.size("t").cast("long").alias("dl"), "t")
-    hits = base.select(
-        "doc", "dl", F.explode("t").alias("term")
-    ).filter(F.col("term").isin(list(query_terms)))
-
-    cfs = hits.groupBy("term").agg(F.count("*").alias("cf"))
-    sentinel = base.agg(
-        F.count("*").alias("cf"), F.sum("dl").alias("tt")
-    ).select(F.lit(None).cast("string").alias("term"), "cf", "tt")
-    rows = cfs.withColumn("tt", F.lit(0).cast("long")).unionByName(sentinel).collect()
-    t_tokens = 0
-    cf_by_term: dict[str, int] = {}
-    for r in rows:
-        if r.term is None:
-            t_tokens = int(r.tt or 0)
-        else:
-            cf_by_term[r.term] = int(r.cf)
+    tf, _n_docs, t_tokens, _dfd, cf_by_term = _staged or _staged_terms(
+        df, id_col, text_col, query_terms, "retrieval.ql"
+    )
     if t_tokens == 0 or not cf_by_term:
         return spark.createDataFrame([], "doc long, score_q long, rank long")
 
@@ -246,7 +265,6 @@ def query_likelihood_topk(
         )
     )
 
-    tf = hits.groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
     corr = (
         tf.join(cf_df, "term")
         .withColumn("il_num", F.expr(ilog2_q_expr(f"tf * {t_tokens} + {mu} * cf")))

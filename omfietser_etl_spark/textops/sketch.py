@@ -306,12 +306,26 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """Self-certifying per-group distinct estimate: (group, exact
     n_distinct, hll_est, err_bp, within_3sigma) — the a13 contract
     with a fully portable sketch. 3σ for m=256 is 3·1.04/√256 ≈
-    19.5% → 1950 bp."""
-    est = hll_estimate(hll_rows(df, group_col, key_col))
-    exact = (
-        df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.countDistinct(key_col).cast("long").alias("n_exact"))
+    19.5% → 1950 bp.
+
+    Round 12 (guide §1.2/§2.3): the exact count and the sketch both
+    derive from ONE persisted distinct-(g, k) frame — before, the
+    input was scanned twice (countDistinct expansion + the sketch's
+    row pass). Equivalence: rho/bkt are functions of k, so register
+    maxima over distinct keys equal maxima over all rows, and
+    count(k) over the distinct frame is countDistinct (both skip
+    NULL keys; a NULL-key row forms its own (g, NULL) distinct row,
+    feeding the sketch exactly as its source rows did)."""
+    from ..cacheutil import persist_replannable
+
+    d = persist_replannable(
+        "sketch.hll_distinct",
+        df.select(
+            F.col(group_col).alias("g"), F.col(key_col).alias("k")
+        ).distinct(),
     )
+    est = hll_estimate(hll_rows(d, "g", "k"))
+    exact = d.groupBy("g").agg(F.count("k").cast("long").alias("n_exact"))
     return exact.join(est, "g").select(
         F.col("g").alias(group_col),
         "n_exact",
