@@ -237,7 +237,21 @@ def triangle_counts(edges: DataFrame, u_col: str, v_col: str) -> DataFrame:
         .select("src", "lo", "hi")
     )
     closing = w.select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
-    tri = wedges.join(closing, ["lo", "hi"])
+    # Closing join strategy (round 12, guide §3.1): the wedge side is
+    # O(m^{3/2}) rows (41M at sf0.1) and ~20x larger than the closing
+    # edge side (1.2M); the default SortMergeJoin SORTS the wedge
+    # stream, and that 41M-row sort both dominated the stage and made
+    # it spill-prone (g2 swung 5.3-21.2 s across same-code bench
+    # windows — the sort's spill luck). SHUFFLE_HASH builds the hash
+    # table from the EDGE side per partition (edges/shuffle-partitions
+    # rows each — scale-safe: no broadcast, no driver collect) and
+    # streams the wedges through unsorted. A/B at sf0.1/local[32],
+    # median of 3 x2 interleaved rounds: SMJ 9.1/12.0 s vs
+    # SHUFFLE_HASH 3.8/5.9 s, and the run-to-run spread collapsed
+    # ([3.66..3.99] vs [7.6..14.4]). Broadcast(closing) was also
+    # measured (6.0/8.1 s) and rejected: slower here and the edge set
+    # scales with the corpus, so a broadcast would OOM at 100 TB.
+    tri = wedges.join(closing.hint("shuffle_hash"), ["lo", "hi"])
     return (
         tri.select(
             F.explode(F.array(F.col("src"), F.col("lo"), F.col("hi"))).alias("node")
