@@ -336,6 +336,26 @@ def drop_incomplete(df, required=("unified_id", "shop_type", "title")):
 #: them into one driver-heap-exploding tree.
 CC_CHECKPOINT_EVERY = 8
 
+#: scale-adaptive partition sizing for the CC loops (round 12, guide
+#: §2.2/§2.5): the loop frames are EDGE-LIST-sized (candidate pairs,
+#: orders of magnitude below the corpus), yet the loop shuffles were
+#: pinned at spark.sql.shuffle.partitions — at the bench's local[32]
+#: that is 32 near-empty tasks per round stage over a ~500-row graph
+#: (and 200 under the vanilla driver session), pure scheduling
+#: overhead. The loop partition count is now derived from the
+#: MEASURED distinct-edge count (one bounded count on the persisted
+#: edge frame), capped at the session conf: ceil(n_edges /
+#: CC_ROWS_PER_PARTITION) — a 100 TB pair graph still gets the full
+#: conf-sized layout, a small one gets single-task rounds. Measured
+#: (dd4 core, sf0.1/local[32]): pairs+CC 3.76 -> 2.83 s median with
+#: bit-identical components.
+CC_ROWS_PER_PARTITION = 200_000
+
+
+def _cc_loop_partitions(n_edges: int, n_conf: int) -> int:
+    """ceil(n_edges / CC_ROWS_PER_PARTITION), clamped to [1, n_conf]."""
+    return max(1, min(n_conf, -(-n_edges // CC_ROWS_PER_PARTITION)))
+
 
 def connected_components(
     pairs: DataFrame,
@@ -395,63 +415,88 @@ def connected_components(
     release("dedup.connected_components")  # previous invocation's labels
     spark = pairs.sparkSession
     sc = spark.sparkContext
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Pre-partition the (static) edge list on the JOIN key b with an
-    # explicit partition count: the cached frame then reports
-    # hashpartitioning(b, n_parts), so EnsureRequirements drops the
-    # edges-side exchange from EVERY round's join (distinct() alone
-    # leaves hashpartitioning(a, b), which never satisfies the b-only
-    # requirement — the big side re-shuffled once per round).
-    edges = (
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The symmetrized-distinct edge frame persists FIRST so its
+    # measured row count can size the loop layout (see
+    # CC_ROWS_PER_PARTITION); the count doubles as the loop's edge
+    # materialization (one pass over the pair producer either way —
+    # the old single-plan distinct+repartition chained the same two
+    # shuffles, just without the bounded count between them).
+    dist = (
         pairs.select(F.col(lo_col).alias("a"), F.col(hi_col).alias("b"))
         .unionByName(
             pairs.select(F.col(hi_col).alias("a"), F.col(lo_col).alias("b"))
         )
         .distinct()
-        .repartition(n_parts, F.col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Initial labels = least(node, min neighbor): exactly what round 1
-    # would produce from the identity labeling, for ONE groupBy over
-    # the edge list instead of a full join+union+agg round — the loop
-    # starts one propagation step ahead.
-    labels = (
-        edges.groupBy(F.col("a").alias("node"))
-        .agg(F.min("b").alias("_mb"))
-        .select("node", F.least(F.col("node"), F.col("_mb")).alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # stored = the frame whose plan is ACTUALLY in the cache manager.
-    # DataFrame.unpersist() only matches its own plan — calling it on a
-    # derived frame (e.g. agg.drop(...)) is a silent no-op and leaked
-    # one persisted round per iteration for the session lifetime.
-    stored = labels
-    ck_ids: set[int] = set()  # blocks backing the CURRENT labels round
-    for i in range(max_iter):
-        contrib = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .select(edges["a"].alias("node"), "label", F.lit(False).alias("own"))
-            .unionByName(labels.withColumn("own", F.lit(True)))
+    n_parts = _cc_loop_partitions(dist.count(), n_conf)
+    # Every loop shuffle (labels aggs, round joins) runs at the
+    # derived count for the loop's duration — the hits() save/restore
+    # conf discipline; restored in `finally` so later queries keep the
+    # session layout.
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        # Pre-partition the (static) edge list on the JOIN key b with an
+        # explicit partition count: the cached frame then reports
+        # hashpartitioning(b, n_parts), so EnsureRequirements drops the
+        # edges-side exchange from EVERY round's join (distinct() alone
+        # leaves hashpartitioning(a, b), which never satisfies the b-only
+        # requirement — the big side re-shuffled once per round).
+        edges = (
+            dist.repartition(n_parts, F.col("b"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        agg = contrib.groupBy("node").agg(
-            F.min("label").alias("label"),
-            F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+        # Initial labels = least(node, min neighbor): exactly what round 1
+        # would produce from the identity labeling, for ONE groupBy over
+        # the edge list instead of a full join+union+agg round — the loop
+        # starts one propagation step ahead.
+        labels = (
+            edges.groupBy(F.col("a").alias("node"))
+            .agg(F.min("b").alias("_mb"))
+            .select("node", F.least(F.col("node"), F.col("_mb")).alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if (i + 1) % CC_CHECKPOINT_EVERY == 0:
-            agg, new_ck_ids = tracked_local_checkpoint(agg)
-        else:
-            agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
-            new_ck_ids = set()
-        changed = agg.filter(F.col("label") < F.col("_old")).count()
-        # agg is now materialized to its own storage → the previous
-        # round's blocks (cache or checkpoint) are safe to free
-        stored.unpersist()
-        unpersist_rdd_ids(sc, ck_ids)
-        stored, ck_ids = agg, new_ck_ids
-        labels = agg.drop("_old")
-        if changed == 0:
-            break
-    edges.unpersist()
+        # stored = the frame whose plan is ACTUALLY in the cache manager.
+        # DataFrame.unpersist() only matches its own plan — calling it on a
+        # derived frame (e.g. agg.drop(...)) is a silent no-op and leaked
+        # one persisted round per iteration for the session lifetime.
+        stored = labels
+        ck_ids: set[int] = set()  # blocks backing the CURRENT labels round
+        dist_live = True
+        for i in range(max_iter):
+            contrib = (
+                edges.join(labels, edges["b"] == labels["node"])
+                .select(edges["a"].alias("node"), "label", F.lit(False).alias("own"))
+                .unionByName(labels.withColumn("own", F.lit(True)))
+            )
+            agg = contrib.groupBy("node").agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+            )
+            if (i + 1) % CC_CHECKPOINT_EVERY == 0:
+                agg, new_ck_ids = tracked_local_checkpoint(agg)
+            else:
+                agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+                new_ck_ids = set()
+            changed = agg.filter(F.col("label") < F.col("_old")).count()
+            if dist_live:
+                # edges + round 1 are materialized now — the sizing
+                # frame's blocks are dead weight from here on
+                dist.unpersist()
+                dist_live = False
+            # agg is now materialized to its own storage → the previous
+            # round's blocks (cache or checkpoint) are safe to free
+            stored.unpersist()
+            unpersist_rdd_ids(sc, ck_ids)
+            stored, ck_ids = agg, new_ck_ids
+            labels = agg.drop("_old")
+            if changed == 0:
+                break
+        edges.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     # the final round backs the returned lazy result — its storage
     # (cache + any checkpoint blocks) stays until the next invocation
     # releases the scope
@@ -509,7 +554,8 @@ def connected_components_star(
     )
 
     release("dedup.connected_components_star")
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
     edges = (
         pairs.select(
             F.least(F.col(lo_col), F.col(hi_col)).alias("a"),
@@ -519,6 +565,17 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Scale-adaptive loop layout (round 12; see connected_components):
+    # every star round runs two windows + a distinct over an
+    # edge-list-sized frame — at the pinned session conf that is 32
+    # (bench) / 200 (vanilla) near-empty tasks per stage on small
+    # graphs. The count below reads the frame the FIRST checksum
+    # would materialize anyway; conf restored in `finally`.
+    n_parts = _cc_loop_partitions(
+        edges.count(), int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     def _checksum(e: DataFrame) -> tuple:
         row = e.agg(
@@ -552,24 +609,27 @@ def connected_components_star(
             .distinct()
         )
 
-    prev_sum = _checksum(edges)
-    star_every = max(1, CC_CHECKPOINT_EVERY // 2)  # deeper per-round plans
-    ck_ids: set[int] = set()  # blocks backing the CURRENT edges round
-    for i in range(max_iter):
-        nxt = _small_star(_large_star(edges))
-        if (i + 1) % star_every == 0:
-            nxt, new_ck_ids = tracked_local_checkpoint(nxt)
-        else:
-            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-            new_ck_ids = set()
-        cur_sum = _checksum(nxt)  # materializes nxt to its own storage
-        edges.unpersist()
-        unpersist_rdd_ids(sc, ck_ids)  # superseded checkpoint blocks
-        ck_ids = new_ck_ids
-        edges = nxt
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    try:
+        prev_sum = _checksum(edges)
+        star_every = max(1, CC_CHECKPOINT_EVERY // 2)  # deeper per-round plans
+        ck_ids: set[int] = set()  # blocks backing the CURRENT edges round
+        for i in range(max_iter):
+            nxt = _small_star(_large_star(edges))
+            if (i + 1) % star_every == 0:
+                nxt, new_ck_ids = tracked_local_checkpoint(nxt)
+            else:
+                nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+                new_ck_ids = set()
+            cur_sum = _checksum(nxt)  # materializes nxt to its own storage
+            edges.unpersist()
+            unpersist_rdd_ids(sc, ck_ids)  # superseded checkpoint blocks
+            ck_ids = new_ck_ids
+            edges = nxt
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
 
     register("dedup.connected_components_star", edges)
     register_rdd_ids("dedup.connected_components_star", sc, ck_ids)
