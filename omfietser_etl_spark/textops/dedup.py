@@ -444,10 +444,22 @@ def connected_components(
         # edges-side exchange from EVERY round's join (distinct() alone
         # leaves hashpartitioning(a, b), which never satisfies the b-only
         # requirement — the big side re-shuffled once per round).
-        edges = (
+        # localCheckpoint, not persist (round 12): a persisted edges
+        # frame keeps the WHOLE pair-producer lineage (the LSH
+        # pipeline) in its logical plan, and every round — plus every
+        # downstream consumer of the returned labels — re-plans over
+        # that tree (td15's formatted plan carried 243 inlined scans /
+        # 442 exchange nodes of pure print+planning weight). The
+        # checkpoint truncates the loop's root to a leaf RDD while
+        # preserving the hashpartitioning(b) physical layout
+        # (Dataset.localCheckpoint keeps outputPartitioning), so the
+        # exchange-free round join survives. Blocks are scope-
+        # registered: freed by the NEXT invocation, exactly like the
+        # final round's cache.
+        edges, edges_ck = tracked_local_checkpoint(
             dist.repartition(n_parts, F.col("b"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        register_rdd_ids("dedup.connected_components", sc, edges_ck)
         # Initial labels = least(node, min neighbor): exactly what round 1
         # would produce from the identity labeling, for ONE groupBy over
         # the edge list instead of a full join+union+agg round — the loop
@@ -494,7 +506,11 @@ def connected_components(
             labels = agg.drop("_old")
             if changed == 0:
                 break
-        edges.unpersist()
+        # edges is checkpoint-backed: DataFrame.unpersist() is a no-op
+        # for it; its blocks are scope-registered above and freed by
+        # the next invocation (the returned labels never recompute
+        # through it — the final round is materialized to its own
+        # storage).
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     # the final round backs the returned lazy result — its storage
@@ -542,7 +558,6 @@ def connected_components_star(
     where executor loss must be survivable, swap in ``checkpoint()``
     with a reliable dir — same contract.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from ..cacheutil import (
@@ -556,21 +571,28 @@ def connected_components_star(
     release("dedup.connected_components_star")
     spark = pairs.sparkSession
     sc = spark.sparkContext
-    edges = (
+    # localCheckpoint, not persist, roots the loop (round 12): the
+    # star rounds re-plan over the edge frame's WHOLE logical plan
+    # every alternation, and with a persisted root that plan is the
+    # full pair-producer pipeline (dd5's formatted plan carried 1537
+    # inlined scan / 2862 exchange nodes of pure planning+print
+    # weight). The checkpoint truncates the root to a leaf RDD; the
+    # eager materialization replaces the persist's first-action fill
+    # (same single pass over the pair producer).
+    edges, ck_ids = tracked_local_checkpoint(
         pairs.select(
             F.least(F.col(lo_col), F.col(hi_col)).alias("a"),
             F.greatest(F.col(lo_col), F.col(hi_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Scale-adaptive loop layout (round 12; see connected_components):
     # every star round runs two windows + a distinct over an
     # edge-list-sized frame — at the pinned session conf that is 32
     # (bench) / 200 (vanilla) near-empty tasks per stage on small
-    # graphs. The count below reads the frame the FIRST checksum
-    # would materialize anyway; conf restored in `finally`.
+    # graphs. The count below reads the checkpoint storage; conf
+    # restored in `finally`.
     n_parts = _cc_loop_partitions(
         edges.count(), int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
@@ -611,18 +633,22 @@ def connected_components_star(
 
     try:
         prev_sum = _checksum(edges)
-        star_every = max(1, CC_CHECKPOINT_EVERY // 2)  # deeper per-round plans
-        ck_ids: set[int] = set()  # blocks backing the CURRENT edges round
+        # EVERY round localCheckpoints (round 12; was persist with a
+        # checkpoint every star_every rounds): a persisted round keeps
+        # its two-window+distinct+union subtree chained onto all prior
+        # rounds' plans, so Catalyst re-planned a growing tree each
+        # alternation. Per-round truncation keeps every round's plan a
+        # constant two-window tree over a leaf; the storage cost is
+        # identical (localCheckpoint persists MEMORY_AND_DISK) and the
+        # superseded round's blocks are freed exactly as before.
+        # Measured (dd5 shape, sf0.1/local[32]): 8.2-8.7 s -> 3.7-5.6 s
+        # median on calm windows, identical components.
         for i in range(max_iter):
-            nxt = _small_star(_large_star(edges))
-            if (i + 1) % star_every == 0:
-                nxt, new_ck_ids = tracked_local_checkpoint(nxt)
-            else:
-                nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-                new_ck_ids = set()
+            nxt, new_ck_ids = tracked_local_checkpoint(
+                _small_star(_large_star(edges))
+            )
             cur_sum = _checksum(nxt)  # materializes nxt to its own storage
-            edges.unpersist()
-            unpersist_rdd_ids(sc, ck_ids)  # superseded checkpoint blocks
+            unpersist_rdd_ids(sc, ck_ids)  # superseded round's blocks
             ck_ids = new_ck_ids
             edges = nxt
             if cur_sum == prev_sum:
