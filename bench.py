@@ -57,14 +57,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: END-battery only, as before: every run reaches it through the
 #: identical full-catalog workload; the fresh-session START battery
 #: (JIT warm-up) is recorded for diagnostics.
-#: Refs: INTERIM round-12 pin at the 185-query catalog (td29/td30/
-#: tp3 landed mid-build, invalidating the r11 182-query pin): the END
-#: battery of the round-12 baseline window (BENCH_HISTORY ts
-#: 1786974732, total 246.2 s, per-axis ratios vs the r11 refs
-#: 0.96-1.47). A single-window pin, NOT the preferred five-window
-#: median — to be refined from the round-close idle windows (the r11
-#: protocol: per-axis MEDIAN of the END batteries of >=3 back-to-back
-#: idle full-catalog runs).
+#: Refs: round-12 close pin at the 185-query catalog — the per-axis
+#: MEDIAN of the END batteries of the round's FOUR clean idle
+#: full-catalog windows (BENCH_HISTORY ts 1786974732, 1787004119,
+#: 1787010537, 1787011550; a fifth window at ts 1787009510 degraded
+#: mid-run — every axis 1.2-2.4x, VM steal visible — and is
+#: excluded). Replaces the interim single-window pin from the same
+#: round (which under-read host_factor whenever the host was merely
+#: ordinary, because the baseline window's battery was unusually
+#: fast).
 #: Pre-touch protocol as round 10 (_pretouch_sentinel_inputs before
 #: every battery): io measured 1.17–1.41 s (1.21x) across these
 #: five — never compare a battery measured WITHOUT the pre-touch
@@ -77,11 +78,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: the /tmp old-tree probe (SCALING.md round 11), not argued from
 #: sentinel ratios alone.
 SENTINEL_REFS = {
-    "io_scan": 1.38,
-    "shuffle_agg": 1.975,
-    "cpu_codegen": 2.37,
-    "sort_window": 4.687,
-    "arrow_python": 5.136,
+    "io_scan": 1.434,
+    "shuffle_agg": 2.268,
+    "cpu_codegen": 2.142,
+    "sort_window": 4.458,
+    "arrow_python": 5.167,
 }
 SENTINEL_REPS = 5
 #: CATALOG COMPOSITION IS PART OF THE REF-INVALIDATION CONTRACT
