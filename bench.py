@@ -67,9 +67,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: ordinary, because the baseline window's battery was unusually
 #: fast).
 #: Pre-touch protocol as round 10 (_pretouch_sentinel_inputs before
-#: every battery): io measured 1.17–1.41 s (1.21x) across these
-#: five — never compare a battery measured WITHOUT the pre-touch
-#: against these refs. END-position still matters for arrow (~1.9 s
+#: every battery): the four pinned windows' END io_scan spanned
+#: 1.38–2.70 s — never compare a battery measured WITHOUT the
+#: pre-touch against these refs. END-position still matters for arrow (~1.9 s
 #: fresh vs ~4.7–5.8 s after the full catalog — Python-worker daemon
 #: state), so refs stay anchored at the measurement battery's
 #: position. HOST-ERA CAVEAT (round-11 lesson): refs absorb slow

@@ -67,6 +67,39 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     return ck, persistent_rdd_ids(sc) - before
 
 
+def tracked_loop_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Checkpoint an iterative-loop frame: :func:`tracked_local_checkpoint`
+    by default, or a RELIABLE ``df.checkpoint()`` when
+    ``SPARK_GRAFT_RELIABLE_CKPT_DIR`` names a checkpoint directory.
+
+    Why the switch exists (round-12 verdict item 4): ``localCheckpoint``
+    stores the truncated lineage's blocks on the executors themselves,
+    so on a real cluster a lost executor kills the job mid-loop — the
+    blocks have no recompute path BY DESIGN. A multi-hour 100 TB run
+    sets the env var to a reliable dir (HDFS/object store); the loop
+    then pays one write+read of the frame per checkpoint in exchange
+    for executor-loss survival. Locally the default (executor == the
+    one JVM) is strictly faster and loses nothing.
+
+    Both paths preserve the frame's physical layout (Dataset
+    checkpointing keeps outputPartitioning on the leaf RDD), so the
+    CC loop's exchange-free cached-edges join survives either way —
+    pinned by tests/test_textops.py::test_cc_reliable_checkpoint_parity.
+    Reliable-checkpoint files are managed by Spark (enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` to GC them);
+    the returned id set is empty in that mode — there are no executor
+    blocks for release() to free."""
+    import os
+
+    ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(), set()
+    return tracked_local_checkpoint(df)
+
+
 def register_rdd_ids(scope: str, sc, ids: set[int]) -> None:
     """Track checkpoint-backing RDD ids under ``scope`` so the next
     invocation's release() frees their blocks."""

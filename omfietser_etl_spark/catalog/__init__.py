@@ -170,8 +170,10 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "td26_semantic_decontam",
     "td27_semantic_decontam_ivf",
     "td28_containment",
+    "td29_soft_dedup_weights",
     "td2_ngram_jaccard",
     "td2h_jaccard_hashed",
+    "td30_paragraph_dedup",
     "td3_minhash_lsh",
     "td4_simhash",
     "td5_embed_neardup",
@@ -184,6 +186,7 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "tk3_vocab_coverage",
     "tp1_prepare_corpus",
     "tp2_screen_dedup_pipeline",
+    "tp3_full_corpus_prep",
     "ts10_unimax_budget",
     "ts11_unimax_realized",
     "ts12_token_unimax_realized",
@@ -245,7 +248,7 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "a1_status_counters": 11,
     "a20_window_suite": 10,
     "a21_approx_percentile": 11,
-    "a22_hll_distinct": 9,
+    "a22_hll_distinct": 12,
     "a3_type_distribution": 11,
     "a4_price_stats": 11,
     "a5_promo_analysis": 10,
@@ -253,7 +256,7 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "a7_event_summary": 11,
     "a8_version_stats": 11,
     "ca1_corpus_report": 10,
-    "ca2_source_overlap": 9,
+    "ca2_source_overlap": 12,
     "cube_status_priority": 11,
     "d1_promo_parse": 10,
     "d2_quantity_standardize": 10,
@@ -263,23 +266,23 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "dd2_neardup_groups": 10,
     "dd3_fuzzy_best_match": 10,
     "dd4_neardup_components": 10,
-    "dd5_star_components": 9,
+    "dd5_star_components": 12,
     "ev1_funnel": 10,
     "ev2_retention": 11,
     "ev3_moving_sum": 11,
-    "ev4_daily_anomaly": 9,
-    "ev5_cusum_changepoint": 9,
-    "ev6_transition_matrix": 9,
-    "ev7_rfm_segments": 9,
-    "ev8_activity_gini": 9,
-    "f5_incomplete_filter": 9,
+    "ev4_daily_anomaly": 12,
+    "ev5_cusum_changepoint": 12,
+    "ev6_transition_matrix": 12,
+    "ev7_rfm_segments": 12,
+    "ev8_activity_gini": 12,
+    "f5_incomplete_filter": 12,
     "f6_validity_split": 11,
-    "g1_pagerank": 9,
-    "g2_triangle_count": 9,
-    "g3_adamic_adar": 9,
-    "g4_kcore": 9,
-    "g5_label_propagation": 9,
-    "g6_hits": 9,
+    "g1_pagerank": 12,
+    "g2_triangle_count": 12,
+    "g3_adamic_adar": 12,
+    "g4_kcore": 12,
+    "g5_label_propagation": 12,
+    "g6_hits": 12,
     "g7_modularity": 9,
     "g8_bfs_hops": 9,
     "h1_scd2_history": 11,
@@ -290,7 +293,7 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "j5_multiway_revenue": 11,
     "j7_asof_lag_delta": 9,
     "j7_first_last_seen": 11,
-    "j8_range_join": 8,
+    "j8_range_join": 12,
     "j9_salted_revenue": 9,
     "mm1_feature_extract": 11,
     "mm2_resize_plan": 11,
@@ -301,15 +304,15 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "mm7_phash_neardup": 9,
     "mm8_audio_fp_neardup": 9,
     "mm9_scene_cuts": 10,
-    "o1_pagination": 8,
-    "o4_argmax_per_group": 8,
-    "o7_topk_per_group": 8,
-    "o9_keyset_pagination": 8,
+    "o1_pagination": 12,
+    "o4_argmax_per_group": 12,
+    "o7_topk_per_group": 12,
+    "o9_keyset_pagination": 12,
     "p1_ah_pipeline": 11,
     "p2_jumbo_pipeline": 11,
     "p3_aldi_pipeline": 11,
     "p4_plus_pipeline": 11,
-    "p5_coalesce_projection": 8,
+    "p5_coalesce_projection": 12,
     "p6_generic_kruidvat": 11,
     "q2_quality_report": 11,
     "rollup_region_nation": 9,
@@ -333,21 +336,21 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "ta3_lang_id": 10,
     "ta4_fingerprint": 10,
     "ta5_repetition": 11,
-    "ta6_strip_markup": 8,
-    "ta7_relative_length_filter": 8,
-    "ta8_bigram_fluency": 8,
+    "ta6_strip_markup": 12,
+    "ta7_relative_length_filter": 12,
+    "ta8_bigram_fluency": 12,
     "ta9_gopher_rules": 9,
-    "tc1_doc_chunking": 8,
-    "tc2_pii_scrub": 8,
-    "td10_quantize": 8,
-    "td11_line_dedup": 8,
+    "tc1_doc_chunking": 12,
+    "tc2_pii_scrub": 12,
+    "td10_quantize": 12,
+    "td11_line_dedup": 12,
     "td12_jaccard_guarded": 11,
-    "td13_semantic_dedup": 8,
-    "td14_substring_dedup": 8,
-    "td15_fuzzy_dedup_e2e": 8,
-    "td16_rh_lsh_pairs": 8,
-    "td17_incremental_dedup": 8,
-    "td18_bloom_decontam": 8,
+    "td13_semantic_dedup": 12,
+    "td14_substring_dedup": 12,
+    "td15_fuzzy_dedup_e2e": 12,
+    "td16_rh_lsh_pairs": 12,
+    "td17_incremental_dedup": 12,
+    "td18_bloom_decontam": 12,
     "td19_winnowing_pairs": 9,
     "td1_exact_dedup": 11,
     "td20_pq_adc_topk": 10,
@@ -357,22 +360,25 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "td24_allpairs_cosine": 10,
     "td25_fuzzy_decontam": 11,
     "td26_semantic_decontam": 11,
-    "td27_semantic_decontam_ivf": 8,
+    "td27_semantic_decontam_ivf": 12,
     "td28_containment": 9,
+    "td29_soft_dedup_weights": 12,
     "td2_ngram_jaccard": 11,
     "td2h_jaccard_hashed": 9,
+    "td30_paragraph_dedup": 12,
     "td3_minhash_lsh": 11,
     "td4_simhash": 11,
     "td5_embed_neardup": 11,
     "td6_ann_topk": 11,
     "td7_ivf_ann": 10,
-    "td8_kmeans_assign": 8,
-    "td9_contamination": 8,
+    "td8_kmeans_assign": 12,
+    "td9_contamination": 12,
     "tk1_bpe_encode": 10,
     "tk2_bpe_roundtrip": 10,
     "tk3_vocab_coverage": 10,
     "tp1_prepare_corpus": 9,
     "tp2_screen_dedup_pipeline": 10,
+    "tp3_full_corpus_prep": 12,
     "ts10_unimax_budget": 9,
     "ts11_unimax_realized": 9,
     "ts12_token_unimax_realized": 9,
@@ -383,36 +389,73 @@ _CERTIFIED_ROUND: dict[str, int] = {
     "ts17_cluster_prototypes": 10,
     "ts18_perplexity_buckets": 10,
     "ts19_kcenter_coreset": 10,
-    "ts1_hash_sample": 8,
+    "ts1_hash_sample": 12,
     "ts20_domain_cap": 11,
-    "ts2_mixture_split": 8,
-    "ts3_sequence_pack": 8,
+    "ts2_mixture_split": 12,
+    "ts3_sequence_pack": 12,
     "ts4_stratified_sample": 9,
     "ts5_shuffle_order": 9,
     "ts6_tokenize": 9,
     "ts7_weighted_sample": 9,
     "ts8_temperature_rebalance": 9,
     "ts9_fixed_size_sample": 9,
-    "tv1_top_terms": 8,
-    "tv2_tfidf_terms": 8,
-    "tv3_cms_heavy_hitters": 8,
+    "tv1_top_terms": 12,
+    "tv2_tfidf_terms": 12,
+    "tv3_cms_heavy_hitters": 12,
     "tv4_bm25_topk": 10,
     "tv5_rrf_fusion": 10,
     "tv6_query_likelihood": 10,
     "tv7_retrieval_eval": 10,
     "tv8_mmr_diversify": 10,
     "u1_union_distinct": 9,
-    "u3_distinct_per_group": 8,
+    "u3_distinct_per_group": 12,
     "u4_anti_join_missing": 9,
-    "u4_new_disappeared": 8,
+    "u4_new_disappeared": 12,
     "u5_intersect_except": 9,
     "x10_knn_label_eval": 10,
     "x11_ols_normal_eq": 9,
-    "x2_online_inference": 8,
+    "x2_online_inference": 12,
     "x3_validation_summary": 11,
     "x7_skew_report": 9,
     "x8_nb_inference": 9,
-    "x9_nb_train_fit": 8,
+    "x9_nb_train_fit": 12,
+}
+
+
+#: name -> round in which its implementation was last touched AFTER
+#: its then-latest green (rounds 12-13 optimization passes). A name
+#: stays fronted until a CORRECTNESS artifact newer than the pinned
+#: round certifies it (then _CERTIFIED_ROUND exceeds the pin and the
+#: ordinary staleness rotation resumes). Hand-maintained; see
+#: all_specs().
+_RETOUCHED_AFTER_GREEN: dict[str, int] = {
+    # round-12 touched, never re-drawn by the r12 sample
+    "tv4_bm25_topk": 12,
+    "tv5_rrf_fusion": 12,
+    "tv6_query_likelihood": 12,
+    "tv7_retrieval_eval": 12,
+    "ta8_bigram_fluency": 12,
+    "a22_hll_distinct": 12,
+    "td12_jaccard_guarded": 12,
+    # round-13 touched (entropy/poly_hash vectorization, CC reliable
+    # ckpt + eager registration, tp3 barrier removal, hits adaptive
+    # layout, ev7 rank inputs, x3 memo liveness)
+    "ta10_char_entropy": 13,
+    "tp2_screen_dedup_pipeline": 13,
+    "tp3_full_corpus_prep": 13,
+    "td3_minhash_lsh": 13,
+    "td4_simhash": 13,
+    "td13_semantic_dedup": 13,
+    "td15_fuzzy_dedup_e2e": 13,
+    "td17_incremental_dedup": 13,
+    "td29_soft_dedup_weights": 13,
+    "dd4_neardup_components": 13,
+    "dd5_star_components": 13,
+    "ts14_leakage_free_split": 13,
+    "g6_hits": 13,
+    "ev7_rfm_segments": 13,
+    "x3_validation_summary": 13,
+    "q2_quality_report": 13,
 }
 
 
@@ -454,11 +497,30 @@ def all_specs() -> list[QuerySpec]:
     # a rows-only query spends a slot on the weaker check.
     fresh = [s for s in specs if s.name not in _DRIVER_CERTIFIED]
     fresh.sort(key=lambda s: s.oracle is None)
+    # Re-verify fronting (round 13, verdict item 7): queries whose
+    # IMPLEMENTATION changed after their latest green round jump the
+    # staleness rotation — a certified-but-since-rewritten row is the
+    # highest-risk row in the catalog, and the r12 sample happened to
+    # draw none of that round's touched queries. Maintained by hand at
+    # each optimization pass; names drop out automatically once a
+    # newer CORRECTNESS round certifies them (update_certified bumps
+    # _CERTIFIED_ROUND past the pin below).
+    retouch = [
+        s for s in specs
+        if s.name in _RETOUCHED_AFTER_GREEN
+        and _CERTIFIED_ROUND.get(s.name, 0) <= _RETOUCHED_AFTER_GREEN[s.name]
+        and s.name in _DRIVER_CERTIFIED
+    ]
+    retouch.sort(key=lambda s: (_CERTIFIED_ROUND.get(s.name, 0), s.name))
+    retouch_names = {s.name for s in retouch}
     # Staleness rotation: with (nearly) the whole catalog certified, the
     # gate would otherwise re-sample the same first 50 forever and the
     # other rows would age indefinitely. Order the certified tail by
     # OLDEST green driver round first (name tiebreak) so the 50-wide
     # window re-verifies the full catalog every ~3 rounds.
-    seen = [s for s in specs if s.name in _DRIVER_CERTIFIED]
+    seen = [
+        s for s in specs
+        if s.name in _DRIVER_CERTIFIED and s.name not in retouch_names
+    ]
     seen.sort(key=lambda s: (_CERTIFIED_ROUND.get(s.name, 0), s.name))
-    return fresh + seen
+    return fresh + retouch + seen

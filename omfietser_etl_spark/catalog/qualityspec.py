@@ -22,23 +22,42 @@ _UNIFIED_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _jumbo_unified(spark: SparkSession, sf: str) -> DataFrame:
-    """Shared input for q2/x3: build (and persist, via split_errors)
-    the jumbo unified frame once per (session, sf) — the second
-    consumer reuses the materialized batch instead of re-running the
-    whole cascade. Any stale entry — another session OR the same
-    session at a different sf — is unpersisted on rollover, so a
-    long-lived session sweeping scale factors holds at most one
-    cached batch."""
+    """Shared input for q2/x3: build and persist the jumbo unified
+    frame once per (session, sf) — the second consumer reuses the
+    materialized batch instead of re-running the whole cascade.
+
+    LIVENESS RE-CHECK (round 13 — the x3 pollution diagnosis): the
+    memo used to lean on split_errors' persist, which registers under
+    the SHARED "pipelines.split_errors" scope — any later pipeline
+    query (p1/p3/p4/p6, f5…) rolls that scope over and unpersists the
+    jumbo batch out from under the memo. x3 then re-ran the whole
+    uncached cascade on EVERY action: 1.3 s clean vs 2.9–14.4 s in
+    full-catalog windows (the round-11/12 verdicts' open item). Now
+    the memo owns its own persist under a dedicated scope AND checks
+    ``storageLevel`` on every access — a frame whose cache was
+    dropped (another pipeline's rollover, a harness release_all())
+    is rebuilt and re-persisted instead of silently degrading.
+    Stale entries (other session / other sf) still unpersist on
+    rollover, so a session sweeping scale factors holds one batch."""
+    from omfietser_etl_spark.cacheutil import persist_replannable
+
     key = (id(spark), sf)
-    if key not in _UNIFIED_MEMO:
-        for old_key in [k for k in _UNIFIED_MEMO if k != key]:
-            try:
-                _UNIFIED_MEMO.pop(old_key).unpersist()
-            except Exception:  # noqa: BLE001 — stale session already gone
-                pass
-        unified, _ = jumbo.pipeline(_jumbo_raw(spark, sf))
-        _UNIFIED_MEMO[key] = unified
-    return _UNIFIED_MEMO[key]
+    df = _UNIFIED_MEMO.get(key)
+    if df is not None:
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                return df
+        except Exception:  # noqa: BLE001 — stale session already gone
+            pass
+    for old_key in [k for k in _UNIFIED_MEMO if k != key]:
+        try:
+            _UNIFIED_MEMO.pop(old_key).unpersist()
+        except Exception:  # noqa: BLE001 — stale session already gone
+            pass
+    unified, _ = jumbo.pipeline(_jumbo_raw(spark, sf))
+    unified = persist_replannable("qualityspec.jumbo_unified", unified)
+    _UNIFIED_MEMO[key] = unified
+    return unified
 
 
 # Scores per variant (additive, base 50): v0 has no image/no promo →

@@ -805,6 +805,12 @@ def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("freq"),
         exact.sum_cents("value").cast("long").alias("cents"),
     )
+    # Each rank chain reads the USER frame directly (round 13): the
+    # old fold ranked `out.select(user_id, metric)` where `out`
+    # accumulated the previous quintile joins, so rank N's cache fill
+    # re-executed the events agg PLUS N−1 join chains — the metric
+    # columns come from `users` unchanged, so ranking from `users`
+    # computes the identical quintiles over strictly smaller plans.
     out = users
     for metric, qcol, scope in (
         ("last_us", "r_q", "ev7.r"),
@@ -812,7 +818,7 @@ def ev7_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         ("cents", "m_q", "ev7.m"),
     ):
         ranked, n_users = distributed_rank_n(
-            out.select("user_id", metric),
+            users.select("user_id", metric),
             [F.col(metric), F.col("user_id")],
             rank_col="_rk",
             scope=scope,

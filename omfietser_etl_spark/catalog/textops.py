@@ -2867,7 +2867,7 @@ def tp2_screen_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     which dropped those docs (no character rows → no group)."""
     from omfietser_etl_spark import cacheutil
     from omfietser_etl_spark.textops.analysis import (
-        char_entropy_expr,
+        char_entropy_q_col,
         gopher_flag_cols,
         gopher_stat_cols,
         norm_text,
@@ -2884,7 +2884,7 @@ def tp2_screen_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "doc", "source", "text",
         *gopher_stat_cols("text"),
         F.length("_s").cast("long").alias("_n_chars"),
-        F.expr(char_entropy_expr("_s")).cast("long").alias("_ent_q"),
+        char_entropy_q_col("_s").cast("long").alias("_ent_q"),
     )
     flagged = stats.select(
         "doc", "source", "text",

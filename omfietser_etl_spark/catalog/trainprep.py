@@ -701,7 +701,7 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     from omfietser_etl_spark.cacheutil import persist_replannable
     from omfietser_etl_spark.textops import dedup as dd
     from omfietser_etl_spark.textops.analysis import (
-        char_entropy_expr,
+        char_entropy_q_col,
         gopher_flag_cols,
         gopher_stat_cols,
         norm_text,
@@ -741,7 +741,7 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
         "doc", "source", "lang", "text", "n_tok",
         *gopher_stat_cols("text"),
         F.length("_s").cast("long").alias("_n_chars"),
-        F.expr(char_entropy_expr("_s")).cast("long").alias("_ent_q"),
+        char_entropy_q_col("_s").cast("long").alias("_ent_q"),
     )
     flagged = stats.select(
         "doc", "source", "lang", "text", "n_tok",
@@ -774,8 +774,17 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
             "doc", F.coalesce("component", "doc").cast("long").alias("component")
         )
     )
+    # dec/s3 are PLAIN lazy persists, not eager checkpoints (round 13,
+    # guide §5/§2.5 — the verdict's tp3 serial-stage item): the 1 g
+    # plan-size defense only needs lineage truncated at the EXPRESSION-
+    # HEAVY boundary (flags: the Gopher battery + entropy column) and
+    # at the CC loop (its labels root in loop checkpoints) — below
+    # those, dec's plan is a window over two leaves and s3's a few
+    # joins of cached frames, so eager materialization barriers bought
+    # nothing but serial latency (~2 barrier actions per run). The
+    # first downstream action fills both caches in one pipelined pass.
     wc = Window.partitionBy("component")
-    dec = _tp3_ckpt(
+    dec = persist_replannable(
         "catalog.tp3.dec",
         labeled.withColumn(
             "is_dedup_kept", F.col("doc") == F.min("doc").over(wc)
@@ -815,7 +824,7 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
             (F.expr("(10000 * n_hit) div n_sh") >= TP3_CONTAM_BP).alias("contam_flag"),
         ),
     )
-    s3 = _tp3_ckpt(
+    s3 = persist_replannable(
         "catalog.tp3.s3",
         dec.filter("is_dedup_kept")
         .join(contam, "doc", "left")

@@ -672,6 +672,30 @@ def hits(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ).distinct().persist(),
     )
+    # Scale-adaptive loop layout (round 13 — the CC-loop treatment,
+    # guide §2.2): every half-round shuffle (the e⋈score join, the
+    # node-keyed sums, the nodes left join) otherwise runs at the
+    # session conf on iteration-sized frames — 32 (bench) / 200
+    # (vanilla) near-empty tasks per stage across 6 half-rounds × 2
+    # actions each. The count reads the persisted edge frame (doubles
+    # as its materialization, replacing the first half-round's cache
+    # fill); a 100 TB edge set still gets the full conf layout.
+    # SINGLE-THREADED-SESSION REQUIREMENT as in the CC loops
+    # (textops/dedup.py): the conf is session-global; restored in the
+    # same finally as the AQE conf below.
+    from omfietser_etl_spark.textops.dedup import _cc_loop_partitions
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_parts = _cc_loop_partitions(e.count(), int(prev_shuffle))
+    except Exception:
+        # the count can fail on bad input — don't leak the AQE conf
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        raise
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     nodes = cacheutil.register(
         "hits",
         e.select(F.col("src").alias("node"))
@@ -686,15 +710,23 @@ def hits(
         # reference raw_df twice and square the lazy subtree every
         # half-round (measured 25 s Spark-side at gate scale; ~4 s
         # with the literal). raw_df is persisted so the collect and
-        # the downstream join share one materialization.
+        # the downstream projection share one materialization.
+        #
+        # SPARSE scores (round 13): nodes absent from raw_df have raw
+        # sum 0 → rescaled score 0 → contribute NOTHING to the next
+        # half-round's sums and nothing to any L1 total, so the
+        # per-half-round nodes-LEFT-join that densified every score
+        # vector was pure overhead (6 extra shuffled joins + their
+        # checkpoint weight per run). Scores stay sparse through the
+        # loop; density (explicit 0 rows) is restored ONCE in the
+        # final assembly below — bit-identical output.
         raw_df = cacheutil.register("hits", raw_df.persist())
         tot = raw_df.agg(F.sum("raw")).collect()[0][0]
         tot = max(int(tot or 0), 1)
-        out = nodes.join(raw_df, "node", "left").select(
+        out = raw_df.select(
             "node",
             F.expr(
-                f"CAST((coalesce(raw, CAST(0 AS {dec})) * {mass}) div "
-                f"CAST('{tot}' AS {dec}) AS BIGINT)"
+                f"CAST((raw * {mass}) div CAST('{tot}' AS {dec}) AS BIGINT)"
             ).alias(out_col),
         )
         # localCheckpoint (tracked, freed with the scope) truncates
@@ -723,14 +755,23 @@ def hits(
             )
             h = _norm(h_raw, "h")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         if prev is None:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
-    return h.join(a, "node").select(
-        "node",
-        F.col("h").alias("hub_q"),
-        F.col("a").alias("auth_q"),
+    # densify once: pure source-only nodes never appear in an auth
+    # frame (auth_q = 0) and sink-only nodes never in a hub frame —
+    # the old per-half-round left joins materialized those zeros
+    # every round; one terminal left join per vector is enough.
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_q"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_q"),
+        )
     )
 
 

@@ -12,6 +12,7 @@ LLM-pipeline operators mandated by the project brief.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -104,6 +105,71 @@ def poly_hash(col: str) -> Column:
         f"aggregate(split({col}, ''), CAST({CHAR_SEED} AS BIGINT), "
         f"(a, c) -> (a * 31 + ascii(c)) % {MOD})"
     )
+
+
+#: lazily-built singleton for :func:`poly_hash_q_col`.
+_POLY_HASH_UDF = None
+
+
+def poly_hash_q_col(col) -> Column:
+    """:func:`poly_hash` as ONE vectorized Arrow/numpy column (round
+    13, guide §4.2) — bit-identical values, computed per Arrow batch
+    instead of per row through the interpreted ``aggregate`` HOF.
+
+    Why: the char-level fold runs once per SHINGLE (≈260k rows at
+    sf0.1), and higher-order array functions are CodegenFallback.
+    Measured (tools/probe_polyhash_ab.py, interleaved medians at
+    sf0.1/local[32]): the minhash signature stage 1.108 → 0.691 s,
+    with 0 mismatches over the full 260k-shingle corpus.
+
+    EXACTNESS: the left fold h ← (h·31 + ascii(c)) % MOD has the
+    closed form h(s) = (seed·31^L + Σ c_i·31^(L−1−i)) mod MOD; every
+    product stays < 2^37 and segment sums < 2^63 for strings up to
+    ~2^25 chars — pure int64. ASCII-contract inputs only (normalized
+    text / shingles / tokens); the encode hard-fails on anything else
+    rather than drifting from the oracle. NULL in → NULL out; empty
+    string folds to seed % MOD exactly like the SQL aggregate over an
+    empty array.
+    """
+    global _POLY_HASH_UDF
+    if _POLY_HASH_UDF is None:
+        seed, mod = CHAR_SEED, MOD
+
+        # self-contained closure: workers need no repo imports
+        def _poly(s: pd.Series) -> pd.Series:
+            import numpy as np
+            import pandas as pd
+
+            mask = s.notna().to_numpy()
+            vals = s[mask]
+            out = np.zeros(len(s), dtype=np.int64)
+            if len(vals):
+                lens = vals.str.len().to_numpy(np.int64)
+                arr = np.frombuffer(
+                    "".join(vals.tolist()).encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                maxlen = int(lens.max())
+                pw = np.ones(maxlen + 1, dtype=np.int64)
+                for k in range(1, maxlen + 1):
+                    pw[k] = (pw[k - 1] * 31) % mod
+                starts = np.zeros(len(vals) + 1, dtype=np.int64)
+                np.cumsum(lens, out=starts[1:])
+                pos = np.arange(len(arr), dtype=np.int64) - np.repeat(
+                    starts[:-1], lens
+                )
+                expo = np.repeat(lens, lens) - 1 - pos
+                terms = (arr * pw[expo]) % mod
+                seg = np.zeros(len(vals), dtype=np.int64)
+                nz = lens > 0
+                if nz.any() and len(terms):
+                    seg[nz] = np.add.reduceat(terms, starts[:-1][nz]) % mod
+                out[mask] = ((seed % mod) * pw[lens] + seg) % mod
+            res = pd.Series(out)
+            res[~mask] = None
+            return res
+
+        _POLY_HASH_UDF = F.pandas_udf(_poly, "long")
+    return _POLY_HASH_UDF(col)
 
 
 def ws_token_count(col: str = "text") -> Column:
@@ -359,6 +425,96 @@ def char_entropy_expr(s_col: str) -> str:
     )
 
 
+#: lazily-built singleton for :func:`char_entropy_q_col` — creating a
+#: pandas_udf wrapper per query build is pure driver overhead.
+_ENT_Q_UDF = None
+
+
+def char_entropy_q_col(s_col) -> Column:
+    """``ent_q`` for a NORMALIZED-text string column as ONE vectorized
+    Arrow/numpy column (round 13, guide §4.2): the exact-integer
+    ``n·ilog2_q(n) − Σ c·ilog2_q(c)`` over the per-row character
+    histogram, computed on whole Arrow batches in NumPy int64 instead
+    of the per-row interpreted HOF fold of :func:`char_entropy_expr`.
+
+    Why: higher-order array functions (``aggregate``/``transform``)
+    are CodegenFallback — interpreted per row — and the 20-step
+    square-and-compare ilog2 runs once per distinct character per row,
+    ~760 interpreted lambda evaluations per document. Measured at
+    sf0.1/local[32] (tools/probe_entropy_ab.py, interleaved medians):
+    JVM fold 1.885 s → numpy UDF 0.444 s on the ta10 shape, with the
+    full-corpus compare showing 0 mismatches. At 100 TB the column
+    stays a free rider on the scan — an ArrowEvalPython projection is
+    embarrassingly parallel, no shuffle, and only the one normalized
+    string column crosses the JVM↔Python boundary (§4.1).
+
+    EXACTNESS: all arithmetic is int64 (c ≤ n < 2^53 by the
+    string-length contract; y < 2^31 so y² < 2^62); the ilog2 kernel
+    is the literal numpy transcription of ``selection.ilog2_q``
+    (property-tested equal in tests/test_selection.py, including the
+    frexp exponent correction at exact powers of two). The histogram
+    is over raw bytes — valid because ``norm_text`` output is pure
+    ASCII ``[a-z0-9 ]`` (the encode below hard-fails otherwise rather
+    than drifting). NULL in → NULL out; empty strings are the
+    caller's filter contract exactly as with the expression fold.
+    """
+    global _ENT_Q_UDF
+    if _ENT_Q_UDF is None:
+        # Self-contained closure (the similarity.py mapInPandas
+        # discipline): workers need no repo imports.
+        def _ilog2_q_vec(x, q: int = 20, f: int = 30):
+            import numpy as np
+
+            x = x.astype(np.int64)
+            _, e = np.frexp(x.astype(np.float64))
+            p = (e - 1).astype(np.int64)
+            # float rounding can report p one too high just below a
+            # power of two once x nears 2^53 — exact int correction
+            p = np.where((x >> np.minimum(p, 63)) == 0, p - 1, p)
+            y = np.where(
+                p >= f,
+                x >> np.maximum(p - f, 0),
+                x << np.maximum(f - p, 0),
+            )
+            r = np.zeros_like(x)
+            two_f1 = np.int64(1) << np.int64(f + 1)
+            for _ in range(q):
+                y = (y * y) >> np.int64(f)
+                hi = y >= two_f1
+                r = (r << 1) + hi
+                y = np.where(hi, y >> 1, y)
+            return (p << np.int64(q)) + r
+
+        def _ent_q(s: pd.Series) -> pd.Series:
+            import numpy as np
+            import pandas as pd
+
+            mask = s.notna().to_numpy()
+            vals = s[mask]
+            out = np.zeros(len(s), dtype=np.int64)
+            if len(vals):
+                lens = vals.str.len().to_numpy(np.int64)
+                arr = np.frombuffer(
+                    "".join(vals.tolist()).encode("ascii"), dtype=np.uint8
+                )
+                n = len(vals)
+                row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+                counts = np.bincount(
+                    row_ids * 128 + arr, minlength=n * 128
+                ).reshape(n, 128)
+                rows, cols = np.nonzero(counts)
+                c = counts[rows, cols].astype(np.int64)
+                s_c = np.zeros(n, dtype=np.int64)
+                np.add.at(s_c, rows, c * _ilog2_q_vec(c))
+                out[mask] = lens * _ilog2_q_vec(lens) - s_c
+            res = pd.Series(out)
+            res[~mask] = None
+            return res
+
+        _ENT_Q_UDF = F.pandas_udf(_ent_q, "long")
+    return _ENT_Q_UDF(s_col)
+
+
 def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document character-distribution entropy — the classic
     gibberish/degeneracy signal (near-zero entropy = repeated chars;
@@ -372,12 +528,15 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     oracle replays every value bit-for-bit; no float logs.
 
     Scale shape (round 12): fully map-side — the per-row histogram
-    fold of :func:`char_entropy_expr` replaces the old explode →
-    (doc, ch) count → doc-keyed sum (two shuffles of per-CHARACTER
-    rows; guide §2.3/§2.4). Docs whose normalized text is empty are
-    dropped, exactly as the explode shape dropped them (no character
-    rows → no group). ``n_chars`` is the normalized-text length (the
-    histogram counts every character, spaces included).
+    replaces the old explode → (doc, ch) count → doc-keyed sum (two
+    shuffles of per-CHARACTER rows; guide §2.3/§2.4). Docs whose
+    normalized text is empty are dropped, exactly as the explode
+    shape dropped them (no character rows → no group). ``n_chars`` is
+    the normalized-text length (the histogram counts every character,
+    spaces included). Round 13: the histogram+ilog2 runs in the
+    vectorized Arrow/numpy column (:func:`char_entropy_q_col` — the
+    interpreted HOF fold was the catalog's ta10 regression; still
+    zero exchanges, still join-free).
     """
     nt = norm_text(text_col)
     staged = (
@@ -387,7 +546,7 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     return staged.select(
         "doc",
         F.length("_s").cast("long").alias("n_chars"),
-        F.expr(char_entropy_expr("_s")).cast("long").alias("ent_q"),
+        char_entropy_q_col("_s").cast("long").alias("ent_q"),
     )
 
 

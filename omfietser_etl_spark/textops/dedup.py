@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cacheutil import persist_replannable, release_then_register
-from .analysis import norm_text, poly_hash, shingles, tokens
+from .analysis import norm_text, poly_hash_q_col, shingles, tokens
 from .constants import (
     BANDS,
     JACCARD_THRESHOLD,
@@ -164,7 +164,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for the oracle (swap in ``F.xxhash64`` for production speed; the
     semantics don't change).
     """
-    sh = doc_shingles(df, id_col, text_col).withColumn("h", poly_hash("s"))
+    # Round 13 (guide §4.2): the char-fold hash runs once per shingle;
+    # the vectorized Arrow twin is bit-identical and ~0.4 s faster per
+    # signature pass at sf0.1 (probe numbers in its docstring).
+    sh = doc_shingles(df, id_col, text_col).withColumn("h", poly_hash_q_col("s"))
     aggs = [
         F.min(F.expr(f"({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MOD}")).alias(f"mh{i}")
         for i in range(len(MINHASH_A))
@@ -302,7 +305,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     tok = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
     tok = tok.select("doc", F.explode(F.array_distinct("t")).alias("tk"))
-    tok = tok.withColumn("h", poly_hash("tk")).withColumn(
+    tok = tok.withColumn("h", poly_hash_q_col("tk")).withColumn(
         "h32", F.expr(f"({SIMHASH_A}L * h + {SIMHASH_B}L) % {SIMHASH_SPACE}")
     )
     votes = [
@@ -406,9 +409,10 @@ def connected_components(
     from pyspark import StorageLevel
 
     from ..cacheutil import (
+        register,
         register_rdd_ids,
         release,
-        tracked_local_checkpoint,
+        tracked_loop_checkpoint,
         unpersist_rdd_ids,
     )
 
@@ -434,9 +438,19 @@ def connected_components(
     # Every loop shuffle (labels aggs, round joins) runs at the
     # derived count for the loop's duration — the hits() save/restore
     # conf discipline; restored in `finally` so later queries keep the
-    # session layout.
+    # session layout. SINGLE-THREADED-SESSION REQUIREMENT (round-12
+    # ADVICE): spark.sql.shuffle.partitions is session-GLOBAL, so any
+    # concurrent driver thread submitting work on the same session
+    # during the loop would run at the clamped count, and interleaved
+    # save/restore is last-writer-wins. The whole catalog/bench/gate
+    # surface is single-threaded by construction; a future concurrent
+    # harness must either serialize CC invocations or switch the loop
+    # to explicit repartition counts. The restore (including on
+    # mid-loop exceptions) is pinned by
+    # tests/test_textops.py::test_cc_restores_shuffle_conf.
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    dist_live = True
     try:
         # Pre-partition the (static) edge list on the JOIN key b with an
         # explicit partition count: the cached frame then reports
@@ -456,7 +470,14 @@ def connected_components(
         # exchange-free round join survives. Blocks are scope-
         # registered: freed by the NEXT invocation, exactly like the
         # final round's cache.
-        edges, edges_ck = tracked_local_checkpoint(
+        # Storage contract (round-12 ADVICE): these checkpoint blocks
+        # (2x the candidate-pair rows) are scope-registered, so they
+        # live until the NEXT connected_components invocation — or a
+        # harness release_all() — not until loop end. Freeing them at
+        # loop end would be unsafe only if the final round's cache
+        # were lost and recomputed; between catalog queries the
+        # release_all() discipline bounds the lingering storage.
+        edges, edges_ck = tracked_loop_checkpoint(
             dist.repartition(n_parts, F.col("b"))
         )
         register_rdd_ids("dedup.connected_components", sc, edges_ck)
@@ -475,8 +496,13 @@ def connected_components(
         # derived frame (e.g. agg.drop(...)) is a silent no-op and leaked
         # one persisted round per iteration for the session lifetime.
         stored = labels
+        # Eager scope registration (round-12 ADVICE): every round's
+        # cache/checkpoint is registered the moment it exists, so a
+        # mid-loop exception leaves nothing untracked — the next
+        # release() frees it (release's unpersist is idempotent, so
+        # the in-loop explicit frees below stay the fast path).
+        register("dedup.connected_components", stored)
         ck_ids: set[int] = set()  # blocks backing the CURRENT labels round
-        dist_live = True
         for i in range(max_iter):
             contrib = (
                 edges.join(labels, edges["b"] == labels["node"])
@@ -488,10 +514,12 @@ def connected_components(
                 F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
             )
             if (i + 1) % CC_CHECKPOINT_EVERY == 0:
-                agg, new_ck_ids = tracked_local_checkpoint(agg)
+                agg, new_ck_ids = tracked_loop_checkpoint(agg)
             else:
                 agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
                 new_ck_ids = set()
+            register("dedup.connected_components", agg)
+            register_rdd_ids("dedup.connected_components", sc, new_ck_ids)
             changed = agg.filter(F.col("label") < F.col("_old")).count()
             if dist_live:
                 # edges + round 1 are materialized now — the sizing
@@ -513,13 +541,15 @@ def connected_components(
         # storage).
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        # the sizing frame's blocks are normally freed inside the loop
+        # after round 1 materializes; on a pre-loop/first-round failure
+        # (or max_iter <= 0) this is the only free (round-12 ADVICE —
+        # unpersist is idempotent, so the common path pays nothing).
+        if dist_live:
+            dist.unpersist()
     # the final round backs the returned lazy result — its storage
-    # (cache + any checkpoint blocks) stays until the next invocation
-    # releases the scope
-    from ..cacheutil import register
-
-    register("dedup.connected_components", stored)
-    register_rdd_ids("dedup.connected_components", sc, ck_ids)
+    # (cache + any checkpoint blocks, registered eagerly above) stays
+    # until the next invocation releases the scope
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -554,9 +584,12 @@ def connected_components_star(
     every few alternations (star rounds stack two windows + distinct
     + union each, so the plan tree deepens fast — a cache-only loop
     blew the driver heap on Catalyst tree rendering in testing). The
-    checkpoint is executor-local; for multi-hour production runs
-    where executor loss must be survivable, swap in ``checkpoint()``
-    with a reliable dir — same contract.
+    checkpoint is executor-local by default; setting
+    ``SPARK_GRAFT_RELIABLE_CKPT_DIR`` switches every loop checkpoint
+    to a reliable ``checkpoint()`` for multi-hour production runs
+    where executor loss must be survivable (round-13; see
+    cacheutil.tracked_loop_checkpoint — parity pinned by
+    tests/test_textops.py::test_cc_reliable_checkpoint_parity).
     """
     from pyspark.sql import Window
 
@@ -564,7 +597,7 @@ def connected_components_star(
         register,
         register_rdd_ids,
         release,
-        tracked_local_checkpoint,
+        tracked_loop_checkpoint,
         unpersist_rdd_ids,
     )
 
@@ -579,7 +612,7 @@ def connected_components_star(
     # weight). The checkpoint truncates the root to a leaf RDD; the
     # eager materialization replaces the persist's first-action fill
     # (same single pass over the pair producer).
-    edges, ck_ids = tracked_local_checkpoint(
+    edges, ck_ids = tracked_loop_checkpoint(
         pairs.select(
             F.least(F.col(lo_col), F.col(hi_col)).alias("a"),
             F.greatest(F.col(lo_col), F.col(hi_col)).alias("b"),
@@ -587,6 +620,7 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    register_rdd_ids("dedup.connected_components_star", sc, ck_ids)
     # Scale-adaptive loop layout (round 12; see connected_components):
     # every star round runs two windows + a distinct over an
     # edge-list-sized frame — at the pinned session conf that is 32
@@ -596,6 +630,9 @@ def connected_components_star(
     n_parts = _cc_loop_partitions(
         edges.count(), int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
+    # SINGLE-THREADED-SESSION REQUIREMENT: see connected_components —
+    # the conf is session-global; restore (incl. on exceptions) pinned
+    # by tests/test_textops.py::test_cc_restores_shuffle_conf.
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
@@ -644,9 +681,13 @@ def connected_components_star(
         # Measured (dd5 shape, sf0.1/local[32]): 8.2-8.7 s -> 3.7-5.6 s
         # median on calm windows, identical components.
         for i in range(max_iter):
-            nxt, new_ck_ids = tracked_local_checkpoint(
+            nxt, new_ck_ids = tracked_loop_checkpoint(
                 _small_star(_large_star(edges))
             )
+            # eager scope registration (round-12 ADVICE): a mid-loop
+            # exception must leave no untracked blocks; the explicit
+            # free below stays the fast path (release is idempotent)
+            register_rdd_ids("dedup.connected_components_star", sc, new_ck_ids)
             cur_sum = _checksum(nxt)  # materializes nxt to its own storage
             unpersist_rdd_ids(sc, ck_ids)  # superseded round's blocks
             ck_ids = new_ck_ids

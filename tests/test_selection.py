@@ -183,6 +183,41 @@ def test_char_entropy_orders_degenerate_vs_natural(spark):
     assert bits[1] < bits[2] < bits[3]
 
 
+def test_char_entropy_udf_matches_python_ilog2(spark):
+    """The round-13 vectorized Arrow/numpy ent_q column must replay
+    the exact-integer formula bit-for-bit: ent_q = n·ilog2_q(n) −
+    Σ c·ilog2_q(c) over the normalized-text character histogram,
+    with ilog2_q the Python reference twin (the DuckDB oracle's
+    contract). Covers long runs (big c), full alphabet spread and
+    1-char strings — the numpy kernel's edge shapes."""
+    from collections import Counter
+
+    from omfietser_etl_spark.textops.analysis import char_entropy_stats
+
+    texts = [
+        "a" * 5000,
+        ("abcdefghijklmnopqrstuvwxyz0123456789 " * 97),
+        "z",
+        "a1 b2 c3 " * 321 + "qqqq",
+        "the quick brown fox jumps over the lazy dog " * 13,
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc: (r.n_chars, r.ent_q) for r in char_entropy_stats(docs).collect()}
+
+    def norm(t: str) -> str:
+        import re
+
+        return re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+
+    for i, t in enumerate(texts):
+        s = norm(t)
+        n = len(s)
+        want = n * ilog2_q(n) - sum(c * ilog2_q(c) for c in Counter(s).values())
+        assert got[i] == (n, want), (i, got[i], (n, want))
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

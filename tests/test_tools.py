@@ -71,30 +71,42 @@ def test_driver_certified_fronts_uncertified():
 
 
 def test_staleness_rotation_orders_certified_tail_oldest_first():
-    """The certified tail is ordered by (latest green round, name) so the
-    50-wide gate window re-verifies the whole catalog every ~3 rounds
-    instead of re-sampling the same prefix forever. Order must be fully
-    deterministic (name tiebreak within a round)."""
+    """The certified tail is a RE-VERIFY block (queries whose code was
+    touched after their latest green — round-13 verdict item 7)
+    followed by the staleness rotation, each internally ordered by
+    (latest green round, name). Order must be fully deterministic
+    (name tiebreak within a round)."""
     from omfietser_etl_spark.catalog import (
         _CERTIFIED_ROUND,
         _DRIVER_CERTIFIED,
+        _RETOUCHED_AFTER_GREEN,
         all_specs,
     )
 
     specs = all_specs()
+    active_retouch = {
+        n for n, pin in _RETOUCHED_AFTER_GREEN.items()
+        if n in _DRIVER_CERTIFIED and _CERTIFIED_ROUND.get(n, 0) <= pin
+    }
     tail = [s for s in specs if s.name in _DRIVER_CERTIFIED]
-    keys = [(_CERTIFIED_ROUND.get(s.name, 0), s.name) for s in tail]
-    assert keys == sorted(keys)
+    front = [s for s in tail if s.name in active_retouch]
+    rest = [s for s in tail if s.name not in active_retouch]
+    # the retouch block leads the certified tail, both blocks sorted
+    assert tail[: len(front)] == front, "retouched queries must front the tail"
+    for block in (front, rest):
+        keys = [(_CERTIFIED_ROUND.get(s.name, 0), s.name) for s in block]
+        assert keys == sorted(keys)
     # two identical calls produce the identical order (pure function of
     # the committed tables — no runtime artifact IO)
     assert [s.name for s in all_specs()] == [s.name for s in specs]
-    # the rotation actually rotates: the window is NOT dominated by the
-    # most recently certified round
+    # the rotation actually rotates: beyond the re-verify block, the
+    # window is NOT dominated by the most recently certified round
     newest = max(_CERTIFIED_ROUND.values())
     window = specs[:50]
     assert all(
-        _CERTIFIED_ROUND.get(s.name, 0) < newest for s in window
-    ), "gate window should hold only stale (or fresh-uncertified) queries"
+        _CERTIFIED_ROUND.get(s.name, 0) < newest or s.name in active_retouch
+        for s in window
+    ), "gate window should hold only stale, retouched, or fresh queries"
 
 
 def test_bench_refs_pinned_to_current_catalog():
