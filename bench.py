@@ -26,7 +26,10 @@ of stdout, so the official artifact must fit):
      "sf": ..., "reps": N, "sentinel": {...}, "host_factor": F,
      "value_normalized": sec, "families": {...}, "n_queries": N,
      "slowest": {20 slowest queries}, "detail": "BENCH_HISTORY.jsonl"}
-Full per-query timings are appended to BENCH_HISTORY.jsonl.
+Full per-query timings are appended to BENCH_HISTORY.jsonl, and the
+SELECTED window's full record (including the complete `queries` map)
+is written to BENCH_LAST.json (round 13 — so PERF comparisons get
+per-query data even though stdout stays compact).
 """
 
 from __future__ import annotations
@@ -407,6 +410,22 @@ def main() -> None:
     # pinned era); both windows land in history either way.
     line = min(windows, key=lambda w: w["host_factor"])
     line["windows_run"] = len(windows)
+    # Round-13 (verdict item 8): persist the SELECTED window's FULL
+    # per-query map to a committed artifact so the driver's PERF
+    # comparison can compute per-query speedups and scaling ratios —
+    # the compact stdout line only carries the 20 slowest (the
+    # driver records ~2000 chars of stdout), which left PERF_r12's
+    # per_query/geomean empty.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(line, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     if not line["comparable"]:
         line["note"] = "comparable=false — read value_normalized, not value"
     # The driver records only the LAST ~2000 chars of stdout, so the

@@ -56,14 +56,26 @@ def unpersist_rdd_ids(sc, ids: set[int]) -> None:
         pass
 
 
-def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """``df.localCheckpoint()`` plus the ids of the RDDs it persisted,
-    so the caller can free the blocks when the round is superseded
-    (iterative loops otherwise retain one copy per checkpoint until
-    session end — round-4 advisor finding)."""
+def tracked_local_checkpoint(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, set[int]]:
+    """``df.localCheckpoint(eager)`` plus the ids of the RDDs it
+    persisted, so the caller can free the blocks when the round is
+    superseded (iterative loops otherwise retain one copy per
+    checkpoint until session end — round-4 advisor finding).
+
+    ``eager=False`` (round 13) truncates lineage WITHOUT the barrier
+    action: the returned frame's plan is a LogicalRDD immediately (so
+    downstream plan building/rendering stays leaf-rooted), and the
+    checkpoint RDD registers with the block manager AT CREATION — the
+    id diff below tracks it the same way — while materialization
+    happens at the first downstream action, pipelined with whatever
+    else that action computes. Loop callers that free a superseded
+    round's blocks must stay eager (the free is only safe once the
+    successor is materialized)."""
     sc = df.sparkSession.sparkContext
     before = persistent_rdd_ids(sc)
-    ck = df.localCheckpoint()
+    ck = df.localCheckpoint(eager=eager)
     return ck, persistent_rdd_ids(sc) - before
 
 

@@ -636,20 +636,28 @@ TP3_CONTAM_BP = 1200
 
 
 def _tp3_ckpt(scope: str, df: DataFrame) -> DataFrame:
-    """Tracked localCheckpoint at a tp3 stage boundary. The 7-stage
-    chain otherwise nests every upstream expression tree (Gopher
-    battery, entropy fold, shingle/Bloom hashes) into each later
-    persist's ANALYZED plan — the plan machinery alone OOMs the
+    """Tracked LAZY localCheckpoint at a tp3 stage boundary. The
+    7-stage chain otherwise nests every upstream expression tree
+    (Gopher battery, entropy column, shingle/Bloom hashes) into each
+    later persist's ANALYZED plan — the plan machinery alone OOMs the
     vanilla 1g driver heap (measured round 12; the SKILL's giant-
     expression-tree class, compounding across stages). Checkpointing
-    truncates lineage so every later stage plans against a leaf. The
-    blocks are scope-registered: the next invocation (or the
-    harness's release_all) frees them — same discipline as the CC
-    loop's round frames."""
+    truncates lineage so every later stage plans against a leaf.
+
+    LAZY, not eager (round 13 — the verdict's tp3 serial-stage item):
+    ``localCheckpoint(eager=False)`` roots the plan in a LogicalRDD
+    immediately (identical plan-size defense — an eager/lazy A/B on
+    the full query read 100 KB formatted either way vs 5 MB with a
+    plain persist) but materializes at the FIRST downstream action,
+    pipelined, instead of a dedicated barrier job per stage. Blocks
+    are scope-registered at creation (the lazy checkpoint RDD
+    registers with the block manager up front): the next invocation
+    (or the harness's release_all) frees them — same discipline as
+    the CC loop's round frames."""
     from omfietser_etl_spark import cacheutil
 
     cacheutil.release(scope)
-    ck, ids = cacheutil.tracked_local_checkpoint(df)
+    ck, ids = cacheutil.tracked_local_checkpoint(df, eager=False)
     cacheutil.register_rdd_ids(scope, df.sparkSession.sparkContext, ids)
     return ck
 
@@ -774,17 +782,15 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
             "doc", F.coalesce("component", "doc").cast("long").alias("component")
         )
     )
-    # dec/s3 are PLAIN lazy persists, not eager checkpoints (round 13,
-    # guide §5/§2.5 — the verdict's tp3 serial-stage item): the 1 g
-    # plan-size defense only needs lineage truncated at the EXPRESSION-
-    # HEAVY boundary (flags: the Gopher battery + entropy column) and
-    # at the CC loop (its labels root in loop checkpoints) — below
-    # those, dec's plan is a window over two leaves and s3's a few
-    # joins of cached frames, so eager materialization barriers bought
-    # nothing but serial latency (~2 barrier actions per run). The
-    # first downstream action fills both caches in one pipelined pass.
+    # dec/s3 are LAZY checkpoints (see _tp3_ckpt): lineage truncation
+    # without the per-stage barrier job. A plain persist was measured
+    # and REJECTED here (round 13): without the LogicalRDD root the
+    # downstream stages re-inline the whole upstream tree — tp3's
+    # formatted plan blew up 100 KB → 5 MB / 3 → 87 printed scans,
+    # i.e. the exact plan-weight class the round-12 checkpoints were
+    # introduced for.
     wc = Window.partitionBy("component")
-    dec = persist_replannable(
+    dec = _tp3_ckpt(
         "catalog.tp3.dec",
         labeled.withColumn(
             "is_dedup_kept", F.col("doc") == F.min("doc").over(wc)
@@ -803,12 +809,16 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     bloom = bloom_build(ev_sh, "s")
-    kept_text = (
-        dec.filter("is_dedup_kept").select("doc").join(
-            flags.select("doc", "text"), "doc"
-        )
+    # Shingles of the KEPT docs = shingles of the SURVIVOR corpus
+    # filtered to kept doc ids (kept ⊆ surv1, and doc_shingles is
+    # per-doc) — phrased that way the subtree is the EXACT analyzed
+    # plan minhash_lsh_pairs cached above, so the cache manager
+    # substitutes the materialized shingle frame instead of running a
+    # second tokenize+explode pass over the kept texts (round 13,
+    # guide §1.2).
+    tr_sh = dd.doc_shingles(surv1, "doc", "text").join(
+        dec.filter("is_dedup_kept").select("doc"), "doc"
     )
-    tr_sh = dd.doc_shingles(kept_text, "doc", "text")
     contam = persist_replannable(
         "catalog.tp3.contam",
         bloom_hits(tr_sh, "s", bloom)
@@ -824,7 +834,7 @@ def tp3_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
             (F.expr("(10000 * n_hit) div n_sh") >= TP3_CONTAM_BP).alias("contam_flag"),
         ),
     )
-    s3 = persist_replannable(
+    s3 = _tp3_ckpt(
         "catalog.tp3.s3",
         dec.filter("is_dedup_kept")
         .join(contam, "doc", "left")

@@ -603,6 +603,17 @@ def label_propagation_oracle_sql(edges_cte: str, rounds: int = 3) -> str:
 #: on non-negatives) and every stored score ≤ MASS in int64.
 HITS_MASS = 1_000_000_000_000
 
+#: scale-adaptive sizing for the HITS loop shuffles. Deliberately
+#: SMALLER than the CC loops' 200k rows/partition: a CC round shuffles
+#: label-sized frames, but every HITS half-round joins the FULL edge
+#: set against the score vector, so the loop wants join parallelism.
+#: Interleaved A/B on g6 (587k edges, sf0.1/local[32], medians of 3):
+#: n_parts 3 → 5.39 s, 8 → 4.53 s, 16 → 4.35 s, 32 → 4.41 s; 40k
+#: rows/partition lands at 15 here, within noise of the best, while a
+#: ~200-edge graph still collapses to single-task rounds under the
+#: vanilla 200-partition session.
+HITS_ROWS_PER_PARTITION = 40_000
+
 
 def hits(
     edges: DataFrame,
@@ -683,11 +694,15 @@ def hits(
     # SINGLE-THREADED-SESSION REQUIREMENT as in the CC loops
     # (textops/dedup.py): the conf is session-global; restored in the
     # same finally as the AQE conf below.
-    from omfietser_etl_spark.textops.dedup import _cc_loop_partitions
-
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        n_parts = _cc_loop_partitions(e.count(), int(prev_shuffle))
+        n_parts = max(
+            1,
+            min(
+                int(prev_shuffle),
+                -(-e.count() // HITS_ROWS_PER_PARTITION),
+            ),
+        )
     except Exception:
         # the count can fail on bad input — don't leak the AQE conf
         if prev is None:

@@ -213,35 +213,59 @@ def brute_topk(
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Assign every vector to its nearest centroid (argmax dot).
+    """Assign every vector to its nearest centroid (argmax dot,
+    ties → lowest centroid id).
 
-    Centroid codebook is broadcast; assignment is map-side only —
-    zero shuffle over the corpus.
+    Round 13 (guide §4.2): the old shape joined the broadcast
+    codebook and evaluated the interpreted left-fold ``dot_expr`` per
+    (vector, centroid) pair — N·C·dim interpreted lambda steps (td21's
+    profile: 1.76 s of its 2.9 s at sf0.1 was this assignment). Now
+    the bounded centroid matrix (the ivf_centroid_mod_for √N-sizing
+    contract — the k-means-codebook collect precedent) ships BY VALUE
+    in a ``mapInPandas`` closure (workers need no repo imports) and
+    each Arrow batch scores via dimension-major accumulation —
+    ``sims += outer(A[:,k], C[:,k])`` from zeros, the SAME
+    double-addition order as the sequential SQL left fold (the
+    bipartite_cosine_pairs discipline), so every dot is bit-identical
+    to ``dot_expr`` and the argmax (numpy first-max == lowest cid on
+    ties, centroids ordered cid-ascending) replays the oracle's
+    ORDER BY cdot DESC, cid ASC exactly. Still map-side only — zero
+    shuffle over the corpus; the float32 vectors round-trip Arrow
+    losslessly.
     """
-    c = centroids.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    import numpy as np
+    import pandas as pd
+
+    src = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    scored = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(c))
-        .withColumn("cdot", F.expr(dot_expr("v", "cv")))
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    vec_dt = emb.schema[vec_col].dataType.simpleString()
+    rows = (
+        centroids.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
     )
-    # argmax as a groupBy min over (-dot, cid, v): lexicographic struct
-    # ordering ≡ ORDER BY cdot DESC, cid ASC, and partial aggregation
-    # collapses each vector's C candidate rows map-side — the shuffle
-    # carries N rows, not the N×C joined frame a row_number window
-    # would exchange and sort. NULL vectors are dropped up front (a
-    # NULL dot would otherwise sort first in the min and capture every
-    # assignment); NaN components are out of contract corpus-wide.
-    best = F.min(
-        F.struct((-F.col("cdot")).alias("_nd"), F.col("cid"), F.col("v").alias("_v"))
-    ).alias("_best")
-    return (
-        scored.groupBy("vid")
-        .agg(best)
-        .select("vid", F.col("_best._v").alias("v"), F.col("_best.cid").alias("cid"))
-    )
+    if not rows:
+        return src.limit(0).withColumn("cid", F.lit(None).cast(id_dt))
+    rows.sort(key=lambda r: r.cid)
+    ids_c = np.array([r.cid for r in rows], dtype=np.int64)
+    mat_c = np.array([list(r.cv) for r in rows], dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            sims = np.zeros((len(a), len(ids_c)))
+            for k in range(mat_c.shape[1]):  # fold-order accumulation
+                sims += np.outer(a[:, k], mat_c[:, k])
+            best = sims.argmax(axis=1)  # first max == lowest cid on ties
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "v": pdf["v"], "cid": ids_c[best]}
+            )
+
+    return src.mapInPandas(kernel, f"vid {id_dt}, v {vec_dt}, cid {id_dt}")
 
 
 def ivf_topk(
@@ -436,27 +460,56 @@ def rh_signature_bits(
     vectors) and recover recall with more bands. Planes used =
     bands · rows.
     """
+    # Round 13 (guide §4.2): the per-plane projections were bands·rows
+    # interpreted left folds PER VECTOR (the HOF aggregate is
+    # CodegenFallback — N·planes·dim lambda steps). The ±1 coefficient
+    # matrix now ships BY VALUE in a mapInPandas closure (workers need
+    # no repo imports) and projections accumulate DIMENSION-MAJOR
+    # (proj += outer(A[:,k], C[:,k]) from zeros) — the same double-
+    # addition order as the sequential fold / the oracle's
+    # list_reduce, so every projection (and therefore every sign bit
+    # and band key) is bit-identical. Still one map-side pass, no
+    # shuffle. NULL vectors are dropped up front — their stacked keys
+    # were NULL and a NULL key never equi-joins, so candidates are
+    # unchanged.
+    import numpy as np
+    import pandas as pd
+
     planes = bands * rows
     coeffs = rh_coefficients(dim, planes)
-    bit_exprs = []
-    for p in range(planes):
-        arr = ", ".join(f"{c:.1f}D" for c in coeffs[p])
-        proj = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, c) -> CAST(x AS DOUBLE) * c), 0.0D, (acc, v) -> acc + v)"
-        )
-        bit_exprs.append(f"CASE WHEN {proj} >= 0.0D THEN 1L ELSE 0L END")
-    band_keys = []
-    for b in range(bands):
-        parts = " + ".join(
-            f"({bit_exprs[b * rows + r]}) * {1 << r}L" for r in range(rows)
-        )
-        band_keys.append(f"({parts})")
-    stacked = ", ".join(f"{b}, {band_keys[b]}" for b in range(bands))
-    return emb.select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"stack({bands}, {stacked}) AS (band, key)"),
+    mat_c = np.array(
+        [[float(f"{c:.1f}") for c in row] for row in coeffs], dtype=np.float64
     )
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    src = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("_v")
+    )
+    n_bands, n_rows = bands, rows
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            proj = np.zeros((len(a), planes))
+            for k in range(a.shape[1]):  # fold-order accumulation
+                proj += np.outer(a[:, k], mat_c[:, k])
+            bits = (proj >= 0.0).astype(np.int64)
+            keys = np.zeros((len(a), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for r in range(n_rows):
+                    keys[:, b] += bits[:, b * n_rows + r] << r
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].to_numpy(), n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int64), len(a)
+                    ),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(kernel, f"vid {id_dt}, band int, key long")
 
 
 def rh_neardup_pairs(
